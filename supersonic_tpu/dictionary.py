@@ -1,0 +1,106 @@
+"""Host-side dictionaries for variable-length columns.
+
+The reference stores STRING/BINARY values inline in per-column Arenas with
+StringPiece pointers (reference: base/infrastructure/block.h:196-284,
+base/memory/arena.h).  Variable-length payloads have no efficient dense
+representation on a TPU, so the TPU-native design dictionary-encodes them:
+the device column is int32 *codes*, and the dictionary (code -> bytes) lives
+on the host.
+
+Dictionaries are built **order-preserving** (codes sorted lexicographically)
+so that ORDER BY and comparisons on the codes match ORDER BY on the strings,
+which is what makes sort/compare pure device ops (SURVEY.md §7.3 strings).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Dictionary:
+    """Immutable code->value map. values[code] is the decoded Python value."""
+
+    values: tuple  # tuple of str or bytes, sorted ascending => order-preserving
+
+    def __len__(self) -> int:
+        return len(self.values)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        out = np.empty(len(codes), dtype=object)
+        vals = self.values
+        for i, c in enumerate(codes):
+            out[i] = vals[int(c)] if 0 <= int(c) < len(vals) else None
+        return out
+
+    def lookup(self, value) -> int:
+        """Code for value, or -1 if absent."""
+        import bisect
+
+        i = bisect.bisect_left(self.values, value)
+        if i < len(self.values) and self.values[i] == value:
+            return i
+        return -1
+
+    def is_sorted(self) -> bool:
+        return all(self.values[i] <= self.values[i + 1] for i in range(len(self.values) - 1))
+
+
+def encode(values, null_sentinel=None) -> tuple[np.ndarray, np.ndarray, Dictionary]:
+    """Encode a python/numpy sequence of strings into (codes, valid, dict).
+
+    None entries become invalid rows (code 0).  The dictionary is sorted so
+    code order == lexicographic order.
+    """
+    valid = np.array([v is not None for v in values], dtype=bool)
+    present = sorted({v for v in values if v is not None})
+    dict_ = Dictionary(tuple(present))
+    index = {v: i for i, v in enumerate(present)}
+    codes = np.array([index[v] if v is not None else 0 for v in values], dtype=np.int32)
+    return codes, valid, dict_
+
+
+def merge(a: Dictionary, b: Dictionary) -> tuple[Dictionary, np.ndarray, np.ndarray]:
+    """Merge two dictionaries into one order-preserving dictionary.
+
+    Returns (merged, remap_a, remap_b) where remap_x[old_code] = new_code.
+    Used when unioning / coalescing tables with separately-encoded columns.
+    """
+    vals = sorted(set(a.values) | set(b.values))
+    merged = Dictionary(tuple(vals))
+    index = {v: i for i, v in enumerate(vals)}
+    remap_a = np.array([index[v] for v in a.values], dtype=np.int32)
+    remap_b = np.array([index[v] for v in b.values], dtype=np.int32)
+    # Remaps must be non-empty for device gathers even when a dict is empty.
+    if remap_a.size == 0:
+        remap_a = np.zeros(1, dtype=np.int32)
+    if remap_b.size == 0:
+        remap_b = np.zeros(1, dtype=np.int32)
+    return merged, remap_a, remap_b
+
+
+def transform(d: Dictionary, fn) -> tuple[Dictionary, np.ndarray]:
+    """Apply a per-value function (e.g. str.upper) to a dictionary.
+
+    Returns (new_dict, remap) with remap[old_code] = new_code.  This is how
+    unary string expressions run on TPU: the O(|dict|) host transform happens
+    at bind time, and evaluation is a single device gather through `remap`
+    (reference string ops: expression/core/string_expressions.h, re-designed
+    as code-indexed LUTs per SURVEY.md §2.5).
+    """
+    new_vals = [fn(v) for v in d.values]
+    uniq = sorted(set(new_vals))
+    nd = Dictionary(tuple(uniq))
+    index = {v: i for i, v in enumerate(uniq)}
+    remap = np.array([index[v] for v in new_vals], dtype=np.int32)
+    if remap.size == 0:
+        remap = np.zeros(1, dtype=np.int32)
+    return nd, remap
+
+
+def property_lut(d: Dictionary, fn, dtype) -> np.ndarray:
+    """Per-code scalar property LUT (e.g. len) for device-side gather."""
+    if len(d.values) == 0:
+        return np.zeros(1, dtype=dtype)
+    return np.array([fn(v) for v in d.values], dtype=dtype)

@@ -1,0 +1,119 @@
+"""Operation layer: static compiled operator DAGs.
+
+Reference contract: ``Operation::CreateCursor()`` builds a pull-pipeline of
+``Cursor``s streaming ≤1024-row views (reference: cursor/base/operation.h:35,
+cursor/base/cursor.h:131).  TPU redesign (SURVEY.md §2.2): the pull protocol
+disappears — ``bind()`` resolves schemas bottom-up (the reference's
+CreateCursor phase) and yields a traced function over whole capacity-padded
+Tables; ``execute()`` jit-compiles the entire DAG into one XLA program.
+Dynamic row counts ride through as traced ``num_rows`` scalars; EOS/BOS and
+WAITING_ON_BARRIER have no equivalent under a static schedule.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Table
+from ..dictionary import Dictionary
+from ..exprs.base import EvalContext, EvaluationError
+from ..schema import TupleSchema
+
+
+@dataclass
+class RunContext:
+    """Execution-time state threaded through the bound DAG (traced)."""
+
+    leaf_tables: list  # Tables for each leaf, in bind order
+    error_flags: list = field(default_factory=list)
+
+    def eval_context(self, table: Table) -> EvalContext:
+        return EvalContext(table, self.error_flags)
+
+
+@dataclass
+class BoundOperation:
+    """Result of binding: static schema/dicts + a traced table function."""
+
+    schema: TupleSchema
+    dicts: dict[str, Dictionary]
+    fn: Callable[[RunContext], Table]
+    capacity: int  # static output capacity
+
+    def run(self, ctx: RunContext) -> Table:
+        return self.fn(ctx)
+
+
+class BindContext:
+    """Collects leaf inputs during bind so they become jit arguments."""
+
+    def __init__(self):
+        self.leaves: list[Table] = []
+
+    def register_leaf(self, table: Table) -> int:
+        self.leaves.append(table)
+        return len(self.leaves) - 1
+
+
+class Operation:
+    """Symbolic operator-DAG node (reference: cursor/base/operation.h:35)."""
+
+    def bind(self, ctx: BindContext) -> BoundOperation:
+        raise NotImplementedError
+
+    # -- fluent sugar ---------------------------------------------------------
+    def execute(self, check_errors: bool = True, jit: bool = True) -> Table:
+        return execute(self, check_errors=check_errors, jit=jit)
+
+
+def bind_plan(op: Operation) -> tuple[BoundOperation, list[Table]]:
+    ctx = BindContext()
+    bound = op.bind(ctx)
+    return bound, ctx.leaves
+
+
+def compile_plan(op: Operation):
+    """Bind + wrap into a jittable fn(leaf_tables) -> (Table, error_flags).
+
+    The returned callable is the whole query as one XLA program; leaf tables
+    are traced arguments so the program is reusable across same-shape data.
+    """
+    bound, leaves = bind_plan(op)
+
+    def run(leaf_tables):
+        ctx = RunContext(list(leaf_tables))
+        out = bound.run(ctx)
+        if ctx.error_flags:
+            flags = jnp.stack([f for _, f in ctx.error_flags])
+        else:
+            flags = jnp.zeros(0, dtype=jnp.bool_)
+        return out, flags
+
+    flag_names = None  # resolved lazily after first trace
+
+    return run, bound, leaves
+
+
+def execute(op: Operation, check_errors: bool = True, jit: bool = True) -> Table:
+    """Bind, compile, and run a plan; raises EvaluationError on signaling
+    failures (the host sync point for device error flags)."""
+    run, bound, leaves = compile_plan(op)
+    runner = jax.jit(run) if jit else run
+    table, flags = runner(leaves)
+    if check_errors and flags.shape[0]:
+        flags_host = jax.device_get(flags)
+        if flags_host.any():
+            # Re-bind to recover flag names (cheap, host-only).
+            ctx = RunContext(list(leaves))
+            bound.run(ctx)
+            names = [n for (n, _) in ctx.error_flags]
+            bad = [names[i] for i, f in enumerate(flags_host) if f]
+            raise EvaluationError(f"evaluation failed: {', '.join(bad)}")
+    return table
+
+
+def default_capacity(*caps: int) -> int:
+    return max(caps) if caps else 1

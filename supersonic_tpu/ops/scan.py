@@ -1,0 +1,56 @@
+"""Leaf operations: scan a materialized Table / view-with-selection.
+
+Reference: cursor/infrastructure/view_cursor.h:22-28 (CreateCursorOverView,
+CreateCursorOverViewWithSelection), cursor/core/scan_view.h:24-40, and
+Table-as-Operation (cursor/infrastructure/table.h:49).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..batch import Table, gather_table
+from .base import BindContext, BoundOperation, Operation, RunContext
+
+
+class ScanTable(Operation):
+    """Scan a materialized Table (the leaf of every plan)."""
+
+    def __init__(self, table: Table):
+        self.table = table
+
+    def bind(self, ctx: BindContext) -> BoundOperation:
+        idx = ctx.register_leaf(self.table)
+        schema = self.table.schema
+        dicts = dict(self.table.dicts)
+        cap = self.table.capacity
+
+        def fn(rctx: RunContext) -> Table:
+            return rctx.leaf_tables[idx]
+
+        return BoundOperation(schema, dicts, fn, cap)
+
+
+class ScanTableWithSelection(Operation):
+    """Scan a table through a row-id selection vector (gather-on-read).
+
+    Reference: view_cursor.cc:77 — backs sorted output and tests.
+    """
+
+    def __init__(self, table: Table, selection, num_rows=None):
+        self.table = table
+        self.selection = jnp.asarray(selection)
+        self.num_rows = (
+            num_rows if num_rows is not None else self.selection.shape[0]
+        )
+
+    def bind(self, ctx: BindContext) -> BoundOperation:
+        idx = ctx.register_leaf(self.table)
+        sel = self.selection
+        n = self.num_rows
+
+        def fn(rctx: RunContext) -> Table:
+            t = rctx.leaf_tables[idx]
+            return gather_table(t, sel, n)
+
+        return BoundOperation(self.table.schema, dict(self.table.dicts), fn,
+                              sel.shape[0])

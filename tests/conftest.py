@@ -1,0 +1,18 @@
+"""Test configuration: CPU backend with 8 virtual devices.
+
+Mirrors the reference's test-without-cluster strategy (SURVEY.md §4.6):
+shard_map/collective tests run on an emulated multi-device CPU mesh.
+Must set env vars BEFORE jax import.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,73 @@
+"""Data-model tests (reference analogue: base/infrastructure block/schema
+tests)."""
+import numpy as np
+import pytest
+
+from supersonic_tpu import (DOUBLE, INT64, STRING, Attribute, SchemaError,
+                            Table, TupleSchema, concat_tables)
+
+
+def make_table(capacity=None):
+    schema = TupleSchema.of(("a", INT64), ("b", DOUBLE), ("s", STRING))
+    return Table.from_data(
+        schema,
+        {"a": [1, 2, None, 4], "b": [1.5, None, 3.5, 4.5],
+         "s": ["x", "y", None, "x"]},
+        capacity=capacity,
+    )
+
+
+def test_roundtrip():
+    t = make_table()
+    assert t.to_pylist() == [
+        (1, 1.5, "x"), (2, None, "y"), (None, 3.5, None), (4, 4.5, "x")]
+
+
+def test_capacity_padding():
+    t = make_table(capacity=16)
+    assert t.capacity == 16
+    assert int(t.num_rows) == 4
+    assert t.to_pylist()[-1] == (4, 4.5, "x")
+
+
+def test_dictionary_order_preserving():
+    t = make_table()
+    d = t.dicts["s"]
+    assert list(d.values) == ["x", "y"]
+    assert d.is_sorted()
+
+
+def test_duplicate_names_rejected():
+    with pytest.raises(SchemaError):
+        TupleSchema.of(("a", INT64), ("a", DOUBLE))
+
+
+def test_non_nullable_rejects_null():
+    schema = TupleSchema.of(("a", INT64, False))
+    with pytest.raises(SchemaError):
+        Table.from_data(schema, {"a": [1, None]})
+
+
+def test_schema_lookup():
+    schema = TupleSchema.of(("a", INT64), ("b", DOUBLE))
+    assert schema.lookup("b").type == DOUBLE
+    with pytest.raises(SchemaError):
+        schema.lookup("zz")
+
+
+def test_concat_tables_merges_dicts():
+    s = TupleSchema.of(("s", STRING),)
+    t1 = Table.from_data(s, {"s": ["b", "a"]})
+    t2 = Table.from_data(s, {"s": ["c", "a", None]})
+    out = concat_tables([t1, t2])
+    assert out.to_pylist() == [("b",), ("a",), ("c",), ("a",), (None,)]
+    assert list(out.dicts["s"].values) == ["a", "b", "c"]
+
+
+def test_pytree_roundtrip():
+    import jax
+    t = make_table(capacity=8)
+    leaves, treedef = jax.tree_util.tree_flatten(t)
+    t2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert t2.to_pylist() == t.to_pylist()
+    assert t2.schema == t.schema
