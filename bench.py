@@ -1,0 +1,113 @@
+"""Headline benchmark: full filter -> hash-join -> group-by -> sort pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
+ratio against a single-threaded NumPy implementation of the same pipeline
+on the host CPU — a stand-in for the reference's single-threaded columnar
+C++ engine until an empirical Supersonic build is benchmarked.
+Per-operator details go to stderr.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+FACT_ROWS = 8_000_000
+DIM_ROWS = 1_000_000
+GROUPS = 64
+
+
+def build_data():
+    rng = np.random.default_rng(42)
+    fact = {
+        "fk": rng.integers(0, DIM_ROWS, FACT_ROWS).astype(np.int32),
+        "v": rng.random(FACT_ROWS, dtype=np.float32),
+    }
+    dim = {
+        "pk": np.arange(DIM_ROWS, dtype=np.int32),
+        "g": rng.integers(0, GROUPS, DIM_ROWS).astype(np.int32),
+    }
+    return fact, dim
+
+
+def numpy_baseline(fact, dim):
+    t0 = time.perf_counter()
+    keep = fact["v"] > 0.5
+    fk = fact["fk"][keep]
+    v = fact["v"][keep]
+    g = dim["g"][fk]  # pk is arange => direct index join
+    sums = np.bincount(g, weights=v.astype(np.float64), minlength=GROUPS)
+    counts = np.bincount(g, minlength=GROUPS)
+    order = np.argsort(-sums, kind="stable")
+    _ = sums[order], counts[order]
+    return time.perf_counter() - t0
+
+
+def tpu_pipeline(fact, dim):
+    import jax
+
+    from supersonic_tpu import (AggSpec, Aggregation, Const, DataType, Filter,
+                                GroupAggregate, GroupAggregateOptions,
+                                HashJoin, JoinType, KeyUniqueness, Projector,
+                                ScanTable, Sort, SortKey, Table, TupleSchema,
+                                col)
+    from supersonic_tpu.ops.base import compile_plan
+
+    fact_t = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)), fact)
+    dim_t = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("g", DataType.INT32, False)), dim)
+    plan = Sort(
+        [SortKey("sv", ascending=False)],
+        GroupAggregate(
+            ["g"],
+            [AggSpec(Aggregation.SUM, "v", "sv",
+                     output_type=DataType.DOUBLE),
+             AggSpec(Aggregation.COUNT, None, "c")],
+            HashJoin(JoinType.INNER, ["fk"], ["pk"],
+                     Filter(col("v") > Const(0.5, DataType.FLOAT),
+                            ScanTable(fact_t)),
+                     ScanTable(dim_t), KeyUniqueness.UNIQUE,
+                     lhs_projector=Projector.named("v"),
+                     rhs_projector=Projector.named("g")),
+            GroupAggregateOptions(estimated_result_row_count=GROUPS),
+        ))
+    run, bound, leaves = compile_plan(plan)
+    jrun = jax.jit(run)
+    # warm up / compile
+    out, flags = jrun(leaves)
+    jax.block_until_ready(out.columns["sv"].values)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, flags = jrun(leaves)
+        jax.block_until_ready(out.columns["sv"].values)
+        times.append(time.perf_counter() - t0)
+    return min(times), out
+
+
+def main():
+    fact, dim = build_data()
+    base_s = numpy_baseline(fact, dim)
+    base_rows = FACT_ROWS / base_s
+    print(f"numpy baseline: {base_s*1e3:.1f} ms "
+          f"({base_rows/1e6:.1f} M rows/s)", file=sys.stderr)
+    tpu_s, out = tpu_pipeline(fact, dim)
+    tpu_rows = FACT_ROWS / tpu_s
+    print(f"tpu pipeline:  {tpu_s*1e3:.1f} ms "
+          f"({tpu_rows/1e6:.1f} M rows/s), groups={int(out.num_rows)}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "pipeline_rows_per_s",
+        "value": round(tpu_rows, 1),
+        "unit": "rows/s",
+        "vs_baseline": round(tpu_rows / base_rows, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

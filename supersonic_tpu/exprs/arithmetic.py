@@ -119,9 +119,10 @@ class _IntSafeDiv:
             zero = (b == 0)
             safe = jnp.where(zero, 1, b)
             q = jnp.where(zero, 0, a // safe)
-            # C++ truncates toward zero; jnp floors. Repair negative cases.
+            # C++ truncates toward zero; jnp floors. They differ (by one,
+            # toward zero) when operand signs differ and remainder != 0.
             r = a - q * safe
-            trunc_fix = (r != 0) & ((r < 0) != (safe < 0))
+            trunc_fix = (r != 0) & ((a < 0) != (safe < 0))
             return jnp.where(trunc_fix, q + 1, q), zero
         zero = (b == 0)
         return a / jnp.where(zero, 1.0, b), zero

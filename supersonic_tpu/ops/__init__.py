@@ -7,3 +7,8 @@ from .filter import Filter, compact_by_mask, compaction_indices
 from .limit import Limit
 from .generate import Generate
 from .coalesce import Coalesce
+from .sort import ExtendedSort, Sort, SortKey, SortOrder, sort_permutation
+from .aggregate import (AggregateClusters, Aggregation, AggregationSpecification,
+                        AggSpec, BestEffortGroupAggregate, GroupAggregate,
+                        GroupAggregateOptions, ScalarAggregate)
+from .hash_join import HashJoin, JoinType, KeyUniqueness

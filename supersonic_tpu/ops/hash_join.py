@@ -1,0 +1,248 @@
+"""Hash join (INNER, LEFT_OUTER; unique and multi-key rhs).
+
+Reference: cursor/core/hash_join.cc — build materializes the entire rhs
+into a RowHashSet keyed by the rhs key columns, skipping NULL keys
+(hash_join.cc:67-76, 604-625); probe walks per-query match lists and
+gathers both sides into the result (hash_join.cc:406-517, 759-806);
+LEFT_OUTER emits a NULL rhs row for unmatched queries and forces rhs
+output columns nullable (hash_join.cc:78-87, 582-584).
+
+TPU redesign (SURVEY.md §2.4): chained hash tables scatter randomly —
+hostile to a vector machine — so the build side is *sorted* by monotone
+key codes (ops/keys.py) and the probe is a vectorized lexicographic
+binary search (log2(build) dense gather rounds, all rows probed in
+parallel).  Equal-key runs give multi-match ranges; expansion uses a
+prefix-sum + searchsorted over output offsets.  Matches are emitted in
+(lhs row, rhs original order) — the reference's per-query match-list
+order; row order is deterministic.
+"""
+from __future__ import annotations
+
+import enum
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, Table, gather_table
+from ..schema import Attribute, SchemaError, TupleSchema
+from .base import BindContext, BoundOperation, Operation, RunContext
+from .keys import monotone_code
+from .project import Projector
+
+
+class JoinType(enum.Enum):
+    """reference: proto/supersonic.proto:77-83 (only INNER and LEFT_OUTER
+    are implemented, matching hash_join.h:37)."""
+
+    INNER = "INNER"
+    LEFT_OUTER = "LEFT_OUTER"
+
+
+class KeyUniqueness(enum.Enum):
+    UNIQUE = "UNIQUE"
+    NOT_UNIQUE = "NOT_UNIQUE"
+
+
+def _key_codes(table: Table, names: list[str]):
+    """(codes per key, any_null) — NULL keys never participate in matches."""
+    codes = []
+    any_null = jnp.zeros(table.capacity, dtype=jnp.bool_)
+    for n in names:
+        attr = table.schema.lookup(n)
+        c = table.columns[n]
+        codes.append(monotone_code(c.values, attr.type))
+        if c.valid is not None:
+            any_null = any_null | ~c.valid
+    return codes, any_null
+
+
+def _lex_lower_upper(build_codes: list[jnp.ndarray], build_n,
+                     probe_codes: list[jnp.ndarray]):
+    """Vectorized lexicographic lower/upper bound of each probe tuple in the
+    sorted build arrays.  Returns (lower, upper), each int32[probe_cap]."""
+    cap = build_codes[0].shape[0]
+    steps = max(1, math.ceil(math.log2(max(cap, 2))) + 1)
+    pshape = probe_codes[0].shape[0]
+
+    def tuple_cmp(mid):
+        safe = jnp.clip(mid, 0, cap - 1)
+        lt = jnp.zeros(pshape, dtype=jnp.bool_)
+        eq = jnp.ones(pshape, dtype=jnp.bool_)
+        for bc, pc in zip(build_codes, probe_codes):
+            bv = jnp.take(bc, safe)
+            lt = lt | (eq & (bv < pc))
+            eq = eq & (bv == pc)
+        return lt, eq
+
+    def search(le: bool):
+        # derive lo from the (possibly device-varying) probe codes so the
+        # fori_loop carry has consistent varying-axis type under shard_map
+        lo = (probe_codes[0] * 0).astype(jnp.int32)
+        hi = lo + build_n.astype(jnp.int32)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) // 2
+            lt, eq = tuple_cmp(mid)
+            go_right = (lt | eq) if le else lt
+            in_range = mid < hi
+            go_right = go_right & in_range
+            lo = jnp.where(go_right, mid + 1, lo)
+            hi = jnp.where(go_right | ~in_range, hi, mid)
+            return lo, hi
+
+        lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+        return lo
+
+    return search(False), search(True)
+
+
+class HashJoin(Operation):
+    """reference: HashJoinOperation (hash_join.h:35)."""
+
+    def __init__(self, join_type: JoinType,
+                 lhs_keys: Sequence[str], rhs_keys: Sequence[str],
+                 lhs: Operation, rhs: Operation,
+                 rhs_key_uniqueness: KeyUniqueness = KeyUniqueness.NOT_UNIQUE,
+                 lhs_projector: Optional[Projector] = None,
+                 rhs_projector: Optional[Projector] = None,
+                 out_capacity: Optional[int] = None):
+        if len(lhs_keys) != len(rhs_keys) or not lhs_keys:
+            raise SchemaError("join key lists must be equal-length, non-empty")
+        self.join_type = join_type
+        self.lhs_keys = list(lhs_keys)
+        self.rhs_keys = list(rhs_keys)
+        self.lhs = lhs
+        self.rhs = rhs
+        self.uniqueness = rhs_key_uniqueness
+        self.lhs_projector = lhs_projector or Projector.all()
+        self.rhs_projector = rhs_projector or Projector.all()
+        self.out_capacity = out_capacity
+
+    def bind(self, ctx: BindContext) -> BoundOperation:
+        lb = self.lhs.bind(ctx)
+        rb = self.rhs.bind(ctx)
+        lpairs = self.lhs_projector.resolve(lb.schema)
+        rpairs = self.rhs_projector.resolve(rb.schema)
+        left_outer = self.join_type == JoinType.LEFT_OUTER
+        attrs = []
+        for src, dst in lpairs:
+            a = lb.schema.lookup(src)
+            attrs.append(Attribute(dst, a.type, a.nullable, a.enum))
+        for src, dst in rpairs:
+            a = rb.schema.lookup(src)
+            # LEFT_OUTER forces rhs outputs nullable (hash_join.cc:78-87)
+            attrs.append(Attribute(dst, a.type, a.nullable or left_outer,
+                                   a.enum))
+        out_schema = TupleSchema(attrs)
+        out_dicts = {}
+        for src, dst in lpairs:
+            if src in lb.dicts:
+                out_dicts[dst] = lb.dicts[src]
+        for src, dst in rpairs:
+            if src in rb.dicts:
+                out_dicts[dst] = rb.dicts[src]
+        # key comparability: string keys must share dictionary space
+        for lk, rk in zip(self.lhs_keys, self.rhs_keys):
+            la, ra = lb.schema.lookup(lk), rb.schema.lookup(rk)
+            if (la.type != ra.type and not
+                    (la.type.value in ("INT32", "INT64", "UINT32", "UINT64")
+                     and ra.type.value in ("INT32", "INT64", "UINT32",
+                                           "UINT64"))):
+                raise SchemaError(f"join key type mismatch {la.type}/{ra.type}")
+        lhs_keys, rhs_keys = self.lhs_keys, self.rhs_keys
+        unique = self.uniqueness == KeyUniqueness.UNIQUE
+        # UNIQUE rhs bounds output by the probe side; NOT_UNIQUE has no
+        # static bound — default to lhs+rhs (overflow raises at execute).
+        if self.out_capacity:
+            out_cap = self.out_capacity
+        elif unique:
+            out_cap = lb.capacity
+        else:
+            out_cap = lb.capacity + rb.capacity
+        # string join keys: remap both sides into a merged dictionary so
+        # codes are directly comparable
+        remaps = []
+        from ..types import DataType
+        from ..dictionary import merge as dict_merge
+        for lk, rk in zip(lhs_keys, rhs_keys):
+            la = lb.schema.lookup(lk)
+            if la.type in (DataType.STRING, DataType.BINARY):
+                dl, dr = lb.dicts[lk], rb.dicts[rk]
+                if dl is dr:
+                    remaps.append(None)
+                else:
+                    _, ra_, rb_ = dict_merge(dl, dr)
+                    remaps.append((jnp.asarray(ra_), jnp.asarray(rb_)))
+            else:
+                remaps.append(None)
+
+        def fn(rctx: RunContext) -> Table:
+            lt = lb.run(rctx)
+            rt = rb.run(rctx)
+            bcodes, bnull = _key_codes(rt, rhs_keys)
+            pcodes, pnull = _key_codes(lt, lhs_keys)
+            for i, rm in enumerate(remaps):
+                if rm is not None:
+                    ra_, rb_ = rm
+                    pcodes[i] = jnp.take(ra_, jnp.clip(pcodes[i], 0,
+                                                       ra_.shape[0] - 1))
+                    bcodes[i] = jnp.take(rb_, jnp.clip(bcodes[i], 0,
+                                                       rb_.shape[0] - 1))
+            rcap, lcap = rt.capacity, lt.capacity
+            # --- build: sort non-null rhs keys (NULL/pad rows sort last and
+            # are excluded from the searched range) ---
+            binert = bnull | ~rt.row_mask()
+            rowid = jnp.arange(rcap, dtype=jnp.int32)
+            res = jax.lax.sort([binert.astype(jnp.int32)] + bcodes + [rowid],
+                               num_keys=1 + len(bcodes), is_stable=True)
+            build_perm = res[-1]
+            sorted_codes = list(res[1:-1])
+            build_n = jnp.sum((~binert).astype(jnp.int32))
+            # --- probe ---
+            lower, upper = _lex_lower_upper(sorted_codes, build_n, pcodes)
+            pinert = pnull | ~lt.row_mask()
+            count = jnp.where(pinert, 0, upper - lower)
+            if unique:
+                count = jnp.minimum(count, 1)
+            if left_outer:
+                eff = jnp.where(lt.row_mask(), jnp.maximum(count, 1), 0)
+            else:
+                eff = count
+            offsets = jnp.cumsum(eff.astype(jnp.int64))
+            total = offsets[-1]
+            rctx.error_flags.append(
+                ("join result overflow", total > out_cap))
+            # expansion: output j belongs to lhs row searchsorted(offsets, j)
+            out_pos = jnp.arange(out_cap, dtype=offsets.dtype)
+            qrow = jnp.searchsorted(offsets, out_pos, side="right")
+            qrow = jnp.clip(qrow, 0, lcap - 1).astype(jnp.int32)
+            base = offsets - eff  # start offset per lhs row
+            k = out_pos - jnp.take(base, qrow)
+            live_out = out_pos < jnp.minimum(total, out_cap)
+            has_match = jnp.take(count, qrow) > 0
+            bpos = jnp.take(lower, qrow) + k.astype(jnp.int32)
+            ridx = jnp.where(
+                has_match,
+                jnp.take(build_perm, jnp.clip(bpos, 0, rcap - 1)),
+                -1)
+            qidx = jnp.where(live_out, qrow, lcap)
+            ridx = jnp.where(live_out, ridx, -1)
+            n_out = jnp.minimum(total, out_cap)
+            # --- gather + stitch ---
+            lgath = gather_table(lt, qidx, n_out)
+            rgath = gather_table(rt, ridx, n_out, fill_invalid=left_outer)
+            cols = {}
+            for src, dst in lpairs:
+                cols[dst] = lgath.columns[src]
+            for src, dst in rpairs:
+                c = rgath.columns[src]
+                a = rb.schema.lookup(src)
+                if left_outer and c.valid is None:
+                    c = Column(c.values, jnp.ones(out_cap, dtype=jnp.bool_))
+                cols[dst] = c
+            return Table(out_schema, cols, n_out, out_dicts)
+
+        return BoundOperation(out_schema, out_dicts, fn, out_cap)

@@ -1,0 +1,82 @@
+"""Sortable/groupable key encoding.
+
+The reference sorts with per-type inlined comparators (sort.cc:150-161) and
+groups with per-type hash + equality functors (types_infrastructure.h).
+TPU redesign: every key column is mapped to a *monotone integer code* —
+signed-int order on the code equals the reference comparator order on the
+values — so multi-key sort becomes one ``lax.sort`` over code operands and
+grouping becomes code equality.  NULL ordering (NULL == NULL, NULL <
+non-NULL ascending; sort.cc:44-47) rides in a separate null-rank operand.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..batch import Column, Table
+from ..types import DataType
+
+
+def monotone_code(values: jnp.ndarray, type_: DataType) -> jnp.ndarray:
+    """Map a value array to a comparison-key array: ``lax.sort`` / ``<`` /
+    ``==`` on the code equal the reference comparator on the values.
+
+    Integers map to order-preserving signed ints.  Floats stay floats —
+    XLA sorts them with a total order natively on TPU, and any 64-bit
+    bitcast would hit the TPU x64 rewriter's unimplemented cases — with
+    -0.0 normalized to +0.0 so the two compare equal like C++ ``<``.
+    STRING/BINARY codes are already order-preserving (sorted dictionary).
+    """
+    if type_ in (DataType.FLOAT, DataType.DOUBLE):
+        return jnp.where(values == 0, jnp.zeros_like(values), values)
+    if type_ == DataType.UINT64:
+        # shift into signed range: subtract 2^63 (wrapping)
+        return (values + jnp.uint64(1 << 63)).astype(jnp.int64)
+    if type_ == DataType.UINT32:
+        return values.astype(jnp.int64)
+    if type_ == DataType.BOOL:
+        return values.astype(jnp.int32)
+    # signed ints, DATE/DATETIME, STRING/BINARY/ENUM codes: already ordered
+    return values
+
+
+def descending_code(code: jnp.ndarray) -> jnp.ndarray:
+    """Monotone-reversing transform (DESC keys): bitwise-not for ints,
+    negation for floats (NaNs keep sorting last either way, matching the
+    reference's unspecified NaN order under C++ ``<``)."""
+    if jnp.issubdtype(code.dtype, jnp.floating):
+        return -code
+    return ~code
+
+
+def key_operands(table: Table, names: list[str], ascendings: list[bool]):
+    """Build the lax.sort operand list for the given key columns.
+
+    Returns (operands, num_keys): [pad_rank] + per-key [null_rank, code].
+    Ascending signed order over the operand tuple == the reference's
+    multi-column comparator with NULL-first-ascending semantics; padding
+    rows always sort last.
+    """
+    cap = table.capacity
+    pad = (jnp.arange(cap) >= table.num_rows).astype(jnp.int32)
+    operands = [pad]
+    for name, asc in zip(names, ascendings):
+        attr = table.schema.lookup(name)
+        colm = table.columns[name]
+        code = monotone_code(colm.values, attr.type)
+        valid = colm.valid_or_true()
+        if asc:
+            null_rank = jnp.where(valid, 1, 0).astype(jnp.int32)  # NULL first
+        else:
+            null_rank = jnp.where(valid, 0, 1).astype(jnp.int32)  # NULL last
+            code = descending_code(code)
+        code = jnp.where(valid, code, jnp.zeros_like(code))
+        operands.extend([null_rank, code])
+    return operands, 1 + 2 * len(names)
+
+
+def group_code_columns(table: Table, names: list[str]):
+    """Per-key (code, null_rank) arrays for equality-based grouping.
+    Equal (code, null_rank) pairs == reference key equality (NULL == NULL)."""
+    ops, _ = key_operands(table, names, [True] * len(names))
+    return ops[1:]  # drop pad rank; caller masks padding itself

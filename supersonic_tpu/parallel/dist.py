@@ -1,0 +1,365 @@
+"""Distributed execution: hash-partitioned tables + ICI shuffle.
+
+This is the layer the reference explicitly anticipates but does not have
+(SURVEY.md §2.9, §5.8): Supersonic documents the pregroup -> shuffle ->
+combine contract (aggregate.h:233-246) and ships disk-spill exchange; on a
+TPU slice the exchange is ``lax.all_to_all`` over ICI inside ``shard_map``
+on a 1-D device mesh.
+
+Representation: a *distributed table* is an ordinary ``Table`` whose column
+leaves carry a leading partition dim [P, cap] and whose ``num_rows`` is an
+int32[P] vector, sharded P('x').  Inside ``shard_map`` each shard squeezes
+its [1, cap] block into a plain local Table and reuses the single-chip
+operators unchanged — one code path for 1..N chips.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..batch import Column, Table
+from ..ops.aggregate import (AggregationSpecification, AggSpec, Aggregation,
+                             GroupAggregate, GroupAggregateOptions)
+from ..ops.base import RunContext, bind_plan
+from ..ops.filter import compact_by_mask
+from ..ops.hash_join import HashJoin, JoinType, KeyUniqueness
+from ..ops.keys import group_code_columns, key_operands
+from ..ops.scan import ScanTable
+from ..ops.sort import Sort, SortOrder
+from ..schema import TupleSchema
+from .hashing import combine_hash, partition_of
+
+AXIS = "x"
+
+
+def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devs = jax.devices()[: (n_devices or len(jax.devices()))]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+# ---------------------------------------------------------------------------
+# distributed-table construction (host side)
+# ---------------------------------------------------------------------------
+
+def distribute_table(table: Table, mesh: Mesh,
+                     keys: Optional[Sequence[str]] = None,
+                     cap_per_shard: Optional[int] = None) -> Table:
+    """Split a host Table into P row partitions (round-robin, or by key
+    hash when ``keys`` given) and shard it over the mesh."""
+    P_ = mesh.devices.size
+    n = int(table.num_rows)
+    if keys:
+        codes = group_code_columns(table, list(keys))
+        h = combine_hash(codes[1::2], codes[0::2])
+        dest = np.asarray(partition_of(h, P_))[:n]
+    else:
+        dest = np.arange(n, dtype=np.int32) % P_
+    cap = cap_per_shard or max(1, -(-table.capacity // P_) * 2)
+    counts = np.bincount(dest, minlength=P_)
+    if counts.max(initial=0) > cap:
+        cap = int(counts.max())
+    cols = {}
+    order = np.argsort(dest, kind="stable")
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    for name in table.schema.names():
+        c = table.columns[name]
+        vals = np.asarray(c.values)[:n]
+        stacked = np.zeros((P_, cap), dtype=vals.dtype)
+        for p in range(P_):
+            sel = order[offs[p]:offs[p + 1]]
+            stacked[p, : len(sel)] = vals[sel]
+        valid = None
+        if c.valid is not None:
+            v = np.asarray(c.valid)[:n]
+            sv = np.zeros((P_, cap), dtype=bool)
+            for p in range(P_):
+                sel = order[offs[p]:offs[p + 1]]
+                sv[p, : len(sel)] = v[sel]
+            valid = jax.device_put(
+                sv, NamedSharding(mesh, P(AXIS, None)))
+        cols[name] = Column(
+            jax.device_put(stacked, NamedSharding(mesh, P(AXIS, None))),
+            valid)
+    num_rows = jax.device_put(counts.astype(np.int32),
+                              NamedSharding(mesh, P(AXIS)))
+    return Table(table.schema, cols, num_rows, dict(table.dicts),
+                 cap_hint=cap)
+
+
+def collect_table(dist: Table) -> Table:
+    """Gather a distributed table back to one host Table (debug/test)."""
+    from ..batch import concat_tables
+    P_ = dist.columns[dist.schema.names()[0]].values.shape[0] \
+        if len(dist.schema) else dist.num_rows.shape[0]
+    parts = []
+    counts = np.asarray(dist.num_rows)
+    for p in range(P_):
+        cols = {}
+        for name in dist.schema.names():
+            c = dist.columns[name]
+            cols[name] = Column(
+                jnp.asarray(np.asarray(c.values)[p]),
+                None if c.valid is None
+                else jnp.asarray(np.asarray(c.valid)[p]))
+        parts.append(Table(dist.schema, cols, int(counts[p]),
+                           dict(dist.dicts)))
+    return concat_tables(parts)
+
+
+# ---------------------------------------------------------------------------
+# shard_map plumbing
+# ---------------------------------------------------------------------------
+
+def _local_view(dist: Table) -> Table:
+    """Inside shard_map: [1, cap] leaves -> local [cap] Table."""
+    cols = {n: Column(c.values[0],
+                      None if c.valid is None else c.valid[0])
+            for n, c in dist.columns.items()}
+    return Table(dist.schema, cols, dist.num_rows[0], dict(dist.dicts),
+                 cap_hint=dist._cap_hint)
+
+
+def _stack_local(table: Table) -> Table:
+    """Inside shard_map: local [cap] Table -> [1, cap] leaves."""
+    cols = {n: Column(c.values[None],
+                      None if c.valid is None else c.valid[None])
+            for n, c in table.columns.items()}
+    num = jnp.reshape(table.num_rows, (1,)).astype(jnp.int32)
+    return Table(table.schema, cols, num, dict(table.dicts),
+                 cap_hint=table.capacity)
+
+
+def dist_map(mesh: Mesh, fn: Callable[..., Table], *dist_tables: Table) -> Table:
+    """Apply a local-table function per shard (embarrassingly parallel ops:
+    filter/project/compute/local pregroup)."""
+
+    def wrapper(*blocks):
+        locals_ = [_local_view(b) for b in blocks]
+        return _stack_local(fn(*locals_))
+
+    specs = P(AXIS)
+    return jax.shard_map(
+        wrapper, mesh=mesh,
+        in_specs=tuple(P(AXIS) for _ in dist_tables),
+        out_specs=P(AXIS))(*dist_tables)
+
+
+def run_local_plan(plan_builder: Callable[[Table], "object"],
+                   table: Table) -> Table:
+    """Build + run a single-chip plan against one local table (traced)."""
+    plan = plan_builder(table)
+    bound, leaves = bind_plan(plan)
+    ctx = RunContext(leaves)
+    return bound.run(ctx)
+
+
+# ---------------------------------------------------------------------------
+# the exchange: per-destination compaction + all_to_all over ICI
+# ---------------------------------------------------------------------------
+
+def _exchange_local(local: Table, dest: jnp.ndarray, num_parts: int,
+                    out_cap_per_peer: int) -> Table:
+    """Inside shard_map: route rows of the local table to destinations.
+
+    Radix shuffle (SURVEY.md §5.8): rows are sorted by destination (one
+    stable sort), sliced into per-destination send buffers with prefix-sum
+    offsets, exchanged with ``all_to_all``, then compacted on the receive
+    side.  Returns the received local table.
+    """
+    cap = local.capacity
+    live = local.row_mask()
+    dest = jnp.where(live, dest, num_parts)
+    rowid = jnp.arange(cap, dtype=jnp.int32)
+    sorted_dest, perm = jax.lax.sort([dest, rowid], num_keys=1,
+                                     is_stable=True)
+    counts = jnp.bincount(jnp.where(live, dest, num_parts),
+                          length=num_parts + 1)[:num_parts].astype(jnp.int32)
+    offsets = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+    k = jnp.arange(out_cap_per_peer, dtype=jnp.int32)
+    send_pos = offsets[:, None] + k[None, :]              # [P, out_cap]
+    send_valid = k[None, :] < counts[:, None]
+    send_idx = jnp.take(perm, jnp.clip(send_pos, 0, cap - 1))
+    # overflow rows beyond out_cap_per_peer are dropped; counts are clamped
+    sent_counts = jnp.minimum(counts, out_cap_per_peer)
+
+    def a2a(x):
+        return jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0,
+                                  tiled=False)
+
+    recv_counts = a2a(sent_counts.reshape(num_parts, 1)).reshape(num_parts)
+    cols = {}
+    recv_valid_mask = (k[None, :] < recv_counts[:, None]).reshape(-1)
+    for name in local.schema.names():
+        c = local.columns[name]
+        send_vals = jnp.take(c.values, send_idx)          # [P, out_cap]
+        rv = a2a(send_vals).reshape(-1)                   # [P*out_cap]
+        valid = None
+        if c.valid is not None:
+            send_v = jnp.take(c.valid, send_idx) & send_valid
+            valid = a2a(send_v).reshape(-1) & recv_valid_mask
+        cols[name] = Column(rv, valid)
+    total = jnp.sum(recv_counts)
+    flat_cap = num_parts * out_cap_per_peer
+    recv = Table(local.schema, cols, total, dict(local.dicts),
+                 cap_hint=flat_cap)
+    # compact interleaved per-source padding into a dense prefix
+    return compact_by_mask(recv, recv_valid_mask, flat_cap)
+
+
+def shuffle(mesh: Mesh, dist: Table, dest_fn: Callable[[Table], jnp.ndarray],
+            out_cap_per_peer: int) -> Table:
+    """Distributed radix shuffle: dest_fn gives each local row a partition."""
+    num_parts = mesh.devices.size
+
+    def wrapper(block):
+        local = _local_view(block)
+        dest = dest_fn(local)
+        return _stack_local(
+            _exchange_local(local, dest, num_parts, out_cap_per_peer))
+
+    return jax.shard_map(wrapper, mesh=mesh, in_specs=P(AXIS),
+                         out_specs=P(AXIS))(dist)
+
+
+def _key_dest_fn(names: list[str], num_parts: int):
+    def dest(local: Table) -> jnp.ndarray:
+        codes = group_code_columns(local, names)
+        h = combine_hash(codes[1::2], codes[0::2])
+        return partition_of(h, num_parts)
+    return dest
+
+
+# ---------------------------------------------------------------------------
+# distributed operators
+# ---------------------------------------------------------------------------
+
+def combine_specification(spec: AggregationSpecification,
+                          ) -> AggregationSpecification:
+    """Partial-aggregate merge algebra (reference: aggregate_groups.cc:
+    545-553 — COUNT combines via SUM; MIN/MAX idempotent; SUM associative;
+    FIRST/LAST partition-order-defined)."""
+    out = AggregationSpecification()
+    for s in spec.specs:
+        agg = s.aggregation
+        if agg == Aggregation.COUNT:
+            out.add(AggSpec(Aggregation.SUM, s.output, s.output,
+                            s.output_type or None))
+        else:
+            out.add(AggSpec(agg, s.output, s.output, s.output_type))
+    return out
+
+
+def dist_group_aggregate(mesh: Mesh, dist: Table, group_by: Sequence[str],
+                         spec, options: GroupAggregateOptions | None = None,
+                         out_cap_per_peer: Optional[int] = None) -> Table:
+    """pregroup -> shuffle by key hash -> final combine
+    (the BestEffortGroupAggregate distributed contract,
+    aggregate.h:233-246)."""
+    if not isinstance(spec, AggregationSpecification):
+        spec = AggregationSpecification(spec)
+    options = options or GroupAggregateOptions()
+    num_parts = mesh.devices.size
+    names = list(group_by)
+    has_distinct = any(s.distinct for s in spec.specs)
+
+    if has_distinct:
+        # raw shuffle then exact local aggregate (distinct can't pre-merge)
+        shuffled = shuffle(mesh, dist, _key_dest_fn(names, num_parts),
+                           out_cap_per_peer or dist._cap_hint or 1024)
+        return dist_map(
+            mesh,
+            lambda t: run_local_plan(
+                lambda tt: GroupAggregate(names, spec, ScanTable(tt), options),
+                t),
+            shuffled)
+
+    pre = dist_map(
+        mesh,
+        lambda t: run_local_plan(
+            lambda tt: GroupAggregate(names, spec, ScanTable(tt), options),
+            t),
+        dist)
+    peer_cap = out_cap_per_peer or pre._cap_hint or 1024
+    shuffled = shuffle(mesh, pre, _key_dest_fn(names, num_parts), peer_cap)
+    final_spec = combine_specification(spec)
+    return dist_map(
+        mesh,
+        lambda t: run_local_plan(
+            lambda tt: GroupAggregate(names, final_spec, ScanTable(tt),
+                                      options),
+            t),
+        shuffled)
+
+
+def dist_hash_join(mesh: Mesh, join_type: JoinType,
+                   lhs_keys: Sequence[str], rhs_keys: Sequence[str],
+                   lhs: Table, rhs: Table,
+                   rhs_key_uniqueness=KeyUniqueness.NOT_UNIQUE,
+                   out_cap_per_peer: Optional[int] = None,
+                   **join_kwargs) -> Table:
+    """Partition both sides by key hash over ICI, then join locally
+    (SURVEY.md §3.3 TPU mapping)."""
+    num_parts = mesh.devices.size
+    lcap = out_cap_per_peer or (lhs._cap_hint or 1024)
+    rcap = out_cap_per_peer or (rhs._cap_hint or 1024)
+    lsh = shuffle(mesh, lhs, _key_dest_fn(list(lhs_keys), num_parts), lcap)
+    rsh = shuffle(mesh, rhs, _key_dest_fn(list(rhs_keys), num_parts), rcap)
+
+    def local_join(lt: Table, rt: Table) -> Table:
+        plan = HashJoin(join_type, list(lhs_keys), list(rhs_keys),
+                        ScanTable(lt), ScanTable(rt), rhs_key_uniqueness,
+                        **join_kwargs)
+        bound, leaves = bind_plan(plan)
+        return bound.run(RunContext(leaves))
+
+    return dist_map(mesh, local_join, lsh, rsh)
+
+
+def dist_sort(mesh: Mesh, dist: Table, order, samples_per_shard: int = 64,
+              out_cap_per_peer: Optional[int] = None) -> Table:
+    """Distributed sample sort: sample keys -> all_gather -> splitters ->
+    range shuffle -> local sort.  Result is globally sorted in shard-major
+    order (shard p holds keys <= shard p+1's)."""
+    order = order if isinstance(order, SortOrder) else SortOrder(order)
+    num_parts = mesh.devices.size
+    names, ascs = order.names(), order.ascendings()
+    peer_cap = out_cap_per_peer or dist._cap_hint or 1024
+
+    def dest_fn(local: Table) -> jnp.ndarray:
+        ops, nk = key_operands(local, names, ascs)
+        cap = local.capacity
+        # local sort of key tuples to draw evenly-spaced samples
+        sorted_ops = jax.lax.sort(ops, num_keys=nk, is_stable=False)
+        n = jnp.maximum(local.num_rows, 1)
+        take_at = (jnp.arange(samples_per_shard) * n) // samples_per_shard
+        take_at = jnp.clip(take_at, 0, cap - 1).astype(jnp.int32)
+        samples = [jnp.take(o, take_at) for o in sorted_ops]
+        gathered = [jax.lax.all_gather(s, AXIS, tiled=True) for s in samples]
+        g_sorted = jax.lax.sort(gathered, num_keys=len(gathered),
+                                is_stable=False)
+        total = num_parts * samples_per_shard
+        split_at = (jnp.arange(1, num_parts) * total) // num_parts
+        splitters = [jnp.take(g, split_at) for g in g_sorted]
+        # dest = number of splitters strictly less than the row's key tuple
+        dest = jnp.zeros(cap, dtype=jnp.int32)
+        for i in range(num_parts - 1):
+            lt = jnp.zeros(cap, dtype=jnp.bool_)
+            eq = jnp.ones(cap, dtype=jnp.bool_)
+            for s, o in zip(splitters, ops):
+                sv = s[i]
+                lt = lt | (eq & (sv < o))
+                eq = eq & (sv == o)
+            dest = dest + lt.astype(jnp.int32)
+        return dest
+
+    shuffled = shuffle(mesh, dist, dest_fn, peer_cap)
+    return dist_map(
+        mesh,
+        lambda t: run_local_plan(lambda tt: Sort(order, ScanTable(tt)), t),
+        shuffled)

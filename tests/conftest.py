@@ -15,4 +15,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon plugin force-selects "axon,cpu" regardless of JAX_PLATFORMS;
+# override after import (backends are not yet initialized here).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,113 @@
+"""Distributed execution tests on an emulated 8-device CPU mesh
+(SURVEY.md §4.6: the multi-chip analogue of the reference's test harness).
+Each distributed result is compared against the single-chip operator on the
+same data."""
+import numpy as np
+import pytest
+
+import jax
+
+from supersonic_tpu import (AggSpec, Aggregation, DataType, GroupAggregate,
+                            HashJoin, JoinType, KeyUniqueness, ScanTable,
+                            Sort, Table, TupleSchema, execute)
+from supersonic_tpu.parallel import (collect_table, dist_group_aggregate,
+                                     dist_hash_join, dist_map, dist_sort,
+                                     distribute_table, make_mesh,
+                                     run_local_plan, shuffle)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device mesh")
+
+
+def make_tables(n=200, m=40, seed=0):
+    rng = np.random.default_rng(seed)
+    fact = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT64, False),
+                       ("v", DataType.INT64, False)),
+        {"fk": rng.integers(0, m, n), "v": rng.integers(0, 100, n)})
+    dim = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT64, False),
+                       ("g", DataType.INT64, False)),
+        {"pk": np.arange(m), "g": rng.integers(0, 5, m)})
+    return fact, dim
+
+
+def test_distribute_collect_roundtrip():
+    mesh = make_mesh()
+    fact, _ = make_tables()
+    dist = distribute_table(fact, mesh)
+    back = collect_table(dist)
+    assert sorted(back.to_pylist()) == sorted(fact.to_pylist())
+
+
+def test_dist_group_aggregate_matches_local():
+    mesh = make_mesh()
+    fact, _ = make_tables()
+    spec = [AggSpec(Aggregation.SUM, "v", "sv"),
+            AggSpec(Aggregation.COUNT, None, "c"),
+            AggSpec(Aggregation.MIN, "v", "mn"),
+            AggSpec(Aggregation.MAX, "v", "mx")]
+    expected = execute(GroupAggregate(["fk"], spec, ScanTable(fact)))
+    dist = distribute_table(fact, mesh)
+    got = collect_table(dist_group_aggregate(mesh, dist, ["fk"], spec,
+                                             out_cap_per_peer=256))
+    assert sorted(got.to_pylist()) == sorted(expected.to_pylist())
+
+
+def test_dist_hash_join_matches_local():
+    mesh = make_mesh()
+    fact, dim = make_tables()
+    expected = execute(HashJoin(JoinType.INNER, ["fk"], ["pk"],
+                                ScanTable(fact), ScanTable(dim),
+                                KeyUniqueness.UNIQUE))
+    dfact = distribute_table(fact, mesh)
+    ddim = distribute_table(dim, mesh)
+    got = collect_table(dist_hash_join(
+        mesh, JoinType.INNER, ["fk"], ["pk"], dfact, ddim,
+        KeyUniqueness.UNIQUE, out_cap_per_peer=256))
+    assert sorted(got.to_pylist()) == sorted(expected.to_pylist())
+
+
+def test_dist_sort_globally_sorted():
+    mesh = make_mesh()
+    fact, _ = make_tables()
+    expected = execute(Sort(["v"], ScanTable(fact)))
+    dist = distribute_table(fact, mesh)
+    out = dist_sort(mesh, dist, ["v"], out_cap_per_peer=256)
+    got = collect_table(out)
+    # collect_table concatenates shards in mesh order => globally sorted
+    assert [r[1] for r in got.to_pylist()] == \
+        [r[1] for r in expected.to_pylist()]
+
+
+def test_shuffle_preserves_rows():
+    mesh = make_mesh()
+    fact, _ = make_tables(n=64)
+    dist = distribute_table(fact, mesh)
+    P = mesh.devices.size
+
+    def dest_fn(local):
+        return (local.columns["fk"].values % P).astype(np.int32)
+
+    got = collect_table(shuffle(mesh, dist, dest_fn, 64))
+    assert sorted(got.to_pylist()) == sorted(fact.to_pylist())
+
+
+def test_left_outer_dist_join():
+    mesh = make_mesh()
+    rng = np.random.default_rng(3)
+    lhs = Table.from_data(
+        TupleSchema.of(("k", DataType.INT64, False),), {"k": [1, 2, 99]})
+    rhs = Table.from_data(
+        TupleSchema.of(("k2", DataType.INT64, False),
+                       ("w", DataType.INT64, False)),
+        {"k2": [1, 2, 3], "w": [10, 20, 30]})
+    expected = execute(HashJoin(JoinType.LEFT_OUTER, ["k"], ["k2"],
+                                ScanTable(lhs), ScanTable(rhs),
+                                KeyUniqueness.UNIQUE))
+    got = collect_table(dist_hash_join(
+        mesh, JoinType.LEFT_OUTER, ["k"], ["k2"],
+        distribute_table(lhs, mesh), distribute_table(rhs, mesh),
+        KeyUniqueness.UNIQUE, out_cap_per_peer=32))
+    assert sorted(got.to_pylist(), key=str) == \
+        sorted(expected.to_pylist(), key=str)
