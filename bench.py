@@ -77,17 +77,50 @@ def tpu_pipeline(fact, dim):
             GroupAggregateOptions(estimated_result_row_count=GROUPS),
         ))
     run, bound, leaves = compile_plan(plan)
-    jrun = jax.jit(run)
-    # warm up / compile
-    out, flags = jrun(leaves)
-    jax.block_until_ready(out.columns["sv"].values)
+    import jax.numpy as jnp
+
+    # This terminal tunnels TPU dispatch; block_until_ready returns before
+    # the device finishes, and each dispatch costs ~25ms RPC.  So: chain
+    # ITERS executions inside one jit via a data-dependent carry (can't be
+    # hoisted), force one host read-back, and subtract the measured RPC
+    # round-trip overhead.
+    ITERS = 8
+
+    def chained(leaves):
+        fact_t = leaves[0]
+
+        def body(carry, _):
+            vcol = fact_t.columns["v"]
+            perturbed = Table(
+                fact_t.schema,
+                {**fact_t.columns,
+                 "v": vcol._replace(values=vcol.values + carry)},
+                fact_t.num_rows, fact_t.dicts)
+            out, flags = run([perturbed] + leaves[1:])
+            return (out.columns["sv"].values[0] * 0).astype(jnp.float32), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
+        return c
+
+    jrun = jax.jit(chained)
+    np.asarray(jrun(leaves))  # warm up / compile
+
+    noop = jax.jit(lambda x: x + 1)
+    np.asarray(noop(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(noop(jnp.float32(0)))
+    rpc_overhead = (time.perf_counter() - t0) / 3
+
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        out, flags = jrun(leaves)
-        jax.block_until_ready(out.columns["sv"].values)
+        np.asarray(jrun(leaves))
         times.append(time.perf_counter() - t0)
-    return min(times), out
+    per_iter = max((min(times) - rpc_overhead) / ITERS, 1e-9)
+    # one plain run for the result table
+    out, _flags = jax.jit(run)(leaves)
+    return per_iter, out
 
 
 def main():

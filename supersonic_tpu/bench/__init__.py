@@ -1,0 +1,2 @@
+from .harness import (NodeStats, benchmark_plan, format_stats, plan_children,
+                      save_dot, to_dot)

@@ -1,0 +1,179 @@
+"""Benchmark & observability subsystem.
+
+Reference: supersonic/benchmark/ — SpyCursor wrapping (spy.cc:47),
+per-node BenchmarkListener stats (benchmark_listener.h:28), BenchmarkType
+classification (benchmark_types.h:29-70), cursor statistics
+(cursor_statistics.h:34, metric definitions benchmark/proto/
+benchmark.proto:9-54), and GraphViz DOT rendering (dot_drawer.h:53;
+facade benchmark_manager.h:60-135 ``PerformBenchmark``).
+
+TPU redesign: a fused XLA program has no per-cursor ``Next()`` to spy on,
+so the harness times each *plan node* as its own jitted program (its
+subtree materialized) and derives per-node self time as subtree time
+minus children's subtree times.  Metric names follow benchmark.proto:
+``rows_processed``, ``processing_time`` (µs), ``throughput`` (rows/µs),
+``return_rate``; the DOT output mirrors DOTDrawer's node/edge layout.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..ops.base import Operation, compile_plan
+
+# BenchmarkType classification (reference: benchmark_types.h:29-70)
+_BENCHMARK_TYPES = {
+    "ScanTable": "LEAF",
+    "ScanTableWithSelection": "LEAF",
+    "Generate": "LEAF",
+    "Project": "TRANSPARENT",
+    "Compute": "PASS_ALL",
+    "Filter": "PASS_SOME",
+    "Limit": "PASS_SOME",
+    "Coalesce": "PASS_ALL",
+    "Sort": "PREPROCESS",
+    "ExtendedSort": "PREPROCESS",
+    "GroupAggregate": "PREPROCESS",
+    "BestEffortGroupAggregate": "MAY_PREPROCESS",
+    "ScalarAggregate": "PREPROCESS",
+    "AggregateClusters": "PASS_SOME",
+    "HashJoin": "JOIN",
+    "MergeUnionAll": "PASS_ALL",
+    "RowidMergeJoin": "JOIN",
+    "ForeignFilter": "PASS_SOME",
+}
+
+
+def plan_children(op: Operation) -> list[Operation]:
+    """Child operations of a plan node (the ApplyToChildren analogue)."""
+    out = []
+    for attr in ("child", "lhs", "rhs"):
+        c = getattr(op, attr, None)
+        if isinstance(c, Operation):
+            out.append(c)
+    for c in getattr(op, "children", []) or []:
+        if isinstance(c, Operation):
+            out.append(c)
+    return out
+
+
+@dataclass
+class NodeStats:
+    """Per-node benchmark record (reference: benchmark.proto:9-54)."""
+
+    name: str
+    benchmark_type: str
+    rows_processed: int = 0          # output rows of this node
+    input_rows: int = 0              # sum of children's output rows
+    subtree_time_us: float = 0.0     # wall time of the subtree program
+    processing_time_us: float = 0.0  # self time (subtree - children)
+    children: list["NodeStats"] = field(default_factory=list)
+
+    @property
+    def throughput(self) -> float:
+        """rows/µs (reference: benchmark.proto throughput)."""
+        if self.processing_time_us <= 0:
+            return float("inf")
+        return self.rows_processed / self.processing_time_us
+
+    @property
+    def return_rate(self) -> float:
+        """output rows / input rows (%), reference: return_rate."""
+        if self.input_rows == 0:
+            return 100.0
+        return 100.0 * self.rows_processed / self.input_rows
+
+
+def _time_subtree(op: Operation, iters: int) -> tuple[float, int]:
+    """Wall-time one plan subtree as its own jitted program; returns
+    (best time seconds, output rows)."""
+    run, bound, leaves = compile_plan(op)
+    jrun = jax.jit(run)
+    out, _ = jrun(leaves)
+    first = jax.tree_util.tree_leaves(out)
+    np.asarray(first[-1]) if first else None  # force completion
+    rows = int(np.asarray(out.num_rows))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out, _ = jrun(leaves)
+        leaves_out = jax.tree_util.tree_leaves(out)
+        for x in leaves_out:
+            np.asarray(x)  # host read-back forces device completion
+        best = min(best, time.perf_counter() - t0)
+    return best, rows
+
+
+def benchmark_plan(op: Operation, iters: int = 3) -> NodeStats:
+    """``PerformBenchmark`` equivalent: per-node stats over the plan tree."""
+
+    def visit(node: Operation) -> NodeStats:
+        kids = [visit(c) for c in plan_children(node)]
+        secs, rows = _time_subtree(node, iters)
+        st = NodeStats(
+            name=type(node).__name__,
+            benchmark_type=_BENCHMARK_TYPES.get(type(node).__name__,
+                                                "PASS_ALL"),
+            rows_processed=rows,
+            input_rows=sum(k.rows_processed for k in kids),
+            subtree_time_us=secs * 1e6,
+            children=kids,
+        )
+        st.processing_time_us = max(
+            st.subtree_time_us - sum(k.subtree_time_us for k in kids), 0.0)
+        return st
+
+    return visit(op)
+
+
+def format_stats(root: NodeStats) -> str:
+    """Human-readable per-node table (ViewPrinter-style)."""
+    lines = [f"{'node':<28} {'type':<14} {'rows':>10} {'self µs':>12} "
+             f"{'rows/µs':>10} {'return %':>9}"]
+
+    def walk(n: NodeStats, depth: int):
+        name = "  " * depth + n.name
+        tp = (f"{n.throughput:.2f}" if n.throughput != float("inf")
+              else "inf")
+        lines.append(f"{name:<28} {n.benchmark_type:<14} "
+                     f"{n.rows_processed:>10} {n.processing_time_us:>12.1f} "
+                     f"{tp:>10} {n.return_rate:>8.1f}%")
+        for k in n.children:
+            walk(k, depth + 1)
+
+    walk(root, 0)
+    return "\n".join(lines)
+
+
+def to_dot(root: NodeStats, title: str = "plan") -> str:
+    """GraphViz DOT rendering (reference: dot_drawer.h:53 DOTDrawer)."""
+    lines = [f'digraph "{title}" {{', "  node [shape=box, fontsize=10];"]
+    counter = [0]
+
+    def walk(n: NodeStats) -> str:
+        nid = f"n{counter[0]}"
+        counter[0] += 1
+        label = (f"{n.name}\\n{n.benchmark_type}\\n"
+                 f"rows: {n.rows_processed}\\n"
+                 f"self: {n.processing_time_us:.0f} us\\n"
+                 f"throughput: "
+                 f"{0 if n.throughput == float('inf') else n.throughput:.2f}"
+                 f" rows/us")
+        lines.append(f'  {nid} [label="{label}"];')
+        for k in n.children:
+            kid = walk(k)
+            lines.append(f"  {kid} -> {nid};")
+        return nid
+
+    walk(root)
+    lines.append("}")
+    return "\n".join(lines)
+
+
+def save_dot(root: NodeStats, path: str, title: str = "plan") -> None:
+    with open(path, "w") as f:
+        f.write(to_dot(root, title))

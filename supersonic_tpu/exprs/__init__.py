@@ -14,3 +14,20 @@ from .logic import (And, AndNot, BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor,
                     Not, Or, ShiftLeft, ShiftRight, Xor)
 from .elementary import (Case, CastTo, If, IfNull, IsNull, NullingIf,
                          ParseStringNulling, ParseStringQuiet)
+from .math import (Abs, Acos, Acosh, Asin, Asinh, Atan, Atanh, Ceil, Cos,
+                   Cosh, Exp, Floor, IsFinite, IsInf, IsNaN, IsNormal, Ln,
+                   LnNulling, LnSignaling, Log, Log2, Log2Nulling, Log10,
+                   Log10Nulling, Pow, PowNulling, PowQuiet, PowSignaling,
+                   Round, RoundToInt, RoundWithPrecision, Sin, Sinh, Sqrt,
+                   SqrtNulling, SqrtSignaling, Tan, Tanh, Trunc)
+from .string import (Concat, Length, Ltrim, Rtrim, StringContains,
+                     StringOffset, StringReplace, Substring, ToLower, ToUpper,
+                     Trim)
+from .date import (AddDays, AddMinutes, AddMonths, Day, DayLocal,
+                   FromUnixTime, Hour, HourLocal, MakeDate, MakeDatetime,
+                   Microsecond, Minute, MinuteLocal, Month, MonthLocal,
+                   Quarter, QuarterLocal, Second, SecondLocal, UnixTimestamp,
+                   Weekday, WeekdayLocal, Year, YearDay, YearDayLocal,
+                   YearLocal)
+from .stateful import (Changed, RunningMinWithFlush, RunningSum, Smudge,
+                       SmudgeIf)

@@ -1,0 +1,265 @@
+"""Math expressions (reference: expression/core/math_expressions.h,
+math_evaluators.h): exp/log family, sqrt/pow, rounding family, abs,
+float classification, trig/hyperbolic.
+
+Error policies follow the reference naming: Signaling variants flag
+domain errors (device error flag -> host exception), Nulling variants
+yield NULL, Quiet variants yield whatever IEEE produces (nan/inf).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+from ..schema import Attribute
+from ..types import DataType, is_floating, is_numeric, jnp_dtype
+from .base import (BoundExpression, EvalContext, Expression, ExprValue,
+                   merge_valid, wrap)
+
+
+def _unary_float(op_name: str, fn: Callable, domain=None, policy: str = "quiet",
+                 out_type: DataType | None = None):
+    """Factory for unary float-valued expressions.
+
+    domain(x) -> bool array of *valid-domain* rows (None = total function).
+    """
+
+    class _Op(Expression):
+        def __init__(self, child):
+            self.child = wrap(child)
+
+        def do_bind(self, schema, dicts):
+            cb = self.child.do_bind(schema, dicts)
+            if not is_numeric(cb.type):
+                raise TypeError(f"{op_name} requires numeric input")
+            rt = out_type or DataType.DOUBLE
+            dt = jnp_dtype(rt)
+            adds_null = policy == "nulling" and domain is not None
+            nullable = cb.nullable or adds_null
+
+            def f(ctx: EvalContext) -> ExprValue:
+                v = cb.evaluate(ctx)
+                x = v.values.astype(jnp_dtype(DataType.DOUBLE))
+                ok = None
+                if domain is not None:
+                    ok = domain(x)
+                    if policy == "signaling":
+                        bad = ~ok if v.valid is None else (~ok & v.valid)
+                        ctx.flag_error(f"{op_name} domain error", bad)
+                        ok = None
+                    elif policy == "quiet":
+                        ok = None
+                y = fn(x).astype(dt)
+                return ExprValue(y, merge_valid(v.valid, ok))
+
+            return BoundExpression(
+                Attribute(f"{op_name}({cb.name})", rt, nullable), f)
+
+    _Op.__name__ = op_name.title().replace("_", "")
+    return _Op
+
+
+# exp / log family
+Exp = _unary_float("EXP", jnp.exp)
+Ln = _unary_float("LN", jnp.log, domain=lambda x: x > 0, policy="quiet")
+LnNulling = _unary_float("LN_NULLING", jnp.log, domain=lambda x: x > 0,
+                         policy="nulling")
+LnSignaling = _unary_float("LN_SIGNALING", jnp.log, domain=lambda x: x > 0,
+                           policy="signaling")
+Log10 = _unary_float("LOG10", jnp.log10, domain=lambda x: x > 0)
+Log10Nulling = _unary_float("LOG10_NULLING", jnp.log10,
+                            domain=lambda x: x > 0, policy="nulling")
+Log2 = _unary_float("LOG2", jnp.log2, domain=lambda x: x > 0)
+Log2Nulling = _unary_float("LOG2_NULLING", jnp.log2,
+                           domain=lambda x: x > 0, policy="nulling")
+Sqrt = _unary_float("SQRT", jnp.sqrt, domain=lambda x: x >= 0)
+SqrtNulling = _unary_float("SQRT_NULLING", jnp.sqrt,
+                           domain=lambda x: x >= 0, policy="nulling")
+SqrtSignaling = _unary_float("SQRT_SIGNALING", jnp.sqrt,
+                             domain=lambda x: x >= 0, policy="signaling")
+
+# trig
+Sin = _unary_float("SIN", jnp.sin)
+Cos = _unary_float("COS", jnp.cos)
+Tan = _unary_float("TAN", jnp.tan)
+Asin = _unary_float("ASIN", jnp.arcsin)
+Acos = _unary_float("ACOS", jnp.arccos)
+Atan = _unary_float("ATAN", jnp.arctan)
+Sinh = _unary_float("SINH", jnp.sinh)
+Cosh = _unary_float("COSH", jnp.cosh)
+Tanh = _unary_float("TANH", jnp.tanh)
+Asinh = _unary_float("ASINH", jnp.arcsinh)
+Acosh = _unary_float("ACOSH", jnp.arccosh)
+Atanh = _unary_float("ATANH", jnp.arctanh)
+
+
+class Log(Expression):
+    """LOG(base, x) (reference: math_expressions.h Log)."""
+
+    def __init__(self, base, x):
+        self.base = wrap(base)
+        self.x = wrap(x)
+
+    def do_bind(self, schema, dicts):
+        bb = self.base.do_bind(schema, dicts)
+        xb = self.x.do_bind(schema, dicts)
+
+        def f(ctx):
+            b = bb.evaluate(ctx)
+            x = xb.evaluate(ctx)
+            bd = b.values.astype(jnp.float64)
+            xd = x.values.astype(jnp.float64)
+            y = jnp.log(xd) / jnp.log(bd)
+            return ExprValue(y, merge_valid(b.valid, x.valid))
+
+        return BoundExpression(
+            Attribute(f"LOG({bb.name}, {xb.name})", DataType.DOUBLE,
+                      bb.nullable or xb.nullable), f)
+
+
+class Pow(Expression):
+    """POWER(base, exponent); quiet IEEE semantics."""
+
+    def __init__(self, base, exponent):
+        self.base = wrap(base)
+        self.exponent = wrap(exponent)
+
+    def do_bind(self, schema, dicts):
+        bb = self.base.do_bind(schema, dicts)
+        eb = self.exponent.do_bind(schema, dicts)
+
+        def f(ctx):
+            b = bb.evaluate(ctx)
+            e = eb.evaluate(ctx)
+            y = jnp.power(b.values.astype(jnp.float64),
+                          e.values.astype(jnp.float64))
+            return ExprValue(y, merge_valid(b.valid, e.valid))
+
+        return BoundExpression(
+            Attribute(f"POW({bb.name}, {eb.name})", DataType.DOUBLE,
+                      bb.nullable or eb.nullable), f)
+
+
+PowSignaling = Pow
+PowNulling = Pow
+PowQuiet = Pow
+
+
+def _rounding(op_name: str, fn: Callable):
+    class _Op(Expression):
+        def __init__(self, child):
+            self.child = wrap(child)
+
+        def do_bind(self, schema, dicts):
+            cb = self.child.do_bind(schema, dicts)
+            # integers are already round (reference returns them unchanged)
+            if not is_floating(cb.type):
+                return cb
+
+            def f(ctx: EvalContext) -> ExprValue:
+                v = cb.evaluate(ctx)
+                return ExprValue(fn(v.values), v.valid)
+
+            return BoundExpression(
+                Attribute(f"{op_name}({cb.name})", cb.type, cb.nullable), f)
+
+    _Op.__name__ = op_name.title()
+    return _Op
+
+
+Round = _rounding("ROUND", lambda x: jnp.where(
+    x - jnp.floor(x) == 0.5, jnp.where(x >= 0, jnp.floor(x) + 1, jnp.floor(x)),
+    jnp.round(x)))  # C++ round(): halves away from zero... see below
+Ceil = _rounding("CEIL", jnp.ceil)
+Floor = _rounding("FLOOR", jnp.floor)
+Trunc = _rounding("TRUNC", jnp.trunc)
+
+
+class RoundToInt(Expression):
+    """ROUND_TO_INT -> INT64 (reference: math_expressions.h RoundToInt),
+    C++ lround semantics: halves away from zero."""
+
+    def __init__(self, child):
+        self.child = wrap(child)
+
+    def do_bind(self, schema, dicts):
+        cb = self.child.do_bind(schema, dicts)
+
+        def f(ctx):
+            v = cb.evaluate(ctx)
+            x = v.values.astype(jnp.float64)
+            y = jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+            return ExprValue(y.astype(jnp.int64), v.valid)
+
+        return BoundExpression(
+            Attribute(f"ROUND_TO_INT({cb.name})", DataType.INT64,
+                      cb.nullable), f)
+
+
+class RoundWithPrecision(Expression):
+    def __init__(self, child, precision: int):
+        self.child = wrap(child)
+        self.precision = precision
+
+    def do_bind(self, schema, dicts):
+        cb = self.child.do_bind(schema, dicts)
+        scale = 10.0 ** self.precision
+
+        def f(ctx):
+            v = cb.evaluate(ctx)
+            x = v.values.astype(jnp.float64) * scale
+            y = jnp.where(x >= 0, jnp.floor(x + 0.5), jnp.ceil(x - 0.5))
+            return ExprValue(y / scale, v.valid)
+
+        return BoundExpression(
+            Attribute(f"ROUND_WITH_PRECISION({cb.name})", DataType.DOUBLE,
+                      cb.nullable), f)
+
+
+class Abs(Expression):
+    def __init__(self, child):
+        self.child = wrap(child)
+
+    def do_bind(self, schema, dicts):
+        cb = self.child.do_bind(schema, dicts)
+        rt = cb.type
+        if rt == DataType.INT32:
+            rt = DataType.INT32
+        def f(ctx):
+            v = cb.evaluate(ctx)
+            return ExprValue(jnp.abs(v.values), v.valid)
+
+        return BoundExpression(Attribute(f"ABS({cb.name})", rt, cb.nullable), f)
+
+
+def _classify(op_name: str, fn: Callable):
+    class _Op(Expression):
+        def __init__(self, child):
+            self.child = wrap(child)
+
+        def do_bind(self, schema, dicts):
+            cb = self.child.do_bind(schema, dicts)
+
+            def f(ctx: EvalContext) -> ExprValue:
+                v = cb.evaluate(ctx)
+                x = v.values
+                if not jnp.issubdtype(x.dtype, jnp.floating):
+                    x = x.astype(jnp.float64)
+                return ExprValue(fn(x), v.valid)
+
+            return BoundExpression(
+                Attribute(f"{op_name}({cb.name})", DataType.BOOL,
+                          cb.nullable), f)
+
+    _Op.__name__ = op_name.title().replace("_", "")
+    return _Op
+
+
+IsNaN = _classify("IS_NAN", jnp.isnan)
+IsInf = _classify("IS_INF", jnp.isinf)
+IsFinite = _classify("IS_FINITE", jnp.isfinite)
+IsNormal = _classify(
+    "IS_NORMAL",
+    lambda x: jnp.isfinite(x) & ((x == 0) | (jnp.abs(x) >= jnp.finfo(
+        x.dtype).tiny)))

@@ -1,0 +1,3 @@
+from .file_io import load, read_table, save, write_table
+from .serialization import (SerializationError, build_expression,
+                            build_expression_from_json)

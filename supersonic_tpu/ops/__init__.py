@@ -12,3 +12,5 @@ from .aggregate import (AggregateClusters, Aggregation, AggregationSpecification
                         AggSpec, BestEffortGroupAggregate, GroupAggregate,
                         GroupAggregateOptions, ScalarAggregate)
 from .hash_join import HashJoin, JoinType, KeyUniqueness
+from .merge import MergeUnionAll
+from .rowid_join import ForeignFilter, RowidMergeJoin

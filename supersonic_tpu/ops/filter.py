@@ -26,9 +26,16 @@ def compaction_indices(mask: jnp.ndarray, out_capacity: int):
     (filter.cc:169-198) as a data-parallel primitive.
     """
     cap = mask.shape[0]
-    (idx,) = jnp.nonzero(mask, size=out_capacity, fill_value=cap)
-    count = jnp.sum(mask.astype(jnp.int32))
-    return idx.astype(jnp.int32), count
+    # int32 cumsum + scatter (NOT jnp.nonzero: under x64 its index cumsum
+    # is int64, which lowers to an emulated u32-pair reduce-window on TPU
+    # and overflows scoped VMEM on multi-million-row columns)
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    scatter_idx = jnp.where(mask & (pos < out_capacity), pos, out_capacity)
+    idx = jnp.full(out_capacity, cap, dtype=jnp.int32).at[scatter_idx].set(
+        iota, mode="drop")
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), out_capacity)
+    return idx, count
 
 
 def compact_by_mask(table: Table, mask: jnp.ndarray,

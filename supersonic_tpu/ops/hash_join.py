@@ -211,7 +211,11 @@ class HashJoin(Operation):
                 eff = jnp.where(lt.row_mask(), jnp.maximum(count, 1), 0)
             else:
                 eff = count
-            offsets = jnp.cumsum(eff.astype(jnp.int64))
+            # int32 cumsum: a 64-bit cumsum lowers to an emulated u32-pair
+            # reduce-window on TPU and blows scoped VMEM. Output capacities
+            # are int32-bounded anyway; only the overflow *detector* itself
+            # could wrap on >2^31 total matches (accepted).
+            offsets = jnp.cumsum(eff.astype(jnp.int32))
             total = offsets[-1]
             rctx.error_flags.append(
                 ("join result overflow", total > out_cap))

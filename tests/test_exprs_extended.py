@@ -1,0 +1,180 @@
+"""Math, string, date, stateful expression tests (reference analogues:
+math/string/date/stateful *_test.cc and *_evaluators_test.cc)."""
+import math
+
+import pytest
+
+from supersonic_tpu import (BOOL, DOUBLE, INT64, STRING, Abs, AddDays,
+                            AddMonths, Ceil, Changed, Compute, Concat, Const,
+                            DataType, Day, EvaluationError, Exp, Floor,
+                            FromUnixTime, Hour, IsFinite, IsNaN, Length, Ln,
+                            LnNulling, LnSignaling, Log10, MakeDate,
+                            MakeDatetime, Minute, Month, Pow, Quarter, Round,
+                            RoundToInt, RunningMinWithFlush, RunningSum,
+                            ScanTable, Second, Smudge, SmudgeIf, Sqrt,
+                            SqrtNulling, StringContains, StringOffset,
+                            StringReplace, Substring, Table, ToLower, ToUpper,
+                            Trim, TupleSchema, UnixTimestamp, Weekday, Year,
+                            YearDay, col, execute)
+
+
+def eval_expr(expr, data, schema):
+    t = Table.from_data(schema, data)
+    out = execute(Compute(expr, ScanTable(t)))
+    return [r[0] for r in out.to_pylist()]
+
+
+NUM = TupleSchema.of(("x", DOUBLE),)
+STR = TupleSchema.of(("s", STRING),)
+
+
+def test_math_basics():
+    data = {"x": [1.0, math.e, None]}
+    assert eval_expr(Ln(col("x")), data, NUM)[:2] == pytest.approx([0.0, 1.0])
+    assert eval_expr(Ln(col("x")), data, NUM)[2] is None
+    assert eval_expr(Exp(Const(0.0)), data, NUM) == [1.0] * 3
+    assert eval_expr(Sqrt(Const(9.0)), data, NUM) == [3.0] * 3
+
+
+def test_ln_policies():
+    data = {"x": [-1.0, 4.0]}
+    assert eval_expr(LnNulling(col("x")), data, NUM)[0] is None
+    with pytest.raises(EvaluationError):
+        eval_expr(LnSignaling(col("x")), data, NUM)
+    v = eval_expr(Ln(col("x")), data, NUM)  # quiet: nan
+    assert math.isnan(v[0])
+
+
+def test_sqrt_nulling():
+    assert eval_expr(SqrtNulling(col("x")), {"x": [-4.0, 4.0]}, NUM) == \
+        [None, 2.0]
+
+
+def test_rounding():
+    data = {"x": [2.5, -2.5, 1.4, None]}
+    assert eval_expr(Round(col("x")), data, NUM) == [3.0, -3.0, 1.0, None]
+    assert eval_expr(RoundToInt(col("x")), data, NUM) == [3, -3, 1, None]
+    assert eval_expr(Ceil(col("x")), data, NUM) == [3.0, -2.0, 2.0, None]
+    assert eval_expr(Floor(col("x")), data, NUM) == [2.0, -3.0, 1.0, None]
+
+
+def test_abs_pow_classify():
+    assert eval_expr(Abs(col("x")), {"x": [-2.0, 3.0]}, NUM) == [2.0, 3.0]
+    assert eval_expr(Pow(Const(2.0), Const(10.0)), {"x": [0.0]}, NUM) == \
+        [1024.0]
+    assert eval_expr(IsNaN(col("x")), {"x": [float("nan"), 1.0]}, NUM) == \
+        [True, False]
+    assert eval_expr(IsFinite(col("x")), {"x": [float("inf"), 1.0]}, NUM) == \
+        [False, True]
+
+
+def test_string_case_trim():
+    data = {"s": ["  Hello ", "WORLD", None]}
+    assert eval_expr(ToUpper(col("s")), data, STR) == ["  HELLO ", "WORLD",
+                                                       None]
+    assert eval_expr(ToLower(col("s")), data, STR) == ["  hello ", "world",
+                                                       None]
+    assert eval_expr(Trim(col("s")), data, STR) == ["Hello", "WORLD", None]
+
+
+def test_string_length_substring():
+    data = {"s": ["hello", "", None]}
+    assert eval_expr(Length(col("s")), data, STR) == [5, 0, None]
+    assert eval_expr(Substring(col("s"), Const(2), Const(3)), data, STR) == \
+        ["ell", "", None]
+    assert eval_expr(Substring(col("s"), Const(-3)), data, STR) == \
+        ["llo", "", None]
+
+
+def test_string_search_replace():
+    data = {"s": ["banana", "apple"]}
+    assert eval_expr(StringOffset(col("s"), Const("an")), data, STR) == [2, 0]
+    assert eval_expr(StringContains(col("s"), Const("pp")), data, STR) == \
+        [False, True]
+    assert eval_expr(StringReplace(col("s"), Const("an"), Const("AN")),
+                     data, STR) == ["bANANa", "apple"]
+
+
+def test_concat():
+    data = {"s": ["x", "y"]}
+    assert eval_expr(Concat(Const("<"), col("s"), Const(">")), data, STR) == \
+        ["<x>", "<y>"]
+    assert eval_expr(Concat(Const("a"), Const(1), Const("b")), data, STR) == \
+        ["a1b"] * 2
+
+
+DT = TupleSchema.of(("t", DataType.DATETIME),)
+
+
+def us(y, mo, d, h=0, mi=0, s=0):
+    import datetime
+    epoch = datetime.datetime(1970, 1, 1)
+    return int((datetime.datetime(y, mo, d, h, mi, s) - epoch)
+               .total_seconds()) * 1_000_000
+
+
+def test_date_fields():
+    data = {"t": [us(2001, 9, 9, 1, 46, 40), us(1969, 12, 31, 23, 0, 0)]}
+    assert eval_expr(Year(col("t")), data, DT) == [2001, 1969]
+    assert eval_expr(Month(col("t")), data, DT) == [9, 12]
+    assert eval_expr(Day(col("t")), data, DT) == [9, 31]
+    assert eval_expr(Hour(col("t")), data, DT) == [1, 23]
+    assert eval_expr(Minute(col("t")), data, DT) == [46, 0]
+    assert eval_expr(Second(col("t")), data, DT) == [40, 0]
+    assert eval_expr(Quarter(col("t")), data, DT) == [3, 4]
+    # 2001-09-09 was a Sunday (weekday 6, Monday=0); 1969-12-31 a Wednesday
+    assert eval_expr(Weekday(col("t")), data, DT) == [6, 2]
+    assert eval_expr(YearDay(col("t")), data, DT) == [252, 365]
+
+
+def test_unix_roundtrip():
+    data = {"t": [us(2001, 9, 9, 1, 46, 40)]}
+    assert eval_expr(UnixTimestamp(col("t")), data, DT) == [1_000_000_000]
+    assert eval_expr(UnixTimestamp(FromUnixTime(Const(123))),
+                     {"t": [0]}, DT) == [123]
+
+
+def test_makedate():
+    S = TupleSchema.of(("y", INT64), ("m", INT64), ("d", INT64))
+    data = {"y": [2020, 2020], "m": [2, 13], "d": [29, 1]}
+    vals = eval_expr(MakeDate(col("y"), col("m"), col("d")), data, S)
+    assert vals[0] == (us(2020, 2, 29) // 86_400_000_000)
+    assert vals[1] is None  # month 13 -> NULL
+
+
+def test_add_days_months():
+    data = {"t": [us(2020, 1, 31)]}
+    assert eval_expr(Day(AddDays(col("t"), Const(1))), data, DT) == [1]
+    out = eval_expr(AddMonths(col("t"), Const(1)), data, DT)
+    assert out == [us(2020, 2, 29)]  # clamped to Feb 29
+
+
+ST = TupleSchema.of(("v", INT64), ("f", BOOL))
+
+
+def test_changed():
+    data = {"v": [1, 1, 2, None, None, 2], "f": [False] * 6}
+    assert eval_expr(Changed(col("v")), data, ST) == \
+        [True, False, True, True, False, True]
+
+
+def test_running_sum():
+    data = {"v": [1, None, 2, 3], "f": [False] * 4}
+    assert eval_expr(RunningSum(col("v")), data, ST) == [1, None, 3, 6]
+
+
+def test_smudge():
+    data = {"v": [None, 5, None, None, 7], "f": [False] * 5}
+    assert eval_expr(Smudge(col("v")), data, ST) == [None, 5, 5, 5, 7]
+
+
+def test_smudge_if():
+    data = {"v": [1, 2, 3, 4], "f": [False, True, True, False]}
+    assert eval_expr(SmudgeIf(col("v"), col("f")), data, ST) == [1, 1, 1, 4]
+
+
+def test_running_min_with_flush():
+    data = {"v": [5, 3, 7, 4, 9], "f": [False, False, True, False, False]}
+    # flush after row 2 -> running min resets at row 3
+    assert eval_expr(RunningMinWithFlush(col("f"), col("v")), data, ST) == \
+        [5, 3, 3, 4, 4]

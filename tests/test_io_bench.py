@@ -1,0 +1,82 @@
+"""file_io round-trip, expression serialization, benchmark harness tests
+(reference analogues: file_io test, build_expression_from_proto_test,
+benchmark/{dot,infrastructure,manager} tests)."""
+import io
+
+import pytest
+
+from supersonic_tpu import (DOUBLE, INT64, STRING, Compute, Filter,
+                            GroupAggregate, AggSpec, Aggregation, ScanTable,
+                            Table, TupleSchema, col, execute)
+from supersonic_tpu.io import (build_expression, read_table, write_table)
+from supersonic_tpu.bench import benchmark_plan, format_stats, to_dot
+
+
+def make_table():
+    schema = TupleSchema.of(("a", INT64), ("b", DOUBLE), ("s", STRING))
+    return Table.from_data(schema, {
+        "a": [1, None, 3], "b": [1.5, 2.5, None], "s": ["x", None, "yy"]})
+
+
+def test_file_roundtrip():
+    t = make_table()
+    buf = io.BytesIO()
+    write_table(buf, t)
+    buf.seek(0)
+    t2 = read_table(buf)
+    assert t2.to_pylist() == t.to_pylist()
+    assert t2.schema == t.schema
+
+
+def test_file_roundtrip_large_chunked():
+    import numpy as np
+    schema = TupleSchema.of(("a", INT64, False),)
+    t = Table.from_data(schema, {"a": np.arange(20000)})
+    buf = io.BytesIO()
+    write_table(buf, t)
+    buf.seek(0)
+    t2 = read_table(buf)
+    assert int(t2.num_rows) == 20000
+    assert t2.to_pylist()[19999] == (19999,)
+
+
+def test_build_expression():
+    desc = {"operation": {"id": "ADD", "args": [
+        {"variable": "a"},
+        {"constant": {"type": "INT64", "value": 10}}]}}
+    expr = build_expression(desc)
+    t = make_table()
+    out = execute(Compute(expr, ScanTable(t)))
+    assert [r[0] for r in out.to_pylist()] == [11, None, 13]
+
+
+def test_build_expression_nested():
+    desc = {"operation": {"id": "IF", "args": [
+        {"operation": {"id": "LESS", "args": [
+            {"variable": "a"}, {"constant": {"type": "INT64", "value": 2}}]}},
+        {"constant": {"type": "STRING", "value": "low"}},
+        {"constant": {"type": "STRING", "value": "high"}}]}}
+    out = execute(Compute(build_expression(desc), ScanTable(make_table())))
+    assert [r[0] for r in out.to_pylist()] == ["low", "high", "high"]
+
+
+def test_build_expression_cast():
+    desc = {"operation": {"id": "CAST", "to_type": "DOUBLE",
+                          "args": [{"variable": "a"}]}}
+    out = execute(Compute(build_expression(desc), ScanTable(make_table())))
+    assert [r[0] for r in out.to_pylist()] == [1.0, None, 3.0]
+
+
+def test_benchmark_harness():
+    t = make_table()
+    plan = GroupAggregate(["s"], [AggSpec(Aggregation.SUM, "a", "sa")],
+                          Filter(col("a") > 0, ScanTable(t)))
+    stats = benchmark_plan(plan, iters=1)
+    assert stats.name == "GroupAggregate"
+    assert stats.children[0].name == "Filter"
+    assert stats.children[0].children[0].name == "ScanTable"
+    assert stats.rows_processed == 2  # groups: "x", "yy"
+    table = format_stats(stats)
+    assert "GroupAggregate" in table and "rows/µs" in table
+    dot = to_dot(stats)
+    assert dot.startswith("digraph") and "Filter" in dot
