@@ -1,0 +1,140 @@
+"""Per-operator TPU microbenchmarks (BASELINE.json configs 1-4).
+
+Prints one line per operator to stderr and a summary table; used to find
+hot-spot regressions.  Methodology: chain ITERS executions inside one jit
+via a data-dependent perturbation (the tunneled backend's ~25ms dispatch
+RPC would otherwise swamp per-op times), subtract measured RPC overhead.
+"""
+import sys
+import time
+
+import numpy as np
+
+
+def timed_plan(plan_builder, leaves_perturb, iters=8):
+    """plan_builder() -> (run, leaves); leaves_perturb(leaves, carry) -> leaves."""
+    import jax
+    import jax.numpy as jnp
+
+    run, leaves = plan_builder()
+
+    def chained(leaves):
+        def body(carry, _):
+            out, flags = run(leaves_perturb(leaves, carry))
+            first = jax.tree_util.tree_leaves(out)[0]
+            return (first.ravel()[0] * 0).astype(jnp.float32), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return c
+
+    jrun = jax.jit(chained)
+    np.asarray(jrun(leaves))
+    noop = jax.jit(lambda x: x + 1)
+    np.asarray(noop(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(noop(jnp.float32(0)))
+    rpc = (time.perf_counter() - t0) / 3
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jrun(leaves))
+        best = min(best, time.perf_counter() - t0)
+    return max((best - rpc) / iters, 1e-9)
+
+
+def perturb_float_col(col_name):
+    from supersonic_tpu import Table
+
+    def f(leaves, carry):
+        t = leaves[0]
+        c = t.columns[col_name]
+        t2 = Table(t.schema, {**t.columns,
+                              col_name: c._replace(values=c.values + carry)},
+                   t.num_rows, t.dicts)
+        return [t2] + leaves[1:]
+
+    return f
+
+
+def perturb_int_col(col_name):
+    from supersonic_tpu import Table
+    import jax.numpy as jnp
+
+    def f(leaves, carry):
+        t = leaves[0]
+        c = t.columns[col_name]
+        delta = carry.astype(c.values.dtype) * 0
+        t2 = Table(t.schema, {**t.columns,
+                              col_name: c._replace(values=c.values + delta)},
+                   t.num_rows, t.dicts)
+        return [t2] + leaves[1:]
+
+    return f
+
+
+def main(n=8_000_000, m=1_000_000):
+    from supersonic_tpu import (AggSpec, Aggregation, Const, DataType, Filter,
+                                GroupAggregate, GroupAggregateOptions,
+                                HashJoin, JoinType, KeyUniqueness, Projector,
+                                ScanTable, Sort, SortKey, Table, TupleSchema,
+                                col)
+    from supersonic_tpu.ops.base import compile_plan
+
+    rng = np.random.default_rng(42)
+    fact = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False),
+                       ("g", DataType.INT32, False)),
+        {"fk": rng.integers(0, m, n).astype(np.int32),
+         "v": rng.random(n, dtype=np.float32),
+         "g": rng.integers(0, 64, n).astype(np.int32)})
+    dim = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("w", DataType.INT32, False)),
+        {"pk": np.arange(m, dtype=np.int32),
+         "w": rng.integers(0, 64, m).astype(np.int32)})
+
+    def bench(name, plan, perturb, rows):
+        def build():
+            run, bound, leaves = compile_plan(plan)
+            return run, leaves
+
+        secs = timed_plan(build, perturb)
+        print(f"{name:<24} {secs*1e3:9.2f} ms   "
+              f"{rows/secs/1e6:10.1f} M rows/s", file=sys.stderr)
+        return secs
+
+    results = {}
+    results["filter"] = bench(
+        "filter 8M",
+        Filter(col("v") > Const(0.5, DataType.FLOAT), ScanTable(fact)),
+        perturb_float_col("v"), n)
+    results["groupby"] = bench(
+        "groupby 8M->64",
+        GroupAggregate(["g"], [AggSpec(Aggregation.SUM, "v", "sv")],
+                       ScanTable(fact),
+                       GroupAggregateOptions(estimated_result_row_count=64)),
+        perturb_float_col("v"), n)
+    results["groupby_hi"] = bench(
+        "groupby 8M->1M keys",
+        GroupAggregate(["fk"], [AggSpec(Aggregation.SUM, "v", "sv")],
+                       ScanTable(fact),
+                       GroupAggregateOptions(estimated_result_row_count=m)),
+        perturb_float_col("v"), n)
+    results["sort"] = bench(
+        "sort 8M by (g,v)",
+        Sort([("g", True), ("v", False)], ScanTable(fact)),
+        perturb_float_col("v"), n)
+    results["join"] = bench(
+        "join 8M x 1M",
+        HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact),
+                 ScanTable(dim), KeyUniqueness.UNIQUE,
+                 lhs_projector=Projector.named("v"),
+                 rhs_projector=Projector.named("w")),
+        perturb_float_col("v"), n)
+    return results
+
+
+if __name__ == "__main__":
+    main()

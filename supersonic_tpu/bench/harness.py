@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..ops.base import Operation, compile_plan
@@ -92,18 +93,25 @@ def _time_subtree(op: Operation, iters: int) -> tuple[float, int]:
     """Wall-time one plan subtree as its own jitted program; returns
     (best time seconds, output rows)."""
     run, bound, leaves = compile_plan(op)
-    jrun = jax.jit(run)
-    out, _ = jrun(leaves)
-    first = jax.tree_util.tree_leaves(out)
-    np.asarray(first[-1]) if first else None  # force completion
-    rows = int(np.asarray(out.num_rows))
+
+    def probe(leaf_tables):
+        out, flags = run(leaf_tables)
+        # reduce every output leaf to a scalar: forces full execution but
+        # read-back is O(1) (full-table transfers would dominate on
+        # tunneled TPU backends)
+        parts = [x.ravel()[:1].astype(jnp.float32) if x.ndim else
+                 jnp.reshape(x, (1,)).astype(jnp.float32)
+                 for x in jax.tree_util.tree_leaves(out)]
+        return jnp.sum(jnp.concatenate(parts)), out.num_rows
+
+    jrun = jax.jit(probe)
+    _, rows_dev = jrun(leaves)
+    rows = int(np.asarray(rows_dev))
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out, _ = jrun(leaves)
-        leaves_out = jax.tree_util.tree_leaves(out)
-        for x in leaves_out:
-            np.asarray(x)  # host read-back forces device completion
+        s, _ = jrun(leaves)
+        np.asarray(s)  # host read-back forces device completion
         best = min(best, time.perf_counter() - t0)
     return best, rows
 
