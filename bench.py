@@ -97,7 +97,9 @@ def tpu_pipeline(fact, dim):
                  "v": vcol._replace(values=vcol.values + carry)},
                 fact_t.num_rows, fact_t.dicts)
             out, flags = run([perturbed] + leaves[1:])
-            return (out.columns["sv"].values[0] * 0).astype(jnp.float32), None
+            # not provably zero => body can't be hoisted out of the scan
+            return (out.columns["sv"].values[0].astype(jnp.float32)
+                    * 1e-30), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
         return c

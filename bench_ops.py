@@ -22,7 +22,9 @@ def timed_plan(plan_builder, leaves_perturb, iters=8):
         def body(carry, _):
             out, flags = run(leaves_perturb(leaves, carry))
             first = jax.tree_util.tree_leaves(out)[0]
-            return (first.ravel()[0] * 0).astype(jnp.float32), None
+            # carry must not be provably zero or XLA hoists the whole
+            # body out of the scan as loop-invariant
+            return (first.ravel()[0].astype(jnp.float32) * 1e-30), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return c
@@ -64,7 +66,7 @@ def perturb_int_col(col_name):
     def f(leaves, carry):
         t = leaves[0]
         c = t.columns[col_name]
-        delta = carry.astype(c.values.dtype) * 0
+        delta = carry.astype(c.values.dtype)  # rounds to 0, not provably
         t2 = Table(t.schema, {**t.columns,
                               col_name: c._replace(values=c.values + delta)},
                    t.num_rows, t.dicts)

@@ -51,14 +51,48 @@ def encode(values, null_sentinel=None) -> tuple[np.ndarray, np.ndarray, Dictiona
     """Encode a python/numpy sequence of strings into (codes, valid, dict).
 
     None entries become invalid rows (code 0).  The dictionary is sorted so
-    code order == lexicographic order.
+    code order == lexicographic order.  Large batches go through the
+    native C++ encoder (supersonic_tpu/native) when available.
     """
+    values = list(values)
     valid = np.array([v is not None for v in values], dtype=bool)
+    if len(values) >= 4096:
+        out = _encode_native(values, valid)
+        if out is not None:
+            return out
     present = sorted({v for v in values if v is not None})
     dict_ = Dictionary(tuple(present))
     index = {v: i for i, v in enumerate(present)}
     codes = np.array([index[v] if v is not None else 0 for v in values], dtype=np.int32)
     return codes, valid, dict_
+
+
+def _encode_native(values: list, valid: np.ndarray):
+    from . import native
+
+    if not native.available():
+        return None
+    parts = []
+    offsets = np.zeros(len(values) + 1, dtype=np.int64)
+    is_bytes = None
+    for i, v in enumerate(values):
+        if v is None:
+            b = b""
+        elif isinstance(v, bytes):
+            b = v
+            is_bytes = True if is_bytes is None else is_bytes
+        else:
+            b = v.encode()
+            is_bytes = False if is_bytes is None else is_bytes
+        parts.append(b)
+        offsets[i + 1] = offsets[i] + len(b)
+    blob = b"".join(parts)
+    res = native.dict_encode_bytes(blob, offsets, valid)
+    if res is None:
+        return None
+    codes, dict_rows = res
+    dict_vals = tuple(values[int(r)] for r in dict_rows)
+    return codes, valid, Dictionary(dict_vals)
 
 
 def merge(a: Dictionary, b: Dictionary) -> tuple[Dictionary, np.ndarray, np.ndarray]:

@@ -1,0 +1,77 @@
+"""ctypes loader for the native host-side columnar kernels (fastcol.cpp).
+
+Builds the shared library with g++ on first use (cached next to the
+source); every entry point has a pure-python/numpy fallback so the
+engine works without a toolchain.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "fastcol.cpp")
+_SO = os.path.join(_HERE, "libfastcol.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                     "-o", _SO + ".tmp"],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(_SO + ".tmp", _SO)
+            lib = ctypes.CDLL(_SO)
+            lib.dict_encode.restype = ctypes.c_int64
+            lib.dict_encode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64)]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def dict_encode_bytes(blob: bytes, offsets: np.ndarray,
+                      valid: np.ndarray):
+    """Encode n strings (concatenated ``blob`` + int64 offsets[n+1]) into
+    (codes int32[n], representative_rows int64[n_distinct]) with
+    lexicographically-sorted code order.  Returns None if the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(offsets) - 1
+    codes = np.zeros(n, dtype=np.int32)
+    dict_rows = np.zeros(max(n, 1), dtype=np.int64)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    valid_u8 = np.ascontiguousarray(valid, dtype=np.uint8)
+    n_distinct = lib.dict_encode(
+        blob,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        valid_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dict_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return codes, dict_rows[:n_distinct]

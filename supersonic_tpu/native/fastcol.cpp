@@ -1,0 +1,115 @@
+// Native host-side columnar kernels for the TPU query engine.
+//
+// The reference implements its entire ingest path in C++ (Table /
+// TableRowWriter, base/infrastructure/table.cc; Arena-backed string
+// storage, base/memory/arena.cc).  In the TPU engine the device-side hot
+// loops are XLA/Pallas programs, but ingest — dictionary-encoding string
+// columns and packing nullable host data — runs on the host CPU and is
+// Python-loop-bound without this library.  Exposed via ctypes (no
+// pybind11 in the image).
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 fastcol.cpp -o libfastcol.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <string_view>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// Dictionary-encode a string column.
+//
+// Input: concatenated utf-8 bytes + (n+1) offsets delimiting n values,
+// valid[i] = 0 marks NULL rows (their bytes are empty/ignored).
+// Output: codes[i] = index of row i's value in the lexicographically
+// sorted distinct-value list; returns the number of distinct values and
+// fills dict_offsets (n_distinct+1 entries into the input byte space via
+// representative row ids in dict_rows).
+//
+// The dictionary is order-preserving (sorted), matching
+// supersonic_tpu/dictionary.py's contract so ORDER BY on codes == ORDER
+// BY on strings.
+int64_t dict_encode(const char* bytes, const int64_t* offsets, int64_t n,
+                    const uint8_t* valid, int32_t* codes,
+                    int64_t* dict_rows /* size >= n */) {
+  std::unordered_map<std::string_view, int32_t> first_row;
+  first_row.reserve(static_cast<size_t>(n) * 2);
+  std::vector<std::string_view> distinct;
+  distinct.reserve(1024);
+  std::vector<int32_t> provisional(static_cast<size_t>(n));
+  for (int64_t i = 0; i < n; ++i) {
+    if (valid && !valid[i]) {
+      provisional[i] = -1;
+      continue;
+    }
+    std::string_view sv(bytes + offsets[i],
+                        static_cast<size_t>(offsets[i + 1] - offsets[i]));
+    auto it = first_row.find(sv);
+    if (it == first_row.end()) {
+      int32_t id = static_cast<int32_t>(distinct.size());
+      first_row.emplace(sv, id);
+      distinct.push_back(sv);
+      provisional[i] = id;
+      dict_rows[id] = i;  // representative row for this distinct value
+    } else {
+      provisional[i] = it->second;
+    }
+  }
+  // sort distinct values lexicographically; build old->new code remap
+  int64_t n_distinct = static_cast<int64_t>(distinct.size());
+  std::vector<int32_t> order(static_cast<size_t>(n_distinct));
+  for (int64_t i = 0; i < n_distinct; ++i) order[i] = static_cast<int32_t>(i);
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return distinct[a] < distinct[b];
+  });
+  std::vector<int32_t> rank(static_cast<size_t>(n_distinct));
+  std::vector<int64_t> rows_sorted(static_cast<size_t>(n_distinct));
+  for (int64_t i = 0; i < n_distinct; ++i) {
+    rank[order[i]] = static_cast<int32_t>(i);
+    rows_sorted[i] = dict_rows[order[i]];
+  }
+  std::memcpy(dict_rows, rows_sorted.data(),
+              static_cast<size_t>(n_distinct) * sizeof(int64_t));
+  for (int64_t i = 0; i < n; ++i) {
+    codes[i] = provisional[i] < 0 ? 0 : rank[provisional[i]];
+  }
+  return n_distinct;
+}
+
+// Gather rows of a fixed-width column by int32 indices (selection-vector
+// materialization on host; the device path uses jnp.take).
+void gather_fixed(const uint8_t* src, int64_t elem_size, const int32_t* idx,
+                  int64_t n, uint8_t* dst) {
+  for (int64_t i = 0; i < n; ++i) {
+    std::memcpy(dst + i * elem_size, src + int64_t(idx[i]) * elem_size,
+                static_cast<size_t>(elem_size));
+  }
+}
+
+// Pack a nullable column given a value buffer with holes: writes 0 where
+// invalid (deterministic padding), counts valid rows.
+int64_t pack_nullable_f64(const double* vals, const uint8_t* valid,
+                          int64_t n, double* out) {
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    bool ok = valid[i] != 0;
+    out[i] = ok ? vals[i] : 0.0;
+    cnt += ok;
+  }
+  return cnt;
+}
+
+int64_t pack_nullable_i64(const int64_t* vals, const uint8_t* valid,
+                          int64_t n, int64_t* out) {
+  int64_t cnt = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    bool ok = valid[i] != 0;
+    out[i] = ok ? vals[i] : 0;
+    cnt += ok;
+  }
+  return cnt;
+}
+
+}  // extern "C"

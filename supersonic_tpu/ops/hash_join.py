@@ -219,11 +219,17 @@ class HashJoin(Operation):
             total = offsets[-1]
             rctx.error_flags.append(
                 ("join result overflow", total > out_cap))
-            # expansion: output j belongs to lhs row searchsorted(offsets, j)
+            # expansion: output j belongs to the lhs row whose output range
+            # [base, base+eff) covers j.  searchsorted lowers to ~23 serial
+            # HBM-gather rounds on TPU (~1.6s at 8M rows); instead scatter
+            # each row index at its base offset and forward-fill with a
+            # cummax — two cheap vectorized passes.
             out_pos = jnp.arange(out_cap, dtype=offsets.dtype)
-            qrow = jnp.searchsorted(offsets, out_pos, side="right")
-            qrow = jnp.clip(qrow, 0, lcap - 1).astype(jnp.int32)
             base = offsets - eff  # start offset per lhs row
+            scatter_pos = jnp.where(eff > 0, base, out_cap)
+            qrow = jnp.zeros(out_cap, dtype=jnp.int32).at[scatter_pos].max(
+                jnp.arange(lcap, dtype=jnp.int32), mode="drop")
+            qrow = jax.lax.cummax(qrow)
             k = out_pos - jnp.take(base, qrow)
             live_out = out_pos < jnp.minimum(total, out_cap)
             has_match = jnp.take(count, qrow) > 0

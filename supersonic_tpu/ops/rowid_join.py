@@ -106,7 +106,11 @@ class ForeignFilter(Operation):
             else:
                 sentinel = jnp.array(jnp.iinfo(keys.dtype).max, keys.dtype)
             keys = jnp.where(rt.row_mask(), keys, sentinel)
-            pos = jnp.searchsorted(keys, fk).astype(jnp.int32)
+            # gather-based lexicographic lower bound (jnp.searchsorted's
+            # default lowering is ~23 serial HBM-gather rounds on TPU)
+            from .hash_join import _lex_lower_upper
+            pos, _ = _lex_lower_upper(
+                [keys], jnp.asarray(rt.num_rows).astype(jnp.int32), [fk])
             pos = jnp.clip(pos, 0, rt.capacity - 1)
             hit = (pos < rt.num_rows) & (jnp.take(keys, pos) == fk)
             keep = hit & lt.row_mask()
