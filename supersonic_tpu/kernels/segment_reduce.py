@@ -1,0 +1,106 @@
+"""Pallas TPU kernel: segmented reduction to a small number of segments.
+
+This is the aggregation hot path (reference: the scatter-update inner loop
+of ColumnAggregator, column_aggregator.cc:78-196).  XLA lowers
+``jax.ops.segment_sum`` to a serial HBM scatter (~70ms for 8M rows on
+v5e); this kernel instead streams row tiles through VMEM and combines
+into a [K]-sized accumulator held on-chip, with segment ids matched
+against a lane-resident segment iota — pure VPU work, bandwidth-bound.
+
+Supports f32/i32 values and K <= MAX_SEGMENTS; other dtypes /
+cardinalities fall back to XLA segment ops (see ops/aggregate.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUBLANES = 64
+LANES = 128
+TILE = SUBLANES * LANES  # rows per grid step
+MAX_SEGMENTS = 2048
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def supported_dtype(dtype) -> bool:
+    return jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.int32))
+
+
+def _reduce_kernel(v_ref, g_ref, o_ref, *, k_pad: int, mode: str, init):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o_ref[:] = jnp.full_like(o_ref, init)
+
+    v = v_ref[:]                     # [SUBLANES, LANES]
+    g = g_ref[:]                     # [SUBLANES, LANES]
+    acc = o_ref[:]                   # [k_pad // LANES, LANES]
+    for kr in range(k_pad // LANES):
+        k_lane = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                  + kr * LANES)
+        match = g[:, :, None] == k_lane[None, :, :]   # [S, L, LANES]
+        neutral = jnp.full_like(v, init)
+        sel = jnp.where(match, v[:, :, None], neutral[:, :, None])
+        if mode == "sum":
+            contrib = jnp.sum(sel, axis=(0, 1))
+            acc = acc.at[kr, :].set(acc[kr, :] + contrib)
+        elif mode == "min":
+            contrib = jnp.min(sel, axis=(0, 1))
+            acc = acc.at[kr, :].set(jnp.minimum(acc[kr, :], contrib))
+        else:
+            contrib = jnp.max(sel, axis=(0, 1))
+            acc = acc.at[kr, :].set(jnp.maximum(acc[kr, :], contrib))
+    o_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("num_segments", "mode"))
+def segment_reduce_small(values: jnp.ndarray, segment_ids: jnp.ndarray,
+                         num_segments: int, mode: str = "sum") -> jnp.ndarray:
+    """Segmented sum/min/max into ``num_segments`` buckets; out-of-range
+    segment ids are dropped."""
+    assert mode in ("sum", "min", "max")
+    n = values.shape[0]
+    dtype = values.dtype
+    k_pad = _round_up(max(num_segments, 1), LANES)
+    n_pad = _round_up(max(n, 1), TILE)
+    # init must be a static python scalar: the kernel closure may not
+    # capture traced constants
+    floating = jnp.issubdtype(dtype, jnp.floating)
+    if mode == "sum":
+        init = 0.0 if floating else 0
+    elif mode == "min":
+        init = float("inf") if floating else int(jnp.iinfo(dtype).max)
+    else:
+        init = float("-inf") if floating else int(jnp.iinfo(dtype).min)
+    pad_rows = n_pad - n
+    v = jnp.concatenate([values, jnp.full(pad_rows, init, dtype)]) \
+        if pad_rows else values
+    gid = jnp.where((segment_ids >= 0) & (segment_ids < num_segments),
+                    segment_ids.astype(jnp.int32), k_pad)
+    g = jnp.concatenate([gid, jnp.full(pad_rows, k_pad, jnp.int32)]) \
+        if pad_rows else gid
+    v2 = v.reshape(n_pad // LANES, LANES)
+    g2 = g.reshape(n_pad // LANES, LANES)
+    out = pl.pallas_call(
+        functools.partial(_reduce_kernel, k_pad=k_pad, mode=mode, init=init),
+        grid=(n_pad // TILE,),
+        in_specs=[
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k_pad // LANES, LANES), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k_pad // LANES, LANES), dtype),
+        interpret=jax.default_backend() == "cpu",
+    )(v2, g2)
+    return out.reshape(k_pad)[:num_segments]

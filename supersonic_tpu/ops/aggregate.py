@@ -110,6 +110,30 @@ def _max_identity(dtype):
     return jnp.array(jnp.iinfo(dtype).min, dtype)
 
 
+def _seg_sum(data: jnp.ndarray, seg_ids: jnp.ndarray, out_cap: int):
+    from ..kernels import segment_reduce as sr
+
+    if out_cap <= sr.MAX_SEGMENTS and sr.supported_dtype(data.dtype):
+        return sr.segment_reduce_small(data, seg_ids, out_cap, "sum")
+    return jax.ops.segment_sum(data, seg_ids, num_segments=out_cap)
+
+
+def _seg_min(data: jnp.ndarray, seg_ids: jnp.ndarray, out_cap: int):
+    from ..kernels import segment_reduce as sr
+
+    if out_cap <= sr.MAX_SEGMENTS and sr.supported_dtype(data.dtype):
+        return sr.segment_reduce_small(data, seg_ids, out_cap, "min")
+    return jax.ops.segment_min(data, seg_ids, num_segments=out_cap)
+
+
+def _seg_max(data: jnp.ndarray, seg_ids: jnp.ndarray, out_cap: int):
+    from ..kernels import segment_reduce as sr
+
+    if out_cap <= sr.MAX_SEGMENTS and sr.supported_dtype(data.dtype):
+        return sr.segment_reduce_small(data, seg_ids, out_cap, "max")
+    return jax.ops.segment_max(data, seg_ids, num_segments=out_cap)
+
+
 def _aggregate_segments(table: Table, sorted_perm: jnp.ndarray,
                         seg_ids: jnp.ndarray, out_cap: int,
                         specs: list[AggSpec], schema_in: TupleSchema,
@@ -128,10 +152,8 @@ def _aggregate_segments(table: Table, sorted_perm: jnp.ndarray,
         out_attr = _resolve_output_attr(spec, schema_in)
         odt = jnp_dtype(out_attr.type)
         if spec.aggregation == Aggregation.COUNT and spec.input is None:
-            w = live
-            cnt = jax.ops.segment_sum(w.astype(odt), seg_ids,
-                                      num_segments=out_cap)
-            out_cols[spec.output] = Column(cnt, None)
+            cnt = _seg_sum(live.astype(jnp.int32), seg_ids, out_cap)
+            out_cols[spec.output] = Column(cnt.astype(odt), None)
             continue
         in_col = table.columns[spec.input]
         vals = jnp.take(in_col.values, sorted_perm)
@@ -153,39 +175,33 @@ def _aggregate_segments(table: Table, sorted_perm: jnp.ndarray,
         agg = spec.aggregation
         if agg == Aggregation.SUM:
             acc = jnp.where(weight, vals, jnp.zeros_like(vals)).astype(odt)
-            s = jax.ops.segment_sum(acc, seg_ids, num_segments=out_cap)
-            nvalid = jax.ops.segment_sum(weight.astype(jnp.int32), seg_ids,
-                                         num_segments=out_cap)
+            s = _seg_sum(acc, seg_ids, out_cap)
+            nvalid = _seg_sum(weight.astype(jnp.int32), seg_ids, out_cap)
             out_cols[spec.output] = Column(s, nvalid > 0)
         elif agg == Aggregation.COUNT:
-            cnt = jax.ops.segment_sum(weight.astype(odt), seg_ids,
-                                      num_segments=out_cap)
-            out_cols[spec.output] = Column(cnt, None)
+            cnt = _seg_sum(weight.astype(jnp.int32), seg_ids, out_cap)
+            out_cols[spec.output] = Column(cnt.astype(odt), None)
         elif agg == Aggregation.MIN:
             acc = jnp.where(weight, vals, _min_identity(vals.dtype))
-            m = jax.ops.segment_min(acc, seg_ids, num_segments=out_cap)
-            nvalid = jax.ops.segment_sum(weight.astype(jnp.int32), seg_ids,
-                                         num_segments=out_cap)
+            m = _seg_min(acc, seg_ids, out_cap)
+            nvalid = _seg_sum(weight.astype(jnp.int32), seg_ids, out_cap)
             out_cols[spec.output] = Column(m.astype(odt), nvalid > 0)
         elif agg == Aggregation.MAX:
             acc = jnp.where(weight, vals, _max_identity(vals.dtype))
-            m = jax.ops.segment_max(acc, seg_ids, num_segments=out_cap)
-            nvalid = jax.ops.segment_sum(weight.astype(jnp.int32), seg_ids,
-                                         num_segments=out_cap)
+            m = _seg_max(acc, seg_ids, out_cap)
+            nvalid = _seg_sum(weight.astype(jnp.int32), seg_ids, out_cap)
             out_cols[spec.output] = Column(m.astype(odt), nvalid > 0)
         elif agg in (Aggregation.FIRST, Aggregation.LAST):
             # FIRST/LAST take the group's first/last *row* value (including
             # NULL), per the reference's assign-then-noop/assign-always
             # update pair (aggregation_operators.h).
-            orig = jnp.take(sorted_perm, pos)  # original row index
+            orig = jnp.take(sorted_perm, pos).astype(jnp.int32)
             if agg == Aggregation.FIRST:
                 marker = jnp.where(live, orig, cap + 1)
-                sel = jax.ops.segment_min(marker, seg_ids,
-                                          num_segments=out_cap)
+                sel = _seg_min(marker, seg_ids, out_cap)
             else:
                 marker = jnp.where(live, orig, -1)
-                sel = jax.ops.segment_max(marker, seg_ids,
-                                          num_segments=out_cap)
+                sel = _seg_max(marker, seg_ids, out_cap)
             ok = (sel >= 0) & (sel <= cap)
             safe = jnp.clip(sel, 0, cap - 1)
             v = jnp.take(in_col.values, safe).astype(odt)

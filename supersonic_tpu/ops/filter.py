@@ -10,9 +10,10 @@ loop.  A Pallas two-pass kernel backs the same contract for the hot path
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
-from ..batch import Table, gather_table
+from ..batch import Column, Table, gather_table
 from ..exprs.base import Expression
 from ..types import DataType
 from .base import BindContext, BoundOperation, Operation, RunContext
@@ -40,13 +41,53 @@ def compaction_indices(mask: jnp.ndarray, out_capacity: int):
 
 def compact_by_mask(table: Table, mask: jnp.ndarray,
                     out_capacity: int | None = None) -> Table:
-    """Gather rows where mask is True into a dense prefix."""
+    """Move rows where mask is True into a dense prefix.
+
+    Implemented as ONE stable multi-operand sort with every column as a
+    payload operand: XLA's TPU sort moves all payloads in lockstep, which
+    measures ~2x faster than a selection-vector + per-column gather
+    (gather/scatter are the slowest primitives on TPU: ~54ms per 8M rows
+    vs ~25ms for a whole sort).
+    """
     out_cap = out_capacity or table.capacity
-    idx, count = compaction_indices(mask, out_cap)
+    cap = table.capacity
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), out_cap)
     if len(table.schema) == 0:
         return Table(table.schema, {}, count, dict(table.dicts),
                      cap_hint=out_cap)
-    return gather_table(table, idx, count)
+    key = jnp.where(mask, 0, 1).astype(jnp.int32)
+    payload: list[jnp.ndarray] = []
+    layout: list[tuple[str, bool]] = []  # (name, has_valid)
+    for name in table.schema.names():
+        c = table.columns[name]
+        payload.append(c.values)
+        if c.valid is not None:
+            payload.append(c.valid)
+            layout.append((name, True))
+        else:
+            layout.append((name, False))
+    res = jax.lax.sort([key] + payload, num_keys=1, is_stable=True)
+    cols: dict[str, Column] = {}
+    i = 1
+    for name, has_valid in layout:
+        vals = res[i]
+        i += 1
+        valid = None
+        if has_valid:
+            valid = res[i]
+            i += 1
+        if out_cap < cap:
+            vals = vals[:out_cap]
+            valid = valid[:out_cap] if valid is not None else None
+        elif out_cap > cap:
+            vals = jnp.concatenate(
+                [vals, jnp.zeros(out_cap - cap, vals.dtype)])
+            if valid is not None:
+                valid = jnp.concatenate(
+                    [valid, jnp.zeros(out_cap - cap, jnp.bool_)])
+        cols[name] = Column(vals, valid)
+    return Table(table.schema, cols, count, dict(table.dicts),
+                 cap_hint=out_cap)
 
 
 class Filter(Operation):

@@ -156,12 +156,17 @@ class HashJoin(Operation):
         unique = self.uniqueness == KeyUniqueness.UNIQUE
         # UNIQUE rhs bounds output by the probe side; NOT_UNIQUE has no
         # static bound — default to lhs+rhs (overflow raises at execute).
-        if self.out_capacity:
+        if unique and left_outer:
+            # zero-copy lhs fast path emits exactly the lhs rows
+            out_cap = lb.capacity
+        elif self.out_capacity:
             out_cap = self.out_capacity
         elif unique:
             out_cap = lb.capacity
         else:
             out_cap = lb.capacity + rb.capacity
+        if unique and lb.schema.has("__bpos"):
+            raise SchemaError("column name '__bpos' is reserved")
         # string join keys: remap both sides into a merged dictionary so
         # codes are directly comparable
         remaps = []
@@ -207,6 +212,52 @@ class HashJoin(Operation):
             count = jnp.where(pinert, 0, upper - lower)
             if unique:
                 count = jnp.minimum(count, 1)
+                # fast path: <=1 match per probe row, so no expansion.
+                # LEFT_OUTER keeps lhs columns zero-copy; INNER moves the
+                # surviving rows with one payload-sort compaction (gathers
+                # are the most expensive primitive on TPU).
+                matched = count > 0
+                bpos0 = jnp.clip(lower, 0, rcap - 1)
+                if left_outer:
+                    n_out = lt.num_rows
+                    ridx = jnp.where(matched & lt.row_mask(),
+                                     jnp.take(build_perm, bpos0), -1)
+                    lhs_out = lt
+                else:
+                    aug_schema = lb.schema.concat(TupleSchema(
+                        [Attribute("__bpos", DataType.INT32, False)]))
+                    aug_cols = dict(lt.columns)
+                    aug_cols["__bpos"] = Column(bpos0.astype(jnp.int32),
+                                                None)
+                    aug = Table(aug_schema, aug_cols, lt.num_rows,
+                                dict(lt.dicts), cap_hint=lcap)
+                    from .filter import compact_by_mask
+                    if out_cap < lcap:
+                        rctx.error_flags.append((
+                            "join result overflow",
+                            jnp.sum((matched & lt.row_mask())
+                                    .astype(jnp.int32)) > out_cap))
+                    lhs_out = compact_by_mask(aug, matched & lt.row_mask(),
+                                              out_cap)
+                    n_out = lhs_out.num_rows
+                    live_o = jnp.arange(out_cap) < n_out
+                    ridx = jnp.where(
+                        live_o,
+                        jnp.take(build_perm,
+                                 lhs_out.columns["__bpos"].values), -1)
+                rgath = gather_table(rt, ridx, n_out,
+                                     fill_invalid=left_outer)
+                cols = {}
+                for src, dst in lpairs:
+                    cols[dst] = lhs_out.columns[src]
+                for src, dst in rpairs:
+                    c = rgath.columns[src]
+                    if left_outer and c.valid is None:
+                        c = Column(c.values,
+                                   jnp.ones(c.values.shape[0],
+                                            dtype=jnp.bool_))
+                    cols[dst] = c
+                return Table(out_schema, cols, n_out, out_dicts)
             if left_outer:
                 eff = jnp.where(lt.row_mask(), jnp.maximum(count, 1), 0)
             else:

@@ -19,7 +19,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..batch import Table, gather_table
+from ..batch import Column, Table, gather_table
 from ..dictionary import transform as dict_transform
 from ..schema import SchemaError
 from ..types import DataType
@@ -64,6 +64,50 @@ def sort_permutation(table: Table, order: SortOrder) -> jnp.ndarray:
     return out[-1]
 
 
+def sort_table(table: Table, order: SortOrder,
+               key_override: Optional[dict[str, jnp.ndarray]] = None) -> Table:
+    """Sort a whole Table in ONE stable multi-operand lax.sort: all columns
+    ride as payload operands, avoiding the permutation + per-column gather
+    (gathers are ~2x the cost of the sort itself on TPU).
+
+    ``key_override`` substitutes key arrays (e.g. case-folded codes for
+    ExtendedSort) without changing the emitted columns.
+    """
+    shadow = table
+    if key_override:
+        cols = dict(table.columns)
+        for name, vals in key_override.items():
+            cols[name] = cols[name]._replace(values=vals)
+        shadow = Table(table.schema, cols, table.num_rows, table.dicts,
+                       cap_hint=table.capacity)
+    operands, num_keys = key_operands(shadow, order.names(),
+                                      order.ascendings())
+    payload: list[jnp.ndarray] = []
+    layout: list[tuple[str, bool]] = []
+    for name in table.schema.names():
+        c = table.columns[name]
+        payload.append(c.values)
+        if c.valid is not None:
+            payload.append(c.valid)
+            layout.append((name, True))
+        else:
+            layout.append((name, False))
+    res = jax.lax.sort(operands + payload, num_keys=num_keys,
+                       is_stable=True)
+    cols: dict[str, Column] = {}
+    i = num_keys
+    for name, has_valid in layout:
+        vals = res[i]
+        i += 1
+        valid = None
+        if has_valid:
+            valid = res[i]
+            i += 1
+        cols[name] = Column(vals, valid)
+    return Table(table.schema, cols, table.num_rows, dict(table.dicts),
+                 cap_hint=table.capacity)
+
+
 class Sort(Operation):
     def __init__(self, order: SortOrder | Sequence, child: Operation):
         self.order = order if isinstance(order, SortOrder) else SortOrder(order)
@@ -77,8 +121,7 @@ class Sort(Operation):
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
-            perm = sort_permutation(t, order)
-            return gather_table(t, perm, t.num_rows)
+            return sort_table(t, order)
 
         return BoundOperation(cb.schema, cb.dicts, fn, cb.capacity)
 
@@ -114,22 +157,23 @@ class ExtendedSort(Operation):
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
+            override = None
             if luts:
-                # Sort on a shadow table with folded codes; gather original.
-                cols = dict(t.columns)
-                for name, lut in luts.items():
-                    colm = cols[name]
-                    folded = jnp.take(lut, jnp.clip(colm.values, 0,
-                                                    lut.shape[0] - 1))
-                    cols[name] = colm._replace(values=folded)
-                shadow = Table(t.schema, cols, t.num_rows, t.dicts)
-                perm = sort_permutation(shadow, order)
-            else:
-                perm = sort_permutation(t, order)
+                override = {
+                    name: jnp.take(lut, jnp.clip(t.columns[name].values, 0,
+                                                 lut.shape[0] - 1))
+                    for name, lut in luts.items()}
+            sorted_t = sort_table(t, order, key_override=override)
             n = t.num_rows
             if limit is not None:
-                perm = perm[:out_cap]
                 n = jnp.minimum(n, limit)
-            return gather_table(t, perm, n)
+                cols = {
+                    name: Column(
+                        c.values[:out_cap],
+                        None if c.valid is None else c.valid[:out_cap])
+                    for name, c in sorted_t.columns.items()}
+                return Table(t.schema, cols, n, dict(t.dicts),
+                             cap_hint=out_cap)
+            return sorted_t
 
         return BoundOperation(cb.schema, cb.dicts, fn, out_cap)

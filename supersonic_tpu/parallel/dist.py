@@ -146,7 +146,7 @@ def dist_map(mesh: Mesh, fn: Callable[..., Table], *dist_tables: Table) -> Table
     return jax.shard_map(
         wrapper, mesh=mesh,
         in_specs=tuple(P(AXIS) for _ in dist_tables),
-        out_specs=P(AXIS))(*dist_tables)
+        out_specs=P(AXIS), check_vma=False)(*dist_tables)
 
 
 def run_local_plan(plan_builder: Callable[[Table], "object"],
@@ -224,7 +224,7 @@ def shuffle(mesh: Mesh, dist: Table, dest_fn: Callable[[Table], jnp.ndarray],
             _exchange_local(local, dest, num_parts, out_cap_per_peer))
 
     return jax.shard_map(wrapper, mesh=mesh, in_specs=P(AXIS),
-                         out_specs=P(AXIS))(dist)
+                         out_specs=P(AXIS), check_vma=False)(dist)
 
 
 def _key_dest_fn(names: list[str], num_parts: int):
