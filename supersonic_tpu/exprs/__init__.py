@@ -31,3 +31,6 @@ from .date import (AddDays, AddMinutes, AddMonths, Day, DayLocal,
                    YearLocal)
 from .stateful import (Changed, RunningMinWithFlush, RunningSum, Smudge,
                        SmudgeIf)
+from .regexp import (RegexpExtract, RegexpFullMatch, RegexpPartialMatch,
+                     RegexpReplace)
+from .hashing import Fingerprint, Hash

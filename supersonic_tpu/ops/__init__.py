@@ -14,3 +14,6 @@ from .aggregate import (AggregateClusters, Aggregation, AggregationSpecification
 from .hash_join import HashJoin, JoinType, KeyUniqueness
 from .merge import MergeUnionAll
 from .rowid_join import ForeignFilter, RowidMergeJoin
+from .misc import (SharedOperation, Spy, SpyListener, TakeOwnership,
+                   format_table)
+from .host import group_concat

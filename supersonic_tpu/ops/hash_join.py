@@ -204,11 +204,48 @@ class HashJoin(Operation):
             res = jax.lax.sort([binert.astype(jnp.int32)] + bcodes + [rowid],
                                num_keys=1 + len(bcodes), is_stable=True)
             build_perm = res[-1]
-            sorted_codes = list(res[1:-1])
             build_n = jnp.sum((~binert).astype(jnp.int32))
-            # --- probe ---
-            lower, upper = _lex_lower_upper(sorted_codes, build_n, pcodes)
+            # --- probe: merge-style ---
+            # A vectorized binary search costs ~2*log2(build) serial gather
+            # rounds over all probe rows (~1.3s at 8M on v5e: gathers are
+            # index-count-bound).  Instead sort build+probe keys TOGETHER
+            # (side as tiebreak key: build rows precede probe rows within
+            # an equal-key run); then for a probe row, upper = inclusive
+            # prefix-count of live build rows, and lower = that count at
+            # its run's start — pure cumsum/cummax work.  One more
+            # payload sort restores probe row order.
             pinert = pnull | ~lt.row_mask()
+            cat_codes = []
+            for bc, pc in zip(bcodes, pcodes):
+                dt = jnp.promote_types(bc.dtype, pc.dtype)
+                cat_codes.append(jnp.concatenate(
+                    [bc.astype(dt), pc.astype(dt)]))
+            side = jnp.concatenate([
+                jnp.zeros(rcap, jnp.int32), jnp.ones(lcap, jnp.int32)])
+            rowid_cat = jnp.concatenate([
+                rowid, jnp.arange(lcap, dtype=jnp.int32)])
+            is_build = jnp.concatenate([
+                (~binert).astype(jnp.int32), jnp.zeros(lcap, jnp.int32)])
+            jres = jax.lax.sort(cat_codes + [side, rowid_cat, is_build],
+                                num_keys=len(cat_codes) + 1, is_stable=True)
+            s_codes = jres[:len(cat_codes)]
+            s_side, s_rowid, s_isb = jres[-3], jres[-2], jres[-1]
+            bprefix = jnp.cumsum(s_isb)
+            tot = rcap + lcap
+            same_as_prev = jnp.ones(tot, dtype=jnp.bool_)
+            for c in s_codes:
+                same_as_prev = same_as_prev & (c == jnp.roll(c, 1))
+            boundary = ~same_as_prev | (jnp.arange(tot) == 0)
+            # build-count before this run; values are nondecreasing across
+            # runs so a plain cummax forward-fills run starts
+            run_start = jax.lax.cummax(
+                jnp.where(boundary, bprefix - s_isb, 0))
+            back = jax.lax.sort(
+                [s_side, s_rowid, run_start.astype(jnp.int32),
+                 bprefix.astype(jnp.int32)],
+                num_keys=2, is_stable=True)
+            lower = back[2][rcap:]
+            upper = back[3][rcap:]
             count = jnp.where(pinert, 0, upper - lower)
             if unique:
                 count = jnp.minimum(count, 1)
