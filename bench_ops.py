@@ -45,31 +45,20 @@ def timed_plan(plan_builder, leaves_perturb, iters=8):
     return max((best - rpc) / iters, 1e-9)
 
 
-def perturb_float_col(col_name):
+def perturb_all():
+    """Perturb EVERY column of the first leaf with a carry-derived delta
+    (numerically zero, but not provably so) — otherwise XLA hoists any
+    subcomputation that only depends on untouched columns out of the
+    timing loop."""
     from supersonic_tpu import Table
 
     def f(leaves, carry):
         t = leaves[0]
-        c = t.columns[col_name]
-        t2 = Table(t.schema, {**t.columns,
-                              col_name: c._replace(values=c.values + carry)},
-                   t.num_rows, t.dicts)
-        return [t2] + leaves[1:]
-
-    return f
-
-
-def perturb_int_col(col_name):
-    from supersonic_tpu import Table
-    import jax.numpy as jnp
-
-    def f(leaves, carry):
-        t = leaves[0]
-        c = t.columns[col_name]
-        delta = carry.astype(c.values.dtype)  # rounds to 0, not provably
-        t2 = Table(t.schema, {**t.columns,
-                              col_name: c._replace(values=c.values + delta)},
-                   t.num_rows, t.dicts)
+        cols = {}
+        for name, c in t.columns.items():
+            delta = carry.astype(c.values.dtype)
+            cols[name] = c._replace(values=c.values + delta)
+        t2 = Table(t.schema, cols, t.num_rows, t.dicts)
         return [t2] + leaves[1:]
 
     return f
@@ -111,30 +100,30 @@ def main(n=8_000_000, m=1_000_000):
     results["filter"] = bench(
         "filter 8M",
         Filter(col("v") > Const(0.5, DataType.FLOAT), ScanTable(fact)),
-        perturb_float_col("v"), n)
+        perturb_all(), n)
     results["groupby"] = bench(
         "groupby 8M->64",
         GroupAggregate(["g"], [AggSpec(Aggregation.SUM, "v", "sv")],
                        ScanTable(fact),
                        GroupAggregateOptions(estimated_result_row_count=64)),
-        perturb_float_col("v"), n)
+        perturb_all(), n)
     results["groupby_hi"] = bench(
         "groupby 8M->1M keys",
         GroupAggregate(["fk"], [AggSpec(Aggregation.SUM, "v", "sv")],
                        ScanTable(fact),
                        GroupAggregateOptions(estimated_result_row_count=m)),
-        perturb_float_col("v"), n)
+        perturb_all(), n)
     results["sort"] = bench(
         "sort 8M by (g,v)",
         Sort([("g", True), ("v", False)], ScanTable(fact)),
-        perturb_float_col("v"), n)
+        perturb_all(), n)
     results["join"] = bench(
         "join 8M x 1M",
         HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact),
                  ScanTable(dim), KeyUniqueness.UNIQUE,
                  lhs_projector=Projector.named("v"),
                  rhs_projector=Projector.named("w")),
-        perturb_float_col("v"), n)
+        perturb_all(), n)
     return results
 
 

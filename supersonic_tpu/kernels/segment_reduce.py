@@ -42,23 +42,25 @@ def _reduce_kernel(v_ref, g_ref, o_ref, *, k_pad: int, mode: str, init):
 
     v = v_ref[:]                     # [SUBLANES, LANES]
     g = g_ref[:]                     # [SUBLANES, LANES]
-    acc = o_ref[:]                   # [k_pad // LANES, LANES]
     for kr in range(k_pad // LANES):
         k_lane = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
                   + kr * LANES)
         match = g[:, :, None] == k_lane[None, :, :]   # [S, L, LANES]
         neutral = jnp.full_like(v, init)
         sel = jnp.where(match, v[:, :, None], neutral[:, :, None])
+        # static-row ref read-modify-write ('.at[].set' on a value would
+        # lower to an unsupported scatter in Mosaic)
         if mode == "sum":
-            contrib = jnp.sum(sel, axis=(0, 1))
-            acc = acc.at[kr, :].set(acc[kr, :] + contrib)
+            # pin dtype: under x64, jnp.sum would promote i32 -> i64,
+            # which Mosaic can't lower
+            contrib = jnp.sum(sel, axis=(0, 1), dtype=sel.dtype)
+            o_ref[kr, :] = o_ref[kr, :] + contrib
         elif mode == "min":
             contrib = jnp.min(sel, axis=(0, 1))
-            acc = acc.at[kr, :].set(jnp.minimum(acc[kr, :], contrib))
+            o_ref[kr, :] = jnp.minimum(o_ref[kr, :], contrib)
         else:
             contrib = jnp.max(sel, axis=(0, 1))
-            acc = acc.at[kr, :].set(jnp.maximum(acc[kr, :], contrib))
-    o_ref[:] = acc
+            o_ref[kr, :] = jnp.maximum(o_ref[kr, :], contrib)
 
 
 @functools.partial(jax.jit, static_argnames=("num_segments", "mode"))
@@ -89,6 +91,15 @@ def segment_reduce_small(values: jnp.ndarray, segment_ids: jnp.ndarray,
         if pad_rows else gid
     v2 = v.reshape(n_pad // LANES, LANES)
     g2 = g.reshape(n_pad // LANES, LANES)
+    # Mosaic rejects the i64 index/return types that global x64 mode
+    # injects into the kernel MLIR; trace the pallas_call with x64 off
+    # (operand dtypes are 32-bit already).
+    with jax.enable_x64(False):
+        return _call_kernel(v2, g2, n_pad, k_pad, mode, init, dtype,
+                            num_segments)
+
+
+def _call_kernel(v2, g2, n_pad, k_pad, mode, init, dtype, num_segments):
     out = pl.pallas_call(
         functools.partial(_reduce_kernel, k_pad=k_pad, mode=mode, init=init),
         grid=(n_pad // TILE,),

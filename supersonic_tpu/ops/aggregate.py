@@ -6,16 +6,22 @@ aggregate_clusters.cc, column_aggregator.cc (per-column update kernels,
 COUNT counts non-null, FIRST/LAST keep encounter order, DISTINCT dedups
 per key).
 
-TPU redesign (SURVEY.md §2.4, §7.2 step 4): grouping is *sort-based* —
-random scatter into a hash table is hostile to a vector machine, so keys
-are mapped to monotone codes (ops/keys.py), rows are sorted by key with a
-stable ``lax.sort``, segment boundaries mark groups, and every aggregation
-is a segmented reduce (``jax.ops.segment_*``).  Output groups are then
-re-ranked by first-occurrence row so the result ordering matches the
-reference's insertion-order contract bit-for-bit.  ``AggregateClusters``
-skips the sort (input already clustered).  The best-effort/pre-group ->
-shuffle -> combine algebra (aggregate.h:233-246) lives in
-parallel/dist_ops.py.
+TPU redesign (SURVEY.md §2.4, §7.2 step 4): random scatter into a hash
+table is hostile to a vector machine, and even XLA's segment ops lower to
+~50ms/8M-row HBM scatters.  So:
+
+  1. ONE stable multi-operand sort moves the key codes (ops/keys.py) AND
+     every needed payload column together (gathers avoided entirely).
+  2. Group runs fall out of neighbor comparison; every aggregate is a
+     segmented prefix scan (ops/segscan.py) read at each run's last row —
+     exact for any dtype including emulated f64, any group cardinality.
+  3. ONE compaction (payload sort) extracts the per-group rows, and a
+     final small sort re-ranks groups by first-occurrence row so the
+     output order matches the reference's insertion-order contract.
+
+``AggregateClusters`` skips the sort and the re-rank (input already
+clustered, encounter order preserved).  The best-effort/pregroup ->
+shuffle -> combine algebra (aggregate.h:233-246) lives in parallel/dist.py.
 """
 from __future__ import annotations
 
@@ -26,11 +32,13 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..batch import Column, Table, gather_table
+from ..batch import Column, Table
 from ..schema import Attribute, SchemaError, TupleSchema
-from ..types import DataType, is_floating, jnp_dtype
+from ..types import DataType, jnp_dtype
 from .base import BindContext, BoundOperation, Operation, RunContext
+from .filter import compact_by_mask
 from .keys import group_code_columns, monotone_code
+from .segscan import seg_carry_first, seg_cummax, seg_cummin, seg_cumsum
 
 
 class Aggregation(enum.Enum):
@@ -84,7 +92,7 @@ class GroupAggregateOptions:
 
     estimated_result_row_count: Optional[int] = None  # output capacity
     max_unique_keys_in_result: Optional[int] = None   # clamp; overflow rows
-    # merge into the last group (aggregate_groups.cc:501-510)
+    # merge into the last kept group (aggregate_groups.cc:501-510)
 
 
 def _resolve_output_attr(spec: AggSpec, schema: TupleSchema) -> Attribute:
@@ -110,118 +118,228 @@ def _max_identity(dtype):
     return jnp.array(jnp.iinfo(dtype).min, dtype)
 
 
-def _seg_sum(data: jnp.ndarray, seg_ids: jnp.ndarray, out_cap: int):
-    from ..kernels import segment_reduce as sr
-
-    if out_cap <= sr.MAX_SEGMENTS and sr.supported_dtype(data.dtype):
-        return sr.segment_reduce_small(data, seg_ids, out_cap, "sum")
-    return jax.ops.segment_sum(data, seg_ids, num_segments=out_cap)
+def _normalize_spec(specification) -> AggregationSpecification:
+    if isinstance(specification, AggregationSpecification):
+        return specification
+    return AggregationSpecification(specification)
 
 
-def _seg_min(data: jnp.ndarray, seg_ids: jnp.ndarray, out_cap: int):
-    from ..kernels import segment_reduce as sr
-
-    if out_cap <= sr.MAX_SEGMENTS and sr.supported_dtype(data.dtype):
-        return sr.segment_reduce_small(data, seg_ids, out_cap, "min")
-    return jax.ops.segment_min(data, seg_ids, num_segments=out_cap)
-
-
-def _seg_max(data: jnp.ndarray, seg_ids: jnp.ndarray, out_cap: int):
-    from ..kernels import segment_reduce as sr
-
-    if out_cap <= sr.MAX_SEGMENTS and sr.supported_dtype(data.dtype):
-        return sr.segment_reduce_small(data, seg_ids, out_cap, "max")
-    return jax.ops.segment_max(data, seg_ids, num_segments=out_cap)
-
-
-def _aggregate_segments(table: Table, sorted_perm: jnp.ndarray,
-                        seg_ids: jnp.ndarray, out_cap: int,
-                        specs: list[AggSpec], schema_in: TupleSchema,
-                        group_codes: list[jnp.ndarray]):
-    """Compute all aggregate output Columns given per-sorted-row segment ids.
-
-    ``seg_ids`` must be out-of-range (== out_cap) for padding rows so the
-    segment ops drop them.
-    """
-    cap = table.capacity
-    out_cols: dict[str, Column] = {}
-    pos = jnp.arange(cap)
-    live = seg_ids < out_cap
-
+def _scan_aggregates(specs, schema_in, sorted_cols, boundary, live_s, pos):
+    """Per-sorted-row aggregate scans; values at each run's last row are
+    the group results.  sorted_cols[name] -> (values, valid_or_None) in
+    sorted order.  Returns {output: (values_row, valid_row_or_None)}."""
+    out = {}
+    reset = boundary
     for spec in specs:
         out_attr = _resolve_output_attr(spec, schema_in)
         odt = jnp_dtype(out_attr.type)
-        if spec.aggregation == Aggregation.COUNT and spec.input is None:
-            cnt = _seg_sum(live.astype(jnp.int32), seg_ids, out_cap)
-            out_cols[spec.output] = Column(cnt.astype(odt), None)
-            continue
-        in_col = table.columns[spec.input]
-        vals = jnp.take(in_col.values, sorted_perm)
-        valid = jnp.take(in_col.valid_or_true(), sorted_perm) & live
-        weight = valid
-        if spec.distinct and spec.aggregation in (Aggregation.SUM,
-                                                  Aggregation.COUNT):
-            # first-of-(group, value) only: compare against previous sorted
-            # row (rows are sorted by (key, value) for distinct specs —
-            # see caller's extra sort).
-            vcode = monotone_code(vals, schema_in.lookup(spec.input).type)
-            prev_v = jnp.roll(vcode, 1)
-            prev_valid = jnp.roll(valid, 1)
-            prev_seg = jnp.roll(seg_ids, 1)
-            same = (seg_ids == prev_seg) & (vcode == prev_v) & \
-                   (valid == prev_valid) & (pos > 0)
-            weight = weight & ~same
-
         agg = spec.aggregation
+        if agg == Aggregation.COUNT and spec.input is None:
+            w = live_s.astype(jnp.int64)
+            out[spec.output] = (seg_cumsum(w, reset).astype(odt), None)
+            continue
+        vals, valid = sorted_cols[spec.input]
+        valid = (jnp.ones_like(live_s) if valid is None else valid) & live_s
+        weight = valid
+        if spec.distinct and agg in (Aggregation.SUM, Aggregation.COUNT):
+            vcode = monotone_code(vals, schema_in.lookup(spec.input).type)
+            same = ((~boundary) & (vcode == jnp.roll(vcode, 1))
+                    & (valid == jnp.roll(valid, 1)) & (pos > 0))
+            weight = weight & ~same
         if agg == Aggregation.SUM:
             acc = jnp.where(weight, vals, jnp.zeros_like(vals)).astype(odt)
-            s = _seg_sum(acc, seg_ids, out_cap)
-            nvalid = _seg_sum(weight.astype(jnp.int32), seg_ids, out_cap)
-            out_cols[spec.output] = Column(s, nvalid > 0)
+            s = seg_cumsum(acc, reset)
+            nv = seg_cumsum(weight.astype(jnp.int32), reset)
+            out[spec.output] = (s, nv > 0)
         elif agg == Aggregation.COUNT:
-            cnt = _seg_sum(weight.astype(jnp.int32), seg_ids, out_cap)
-            out_cols[spec.output] = Column(cnt.astype(odt), None)
+            out[spec.output] = (
+                seg_cumsum(weight.astype(jnp.int64), reset).astype(odt),
+                None)
         elif agg == Aggregation.MIN:
             acc = jnp.where(weight, vals, _min_identity(vals.dtype))
-            m = _seg_min(acc, seg_ids, out_cap)
-            nvalid = _seg_sum(weight.astype(jnp.int32), seg_ids, out_cap)
-            out_cols[spec.output] = Column(m.astype(odt), nvalid > 0)
+            m = seg_cummin(acc, reset)
+            nv = seg_cumsum(weight.astype(jnp.int32), reset)
+            out[spec.output] = (m.astype(odt), nv > 0)
         elif agg == Aggregation.MAX:
             acc = jnp.where(weight, vals, _max_identity(vals.dtype))
-            m = _seg_max(acc, seg_ids, out_cap)
-            nvalid = _seg_sum(weight.astype(jnp.int32), seg_ids, out_cap)
-            out_cols[spec.output] = Column(m.astype(odt), nvalid > 0)
-        elif agg in (Aggregation.FIRST, Aggregation.LAST):
-            # FIRST/LAST take the group's first/last *row* value (including
-            # NULL), per the reference's assign-then-noop/assign-always
-            # update pair (aggregation_operators.h).
-            orig = jnp.take(sorted_perm, pos).astype(jnp.int32)
-            if agg == Aggregation.FIRST:
-                marker = jnp.where(live, orig, cap + 1)
-                sel = _seg_min(marker, seg_ids, out_cap)
-            else:
-                marker = jnp.where(live, orig, -1)
-                sel = _seg_max(marker, seg_ids, out_cap)
-            ok = (sel >= 0) & (sel <= cap)
-            safe = jnp.clip(sel, 0, cap - 1)
-            v = jnp.take(in_col.values, safe).astype(odt)
-            vv = jnp.take(in_col.valid_or_true(), safe) & ok
-            out_cols[spec.output] = Column(v, vv)
+            m = seg_cummax(acc, reset)
+            nv = seg_cumsum(weight.astype(jnp.int32), reset)
+            out[spec.output] = (m.astype(odt), nv > 0)
+        elif agg == Aggregation.FIRST:
+            fvals = seg_carry_first(vals, reset)
+            fvalid = seg_carry_first(valid, reset)
+            out[spec.output] = (fvals.astype(odt), fvalid)
+        elif agg == Aggregation.LAST:
+            # at a run's last row the row's own value IS the group LAST
+            out[spec.output] = (vals.astype(odt), valid)
         elif agg == Aggregation.CONCAT:
             raise NotImplementedError(
-                "CONCAT aggregation runs on host — use HostGroupConcat "
+                "CONCAT aggregation runs on host — use group_concat "
                 "(variable-length strings have no dense device encoding)")
         else:
             raise SchemaError(f"unknown aggregation {agg}")
-    return out_cols
+    return out
+
+
+def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
+                       out_schema, out_cap, max_keys, rctx: RunContext,
+                       pre_sorted: bool, rerank: bool):
+    """Shared core of GroupAggregate (pre_sorted=False) and
+    AggregateClusters (pre_sorted=True, no re-rank)."""
+    cap = t.capacity
+    pos = jnp.arange(cap)
+    key_attrs = [schema_in.lookup(n) for n in names]
+    # columns whose sorted values we need
+    needed = list(dict.fromkeys(
+        list(names) + [s.input for s in specs if s.input is not None]))
+
+    if pre_sorted:
+        live_s = t.row_mask()
+        sorted_cols = {n: (t.columns[n].values, t.columns[n].valid)
+                       for n in needed}
+        s_codes = group_code_columns(t, list(names))
+        orig_rowid = pos.astype(jnp.int32)
+    else:
+        codes = group_code_columns(t, list(names))
+        pad = (~t.row_mask()).astype(jnp.int32)
+        operands = [pad] + codes
+        has_distinct = any(s.distinct for s in specs)
+        if has_distinct:
+            seen = set()
+            for s in specs:
+                if s.distinct and s.input is not None and s.input not in seen:
+                    seen.add(s.input)
+                    c = t.columns[s.input]
+                    operands.append(monotone_code(
+                        c.values, schema_in.lookup(s.input).type))
+                    operands.append(c.valid_or_true().astype(jnp.int32))
+        payload = [pos.astype(jnp.int32)]
+        layout = []
+        for n in needed:
+            c = t.columns[n]
+            payload.append(c.values)
+            if c.valid is not None:
+                payload.append(c.valid)
+                layout.append((n, True))
+            else:
+                layout.append((n, False))
+        res = jax.lax.sort(operands + payload, num_keys=len(operands),
+                           is_stable=True)
+        s_codes = list(res[1:1 + len(codes)])
+        pi = len(operands)
+        orig_rowid = res[pi]
+        pi += 1
+        sorted_cols = {}
+        for n, has_valid in layout:
+            vals = res[pi]
+            pi += 1
+            valid = None
+            if has_valid:
+                valid = res[pi]
+                pi += 1
+            sorted_cols[n] = (vals, valid)
+        live_s = pos < t.num_rows  # pads sorted last
+
+    prev_same = jnp.ones(cap, dtype=jnp.bool_)
+    for c in s_codes:
+        prev_same = prev_same & (c == jnp.roll(c, 1))
+    boundary = live_s & (~prev_same | (pos == 0))
+    num_groups = jnp.sum(boundary.astype(jnp.int32))
+    nr = jnp.asarray(t.num_rows)
+    is_end = live_s & (jnp.roll(boundary, -1) | (pos == nr - 1))
+
+    agg_rows = _scan_aggregates(specs, schema_in, sorted_cols, boundary,
+                                live_s, pos)
+    first_row = seg_carry_first(orig_rowid, boundary)
+
+    # extraction: one compaction moves each run-end row's values
+    ext_cap = cap if max_keys is not None else out_cap
+    ext_attrs = list(key_attrs)
+    for s in specs:
+        ext_attrs.append(_resolve_output_attr(s, schema_in))
+    ext_attrs.append(Attribute("__first", DataType.INT32, False))
+    ext_schema = TupleSchema(ext_attrs)
+    ext_cols: dict[str, Column] = {}
+    for n in names:
+        vals, valid = sorted_cols[n]
+        ext_cols[n] = Column(vals, valid)
+    for s in specs:
+        vals, valid = agg_rows[s.output]
+        ext_cols[s.output] = Column(
+            vals, valid if _resolve_output_attr(s, schema_in).nullable
+            else None)
+    ext_cols["__first"] = Column(first_row.astype(jnp.int32), None)
+    ext_t = Table(ext_schema, ext_cols, t.num_rows, out_dicts, cap_hint=cap)
+    if max_keys is None:
+        rctx.error_flags.append(
+            ("aggregate result overflow", num_groups > out_cap))
+    compacted = compact_by_mask(ext_t, is_end, ext_cap)
+
+    if rerank:
+        from .sort import SortOrder, sort_table
+        ranked = sort_table(
+            Table(ext_schema, compacted.columns, num_groups, out_dicts,
+                  cap_hint=ext_cap),
+            SortOrder([("__first", True)]))
+    else:
+        ranked = compacted
+
+    cols = {n: ranked.columns[n] for n in
+            [a.name for a in key_attrs] + [s.output for s in specs]}
+    n_out = jnp.minimum(num_groups, out_cap)
+
+    if max_keys is not None:
+        K = max_keys
+        rank = jnp.arange(ext_cap)
+        overflow = (rank >= K) & (rank < num_groups)
+        merged = {}
+        for s in specs:
+            a = _resolve_output_attr(s, schema_in)
+            c = cols[s.output]
+            vals, valid = c.values, c.valid
+            v_eff = vals if valid is None else jnp.where(
+                valid, vals, jnp.zeros_like(vals))
+            agg = s.aggregation
+            if agg in (Aggregation.SUM, Aggregation.COUNT):
+                extra = jnp.sum(jnp.where(overflow, v_eff,
+                                          jnp.zeros_like(v_eff)))
+                vals = vals.at[K - 1].add(extra)
+            elif agg == Aggregation.MIN:
+                tail = jnp.min(jnp.where(
+                    overflow & (jnp.ones_like(overflow) if valid is None
+                                else valid),
+                    vals, _min_identity(vals.dtype)))
+                vals = vals.at[K - 1].set(jnp.minimum(vals[K - 1], tail))
+            elif agg == Aggregation.MAX:
+                tail = jnp.max(jnp.where(
+                    overflow & (jnp.ones_like(overflow) if valid is None
+                                else valid),
+                    vals, _max_identity(vals.dtype)))
+                vals = vals.at[K - 1].set(jnp.maximum(vals[K - 1], tail))
+            # FIRST/LAST keep the K-th group's own values
+            if valid is not None and agg in (Aggregation.SUM,
+                                             Aggregation.MIN,
+                                             Aggregation.MAX):
+                any_tail = jnp.any(overflow & valid)
+                valid = valid.at[K - 1].set(valid[K - 1] | any_tail)
+            merged[s.output] = Column(vals, valid)
+        cols.update(merged)
+        n_out = jnp.minimum(num_groups, K)
+
+    # slice down to the declared output capacity
+    if ext_cap != out_cap:
+        cols = {n: Column(c.values[:out_cap],
+                          None if c.valid is None else c.valid[:out_cap])
+                for n, c in cols.items()}
+    return Table(out_schema, cols, n_out, out_dicts, cap_hint=out_cap)
 
 
 class GroupAggregate(Operation):
-    """Hash group-by, TPU-style (sort + segmented reduce).
+    """Hash group-by, TPU-style (payload sort + segmented scans).
 
-    reference: GroupAggregate (aggregate_groups.cc:980), result ordering =
-    key insertion order (RowHashSet append order), reproduced here by
-    re-ranking groups on first-occurrence row id.
+    reference: GroupAggregate (aggregate_groups.cc:980); result ordering =
+    key insertion order (RowHashSet append order), reproduced by re-ranking
+    groups on first-occurrence row id.
     """
 
     best_effort = False
@@ -229,10 +347,7 @@ class GroupAggregate(Operation):
     def __init__(self, group_by: Sequence[str], specification, child,
                  options: GroupAggregateOptions | None = None):
         self.group_by = list(group_by)
-        if isinstance(specification, AggregationSpecification):
-            self.spec = specification
-        else:
-            self.spec = AggregationSpecification(specification)
+        self.spec = _normalize_spec(specification)
         self.child = child
         self.options = options or GroupAggregateOptions()
 
@@ -240,8 +355,6 @@ class GroupAggregate(Operation):
         cb = self.child.bind(ctx)
         names = self.group_by
         specs = self.spec.specs
-        for n in names:
-            cb.schema.lookup(n)
         key_attrs = [cb.schema.lookup(n) for n in names]
         agg_attrs = [_resolve_output_attr(s, cb.schema) for s in specs]
         out_schema = TupleSchema(key_attrs + agg_attrs)
@@ -253,87 +366,27 @@ class GroupAggregate(Operation):
         max_keys = opts.max_unique_keys_in_result
         distinct_inputs = {s.input for s in specs if s.distinct}
         if len(distinct_inputs) > 1:
-            # Multi-column DISTINCT needs the reference's hybrid column-group
-            # replication (hybrid_group_utils.h:20-66) — not yet ported.
+            # Multi-column DISTINCT needs the reference's hybrid column-
+            # group replication (hybrid_group_utils.h:20-66) — round 2.
             raise SchemaError(
                 "at most one DISTINCT input column supported per aggregate")
-        has_distinct = bool(distinct_inputs)
+        schema_in = cb.schema
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
-            cap = t.capacity
-            codes = group_code_columns(t, names)  # [null_rank, code] per key
-            pad = (jnp.arange(cap) >= t.num_rows).astype(jnp.int32)
-            rowid = jnp.arange(cap, dtype=jnp.int32)
-            sort_ops = [pad] + codes
-            if has_distinct:
-                # extra value-order keys so DISTINCT can compare neighbors
-                for s in specs:
-                    if s.distinct and s.input is not None:
-                        c = t.columns[s.input]
-                        sort_ops.append(
-                            monotone_code(c.values,
-                                          t.schema.lookup(s.input).type))
-                        sort_ops.append(c.valid_or_true().astype(jnp.int32))
-            res = jax.lax.sort(sort_ops + [rowid],
-                               num_keys=len(sort_ops), is_stable=True)
-            perm = res[-1]
-            s_codes = [res[i + 1] for i in range(len(codes))]
-            live = jnp.arange(cap) < t.num_rows  # pads sorted last
-            prev_same = jnp.ones(cap, dtype=jnp.bool_)
-            for c in s_codes:
-                prev_same = prev_same & (c == jnp.roll(c, 1))
-            boundary = live & (~prev_same | (jnp.arange(cap) == 0))
-            raw_gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-            num_groups = jnp.sum(boundary.astype(jnp.int32))
-            # rank groups by first-occurrence original row id => reference
-            # insertion order
-            first_row = jax.ops.segment_min(
-                jnp.where(live, perm, cap + 1),
-                jnp.where(live, raw_gid, out_cap + cap),  # drop pads
-                num_segments=cap)
-            gid_arr = jnp.arange(cap, dtype=jnp.int32)
-            sorted_pair = jax.lax.sort([first_row, gid_arr], num_keys=1,
-                                       is_stable=True)
-            rank_of = jnp.zeros(cap, dtype=jnp.int32).at[sorted_pair[1]].set(
-                gid_arr)
-            final_gid = jnp.take(rank_of, jnp.clip(raw_gid, 0, cap - 1))
-            if max_keys is not None:
-                over = final_gid >= max_keys
-                final_gid = jnp.minimum(final_gid, max_keys - 1)
-                num_groups = jnp.minimum(num_groups, max_keys)
-            final_gid = jnp.where(live & (final_gid < out_cap),
-                                  final_gid, out_cap)
-            num_groups = jnp.minimum(num_groups, out_cap)
-
-            # key columns: value at the group's first-occurrence row
-            key_first = jax.ops.segment_min(
-                jnp.where(live, perm, cap + 1), final_gid,
-                num_segments=out_cap)
-            ok = key_first <= cap
-            safe = jnp.clip(key_first, 0, cap - 1)
-            cols: dict[str, Column] = {}
-            for n, a in zip(names, key_attrs):
-                c = t.columns[n]
-                kv = jnp.take(c.values, safe)
-                kvalid = None
-                if a.nullable:
-                    kvalid = jnp.take(c.valid_or_true(), safe) & ok
-                cols[n] = Column(kv, kvalid)
-            cols.update(_aggregate_segments(
-                t, perm, final_gid, out_cap, specs, cb.schema, s_codes))
-            return Table(out_schema, cols, num_groups, out_dicts)
+            return _grouped_aggregate(
+                t, names, specs, schema_in, out_dicts, out_schema, out_cap,
+                max_keys, rctx, pre_sorted=False, rerank=True)
 
         return BoundOperation(out_schema, out_dicts, fn, out_cap)
 
 
 class BestEffortGroupAggregate(GroupAggregate):
     """Best-effort pregroup (reference: aggregate_groups.cc:989,
-    aggregate.h:233-246).  Under static HBM budgeting a full group-by always
-    fits its declared capacity, so single-chip best-effort == exact; the
-    partial-aggregate contract matters for the distributed pregroup ->
-    shuffle -> combine pipeline (parallel/dist_ops.py), which reuses this
-    op per shard."""
+    aggregate.h:233-246).  Under static HBM budgeting a full group-by
+    always fits its declared capacity, so single-chip best-effort ==
+    exact; the partial-aggregate contract matters for the distributed
+    pregroup -> shuffle -> combine pipeline (parallel/dist.py)."""
 
     best_effort = True
 
@@ -343,10 +396,7 @@ class ScalarAggregate(Operation):
     (reference: aggregate_scalar.cc:17-58)."""
 
     def __init__(self, specification, child):
-        if isinstance(specification, AggregationSpecification):
-            self.spec = specification
-        else:
-            self.spec = AggregationSpecification(specification)
+        self.spec = _normalize_spec(specification)
         self.child = child
 
     def bind(self, ctx: BindContext) -> BoundOperation:
@@ -354,13 +404,69 @@ class ScalarAggregate(Operation):
         specs = self.spec.specs
         out_schema = TupleSchema([_resolve_output_attr(s, cb.schema)
                                   for s in specs])
+        schema_in = cb.schema
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
-            cap = t.capacity
-            perm = jnp.arange(cap, dtype=jnp.int32)
-            seg = jnp.where(t.row_mask(), 0, 1)
-            cols = _aggregate_segments(t, perm, seg, 1, specs, cb.schema, [])
+            live = t.row_mask()
+            cols = {}
+            for s in specs:
+                a = _resolve_output_attr(s, schema_in)
+                odt = jnp_dtype(a.type)
+                agg = s.aggregation
+                if agg == Aggregation.COUNT and s.input is None:
+                    v = jnp.sum(live.astype(jnp.int64)).astype(odt)
+                    cols[s.output] = Column(v[None], None)
+                    continue
+                c = t.columns[s.input]
+                valid = c.valid_or_true() & live
+                vals = c.values
+                weight = valid
+                if s.distinct and agg in (Aggregation.SUM,
+                                          Aggregation.COUNT):
+                    code = monotone_code(vals,
+                                         schema_in.lookup(s.input).type)
+                    ops_ = [jnp.where(valid, 0, 1).astype(jnp.int32), code,
+                            valid.astype(jnp.int32)]
+                    sc = jax.lax.sort(ops_ + [vals], num_keys=3,
+                                      is_stable=True)
+                    svals, scode = sc[-1], sc[1]
+                    svalid = sc[2] > 0
+                    dup = ((scode == jnp.roll(scode, 1))
+                           & (jnp.arange(t.capacity) > 0))
+                    weight = svalid & ~dup
+                    vals = svals
+                    valid = svalid
+                if agg == Aggregation.SUM:
+                    v = jnp.sum(jnp.where(weight, vals,
+                                          jnp.zeros_like(vals))).astype(odt)
+                    ok = jnp.any(weight)
+                    cols[s.output] = Column(v[None], ok[None])
+                elif agg == Aggregation.COUNT:
+                    v = jnp.sum(weight.astype(jnp.int64)).astype(odt)
+                    cols[s.output] = Column(v[None], None)
+                elif agg == Aggregation.MIN:
+                    v = jnp.min(jnp.where(weight, vals,
+                                          _min_identity(vals.dtype)))
+                    cols[s.output] = Column(v.astype(odt)[None],
+                                            jnp.any(weight)[None])
+                elif agg == Aggregation.MAX:
+                    v = jnp.max(jnp.where(weight, vals,
+                                          _max_identity(vals.dtype)))
+                    cols[s.output] = Column(v.astype(odt)[None],
+                                            jnp.any(weight)[None])
+                elif agg in (Aggregation.FIRST, Aggregation.LAST):
+                    c2 = t.columns[s.input]
+                    n = jnp.asarray(t.num_rows)
+                    if agg == Aggregation.FIRST:
+                        idx = jnp.int32(0)
+                    else:
+                        idx = jnp.maximum(n - 1, 0).astype(jnp.int32)
+                    v = jnp.take(c2.values, idx)
+                    ok = jnp.take(c2.valid_or_true(), idx) & (n > 0)
+                    cols[s.output] = Column(v.astype(odt)[None], ok[None])
+                else:
+                    raise NotImplementedError(f"scalar {agg}")
             return Table(out_schema, cols, 1, {})
 
         return BoundOperation(out_schema, {}, fn, 1)
@@ -368,16 +474,13 @@ class ScalarAggregate(Operation):
 
 class AggregateClusters(Operation):
     """Streaming aggregate over key-clustered input (reference:
-    aggregate_clusters.cc:338-646): group boundaries are detected by
-    comparing consecutive rows; no sort, output in input cluster order."""
+    aggregate_clusters.cc:338-646): group boundaries detected by comparing
+    consecutive rows; no sort, output in input cluster order."""
 
     def __init__(self, group_by: Sequence[str], specification, child,
                  out_capacity: Optional[int] = None):
         self.group_by = list(group_by)
-        if isinstance(specification, AggregationSpecification):
-            self.spec = specification
-        else:
-            self.spec = AggregationSpecification(specification)
+        self.spec = _normalize_spec(specification)
         self.child = child
         self.out_capacity = out_capacity
 
@@ -390,34 +493,12 @@ class AggregateClusters(Operation):
         out_schema = TupleSchema(key_attrs + agg_attrs)
         out_dicts = {n: cb.dicts[n] for n in names if n in cb.dicts}
         out_cap = self.out_capacity or cb.capacity
+        schema_in = cb.schema
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
-            cap = t.capacity
-            codes = group_code_columns(t, names)
-            live = t.row_mask()
-            prev_same = jnp.ones(cap, dtype=jnp.bool_)
-            for c in codes:
-                prev_same = prev_same & (c == jnp.roll(c, 1))
-            boundary = live & (~prev_same | (jnp.arange(cap) == 0))
-            gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
-            num_groups = jnp.sum(boundary.astype(jnp.int32))
-            gid = jnp.where(live & (gid < out_cap), gid, out_cap)
-            perm = jnp.arange(cap, dtype=jnp.int32)
-            first = jax.ops.segment_min(jnp.where(live, perm, cap + 1), gid,
-                                        num_segments=out_cap)
-            ok = first <= cap
-            safe = jnp.clip(first, 0, cap - 1)
-            cols = {}
-            for n, a in zip(names, key_attrs):
-                c = t.columns[n]
-                kv = jnp.take(c.values, safe)
-                kvalid = (jnp.take(c.valid_or_true(), safe) & ok
-                          if a.nullable else None)
-                cols[n] = Column(kv, kvalid)
-            cols.update(_aggregate_segments(
-                t, perm, gid, out_cap, specs, cb.schema, codes))
-            return Table(out_schema, cols, jnp.minimum(num_groups, out_cap),
-                         out_dicts)
+            return _grouped_aggregate(
+                t, names, specs, schema_in, out_dicts, out_schema, out_cap,
+                None, rctx, pre_sorted=True, rerank=False)
 
         return BoundOperation(out_schema, out_dicts, fn, out_cap)
