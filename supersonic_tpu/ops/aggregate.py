@@ -183,25 +183,31 @@ def _scan_aggregates(specs, schema_in, sorted_cols, boundary, live_s, pos):
 
 def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                        out_schema, out_cap, max_keys, rctx: RunContext,
-                       pre_sorted: bool, rerank: bool):
+                       pre_sorted: bool, rerank: bool, keep=None,
+                       live_count=None):
     """Shared core of GroupAggregate (pre_sorted=False) and
-    AggregateClusters (pre_sorted=True, no re-rank)."""
+    AggregateClusters (pre_sorted=True, no re-rank).  ``keep`` fuses an
+    upstream Filter: kept rows only, without a separate compaction."""
     cap = t.capacity
     pos = jnp.arange(cap)
+    if keep is None:
+        keep = t.row_mask()
+    if live_count is None:
+        live_count = jnp.asarray(t.num_rows)
     key_attrs = [schema_in.lookup(n) for n in names]
     # columns whose sorted values we need
     needed = list(dict.fromkeys(
         list(names) + [s.input for s in specs if s.input is not None]))
 
     if pre_sorted:
-        live_s = t.row_mask()
+        live_s = keep
         sorted_cols = {n: (t.columns[n].values, t.columns[n].valid)
                        for n in needed}
         s_codes = group_code_columns(t, list(names))
         orig_rowid = pos.astype(jnp.int32)
     else:
         codes = group_code_columns(t, list(names))
-        pad = (~t.row_mask()).astype(jnp.int32)
+        pad = (~keep).astype(jnp.int32)
         operands = [pad] + codes
         has_distinct = any(s.distinct for s in specs)
         if has_distinct:
@@ -238,15 +244,14 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                 valid = res[pi]
                 pi += 1
             sorted_cols[n] = (vals, valid)
-        live_s = pos < t.num_rows  # pads sorted last
+        live_s = pos < live_count  # pads/filtered rows sorted last
 
     prev_same = jnp.ones(cap, dtype=jnp.bool_)
     for c in s_codes:
         prev_same = prev_same & (c == jnp.roll(c, 1))
     boundary = live_s & (~prev_same | (pos == 0))
     num_groups = jnp.sum(boundary.astype(jnp.int32))
-    nr = jnp.asarray(t.num_rows)
-    is_end = live_s & (jnp.roll(boundary, -1) | (pos == nr - 1))
+    is_end = live_s & (jnp.roll(boundary, -1) | (pos == live_count - 1))
 
     agg_rows = _scan_aggregates(specs, schema_in, sorted_cols, boundary,
                                 live_s, pos)
@@ -269,7 +274,7 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
             vals, valid if _resolve_output_attr(s, schema_in).nullable
             else None)
     ext_cols["__first"] = Column(first_row.astype(jnp.int32), None)
-    ext_t = Table(ext_schema, ext_cols, t.num_rows, out_dicts, cap_hint=cap)
+    ext_t = Table(ext_schema, ext_cols, live_count, out_dicts, cap_hint=cap)
     if max_keys is None:
         rctx.error_flags.append(
             ("aggregate result overflow", num_groups > out_cap))
@@ -352,7 +357,10 @@ class GroupAggregate(Operation):
         self.options = options or GroupAggregateOptions()
 
     def bind(self, ctx: BindContext) -> BoundOperation:
-        cb = self.child.bind(ctx)
+        from .filter import bind_predicates, keep_mask, unwrap_filters
+        inner, preds = unwrap_filters(self.child)
+        cb = inner.bind(ctx)
+        bound_preds = bind_predicates(preds, cb)
         names = self.group_by
         specs = self.spec.specs
         key_attrs = [cb.schema.lookup(n) for n in names]
@@ -374,9 +382,14 @@ class GroupAggregate(Operation):
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
+            keep = live_count = None
+            if bound_preds:
+                keep = keep_mask(bound_preds, rctx, t)
+                live_count = jnp.sum(keep.astype(jnp.int32))
             return _grouped_aggregate(
                 t, names, specs, schema_in, out_dicts, out_schema, out_cap,
-                max_keys, rctx, pre_sorted=False, rerank=True)
+                max_keys, rctx, pre_sorted=False, rerank=True, keep=keep,
+                live_count=live_count)
 
         return BoundOperation(out_schema, out_dicts, fn, out_cap)
 

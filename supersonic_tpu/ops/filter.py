@@ -90,6 +90,43 @@ def compact_by_mask(table: Table, mask: jnp.ndarray,
                  cap_hint=out_cap)
 
 
+def unwrap_filters(op):
+    """Peel Filter wrappers off a plan node: (inner_child, [predicates]).
+
+    Sort / GroupAggregate / HashJoin fuse a child Filter by folding the
+    predicate into their own sort's pad key — the filtered rows sort last
+    and are excluded by the valid-row count, so the compaction sort
+    disappears entirely (reference analogue: Supersonic pipelines the
+    filter per view; here the fusion is across operators).
+    """
+    preds = []
+    while isinstance(op, Filter):
+        preds.append(op.predicate)
+        op = op.child
+    return op, preds
+
+
+def bind_predicates(preds, cb):
+    from ..types import DataType as _DT, TypeError_
+    bounds = []
+    for p in preds:
+        b = p.bind(cb.schema, cb.dicts)
+        if b.type != _DT.BOOL:
+            raise TypeError_(f"filter predicate must be BOOL, got {b.type}")
+        bounds.append(b)
+    return bounds
+
+
+def keep_mask(bound_preds, rctx, t: Table) -> jnp.ndarray:
+    """row_mask AND all predicates (NULL counts as false)."""
+    keep = t.row_mask()
+    ectx = rctx.eval_context(t)
+    for b in bound_preds:
+        v = b.evaluate(ectx)
+        keep = keep & v.values & v.valid_or_true()
+    return keep
+
+
 class Filter(Operation):
     def __init__(self, predicate: Expression, child: Operation,
                  out_capacity: int | None = None):

@@ -122,7 +122,10 @@ class HashJoin(Operation):
         self.out_capacity = out_capacity
 
     def bind(self, ctx: BindContext) -> BoundOperation:
-        lb = self.lhs.bind(ctx)
+        from .filter import bind_predicates, keep_mask, unwrap_filters
+        lhs_inner, lhs_preds = unwrap_filters(self.lhs)
+        lb = lhs_inner.bind(ctx)
+        bound_preds = bind_predicates(lhs_preds, lb)
         rb = self.rhs.bind(ctx)
         lpairs = self.lhs_projector.resolve(lb.schema)
         rpairs = self.rhs_projector.resolve(rb.schema)
@@ -187,6 +190,8 @@ class HashJoin(Operation):
         def fn(rctx: RunContext) -> Table:
             lt = lb.run(rctx)
             rt = rb.run(rctx)
+            lkeep = keep_mask(bound_preds, rctx, lt) if bound_preds \
+                else lt.row_mask()
             bcodes, bnull = _key_codes(rt, rhs_keys)
             pcodes, pnull = _key_codes(lt, lhs_keys)
             for i, rm in enumerate(remaps):
@@ -214,7 +219,7 @@ class HashJoin(Operation):
             # prefix-count of live build rows, and lower = that count at
             # its run's start — pure cumsum/cummax work.  One more
             # payload sort restores probe row order.
-            pinert = pnull | ~lt.row_mask()
+            pinert = pnull | ~lkeep
             cat_codes = []
             for bc, pc in zip(bcodes, pcodes):
                 dt = jnp.promote_types(bc.dtype, pc.dtype)
@@ -253,33 +258,42 @@ class HashJoin(Operation):
                 # LEFT_OUTER keeps lhs columns zero-copy; INNER moves the
                 # surviving rows with one payload-sort compaction (gathers
                 # are the most expensive primitive on TPU).
-                matched = count > 0
+                matched = (count > 0) & lkeep
                 bpos0 = jnp.clip(lower, 0, rcap - 1)
-                if left_outer:
+                if left_outer and not bound_preds:
                     n_out = lt.num_rows
-                    ridx = jnp.where(matched & lt.row_mask(),
-                                     jnp.take(build_perm, bpos0), -1)
+                    ridx = jnp.where(matched, jnp.take(build_perm, bpos0),
+                                     -1)
                     lhs_out = lt
                 else:
-                    aug_schema = lb.schema.concat(TupleSchema(
-                        [Attribute("__bpos", DataType.INT32, False)]))
+                    # compaction path: INNER keeps matched rows; fused
+                    # LEFT_OUTER keeps all filter-surviving rows
+                    emit = lkeep if left_outer else matched
+                    aug_attrs = [Attribute("__bpos", DataType.INT32, False)]
+                    if left_outer:
+                        aug_attrs.append(
+                            Attribute("__match", DataType.BOOL, False))
+                    aug_schema = lb.schema.concat(TupleSchema(aug_attrs))
                     aug_cols = dict(lt.columns)
                     aug_cols["__bpos"] = Column(bpos0.astype(jnp.int32),
                                                 None)
+                    if left_outer:
+                        aug_cols["__match"] = Column(matched, None)
                     aug = Table(aug_schema, aug_cols, lt.num_rows,
                                 dict(lt.dicts), cap_hint=lcap)
                     from .filter import compact_by_mask
                     if out_cap < lcap:
                         rctx.error_flags.append((
                             "join result overflow",
-                            jnp.sum((matched & lt.row_mask())
-                                    .astype(jnp.int32)) > out_cap))
-                    lhs_out = compact_by_mask(aug, matched & lt.row_mask(),
-                                              out_cap)
+                            jnp.sum(emit.astype(jnp.int32)) > out_cap))
+                    lhs_out = compact_by_mask(aug, emit, out_cap)
                     n_out = lhs_out.num_rows
                     live_o = jnp.arange(out_cap) < n_out
+                    hit_o = live_o
+                    if left_outer:
+                        hit_o = live_o & lhs_out.columns["__match"].values
                     ridx = jnp.where(
-                        live_o,
+                        hit_o,
                         jnp.take(build_perm,
                                  lhs_out.columns["__bpos"].values), -1)
                 rgath = gather_table(rt, ridx, n_out,
@@ -296,7 +310,7 @@ class HashJoin(Operation):
                     cols[dst] = c
                 return Table(out_schema, cols, n_out, out_dicts)
             if left_outer:
-                eff = jnp.where(lt.row_mask(), jnp.maximum(count, 1), 0)
+                eff = jnp.where(lkeep, jnp.maximum(count, 1), 0)
             else:
                 eff = count
             # int32 cumsum: a 64-bit cumsum lowers to an emulated u32-pair

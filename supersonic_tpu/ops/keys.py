@@ -49,16 +49,20 @@ def descending_code(code: jnp.ndarray) -> jnp.ndarray:
     return ~code
 
 
-def key_operands(table: Table, names: list[str], ascendings: list[bool]):
+def key_operands(table: Table, names: list[str], ascendings: list[bool],
+                 pad_mask=None):
     """Build the lax.sort operand list for the given key columns.
 
     Returns (operands, num_keys): [pad_rank] + per-key [null_rank, code].
     Ascending signed order over the operand tuple == the reference's
     multi-column comparator with NULL-first-ascending semantics; padding
-    rows always sort last.
+    rows always sort last.  ``pad_mask`` overrides the default
+    rows-past-num_rows padding (used for filter fusion).
     """
     cap = table.capacity
-    pad = (jnp.arange(cap) >= table.num_rows).astype(jnp.int32)
+    if pad_mask is None:
+        pad_mask = jnp.arange(cap) >= table.num_rows
+    pad = pad_mask.astype(jnp.int32)
     operands = [pad]
     for name, asc in zip(names, ascendings):
         attr = table.schema.lookup(name)

@@ -65,7 +65,8 @@ def sort_permutation(table: Table, order: SortOrder) -> jnp.ndarray:
 
 
 def sort_table(table: Table, order: SortOrder,
-               key_override: Optional[dict[str, jnp.ndarray]] = None) -> Table:
+               key_override: Optional[dict[str, jnp.ndarray]] = None,
+               pad_mask=None, num_rows=None) -> Table:
     """Sort a whole Table in ONE stable multi-operand lax.sort: all columns
     ride as payload operands, avoiding the permutation + per-column gather
     (gathers are ~2x the cost of the sort itself on TPU).
@@ -81,7 +82,7 @@ def sort_table(table: Table, order: SortOrder,
         shadow = Table(table.schema, cols, table.num_rows, table.dicts,
                        cap_hint=table.capacity)
     operands, num_keys = key_operands(shadow, order.names(),
-                                      order.ascendings())
+                                      order.ascendings(), pad_mask=pad_mask)
     payload: list[jnp.ndarray] = []
     layout: list[tuple[str, bool]] = []
     for name in table.schema.names():
@@ -104,8 +105,9 @@ def sort_table(table: Table, order: SortOrder,
             valid = res[i]
             i += 1
         cols[name] = Column(vals, valid)
-    return Table(table.schema, cols, table.num_rows, dict(table.dicts),
-                 cap_hint=table.capacity)
+    return Table(table.schema, cols,
+                 table.num_rows if num_rows is None else num_rows,
+                 dict(table.dicts), cap_hint=table.capacity)
 
 
 class Sort(Operation):
@@ -114,13 +116,21 @@ class Sort(Operation):
         self.child = child
 
     def bind(self, ctx: BindContext) -> BoundOperation:
-        cb = self.child.bind(ctx)
+        from .filter import bind_predicates, keep_mask, unwrap_filters
+        inner, preds = unwrap_filters(self.child)
+        cb = inner.bind(ctx)
+        bound_preds = bind_predicates(preds, cb)
         for k in self.order.keys:
             cb.schema.lookup(k.name)
         order = self.order
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
+            if bound_preds:
+                # fused Filter: fold the predicate into the pad key
+                keep = keep_mask(bound_preds, rctx, t)
+                return sort_table(t, order, pad_mask=~keep,
+                                  num_rows=jnp.sum(keep.astype(jnp.int32)))
             return sort_table(t, order)
 
         return BoundOperation(cb.schema, cb.dicts, fn, cb.capacity)
