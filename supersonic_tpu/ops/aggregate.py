@@ -372,13 +372,18 @@ class GroupAggregate(Operation):
         if opts.max_unique_keys_in_result:
             out_cap = min(out_cap, opts.max_unique_keys_in_result)
         max_keys = opts.max_unique_keys_in_result
-        distinct_inputs = {s.input for s in specs if s.distinct}
-        if len(distinct_inputs) > 1:
-            # Multi-column DISTINCT needs the reference's hybrid column-
-            # group replication (hybrid_group_utils.h:20-66) — round 2.
-            raise SchemaError(
-                "at most one DISTINCT input column supported per aggregate")
         schema_in = cb.schema
+        # DISTINCT needs (key, value)-sorted rows; with multiple distinct
+        # input columns the engine runs one sorted pass per distinct column
+        # (the reference replicates input per column group instead —
+        # hybrid_group_utils.h:20-66 — same asymptotics).
+        distinct_inputs = sorted({s.input for s in specs if s.distinct})
+        subsets: list[list[AggSpec]] = []
+        base = [s for s in specs
+                if not (s.distinct and s.input in distinct_inputs[1:])]
+        subsets.append(base)
+        for d in distinct_inputs[1:]:
+            subsets.append([s for s in specs if s.distinct and s.input == d])
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
@@ -386,10 +391,27 @@ class GroupAggregate(Operation):
             if bound_preds:
                 keep = keep_mask(bound_preds, rctx, t)
                 live_count = jnp.sum(keep.astype(jnp.int32))
-            return _grouped_aggregate(
-                t, names, specs, schema_in, out_dicts, out_schema, out_cap,
-                max_keys, rctx, pre_sorted=False, rerank=True, keep=keep,
-                live_count=live_count)
+            parts = []
+            for sub in subsets:
+                sub_schema = TupleSchema(
+                    key_attrs + [_resolve_output_attr(s, schema_in)
+                                 for s in sub])
+                parts.append(_grouped_aggregate(
+                    t, names, sub, schema_in, out_dicts, sub_schema,
+                    out_cap, max_keys, rctx, pre_sorted=False, rerank=True,
+                    keep=keep, live_count=live_count))
+            first = parts[0]
+            if len(parts) == 1:
+                return first
+            # every pass ranks groups identically (same keys, same first-
+            # occurrence rows) so the agg columns align row-for-row
+            cols = dict(first.columns)
+            for p in parts[1:]:
+                for s_name in p.schema.names():
+                    if s_name not in cols:
+                        cols[s_name] = p.columns[s_name]
+            return Table(out_schema, cols, first.num_rows, out_dicts,
+                         cap_hint=out_cap)
 
         return BoundOperation(out_schema, out_dicts, fn, out_cap)
 

@@ -321,6 +321,120 @@ def dist_hash_join(mesh: Mesh, join_type: JoinType,
     return dist_map(mesh, local_join, lsh, rsh)
 
 
+def _hot_key_hashes(local: Table, keys: list[str], num_parts: int,
+                    top_h: int, min_count) -> jnp.ndarray:
+    """Globally-agreed hot key hashes (uint32[top_h]; 0xFFFFFFFF = unused).
+
+    Each shard finds its top-H most frequent key hashes by sorted run
+    lengths, all-gathers the candidates, combines counts, and keeps keys
+    whose global count exceeds ``min_count``.  Deterministic and identical
+    on every shard (skew detection per BASELINE north star).
+    """
+    cap = local.capacity
+    codes = group_code_columns(local, keys)
+    h = combine_hash(codes[1::2], codes[0::2])
+    live = local.row_mask()
+    h = jnp.where(live, h, jnp.uint32(0xFFFFFFFF))
+    hs = jax.lax.sort([h], num_keys=1, is_stable=False)[0]
+    pos = jnp.arange(cap)
+    boundary = (hs != jnp.roll(hs, 1)) | (pos == 0)
+    # run length at run end = pos - run_start + 1
+    run_start = jax.lax.cummax(jnp.where(boundary, pos, 0))
+    nxt = jnp.roll(boundary, -1) | (pos == cap - 1)
+    length = jnp.where(nxt & (hs != jnp.uint32(0xFFFFFFFF)),
+                       (pos - run_start + 1).astype(jnp.int32), 0)
+    # top-H runs on this shard
+    res = jax.lax.sort([-length, hs], num_keys=1, is_stable=False)
+    cand_h = res[1][:top_h]
+    cand_c = (-res[0][:top_h]).astype(jnp.int32)
+    all_h = jax.lax.all_gather(cand_h, AXIS, tiled=True)   # [P*H]
+    all_c = jax.lax.all_gather(cand_c, AXIS, tiled=True)
+    # combine counts for identical hashes (tiny O((PH)^2) compare)
+    eq = all_h[:, None] == all_h[None, :]
+    totals = jnp.sum(jnp.where(eq, all_c[None, :], 0), axis=1)
+    first = jnp.argmax(eq, axis=1) == jnp.arange(all_h.shape[0])
+    totals = jnp.where(first & (all_h != jnp.uint32(0xFFFFFFFF)), totals, 0)
+    sel = jax.lax.sort([-totals, all_h], num_keys=1, is_stable=False)
+    hot = jnp.where((-sel[0][:top_h]) >= min_count, sel[1][:top_h],
+                    jnp.uint32(0xFFFFFFFF))
+    return hot
+
+
+def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
+                        lhs_keys: Sequence[str], rhs_keys: Sequence[str],
+                        lhs: Table, rhs: Table,
+                        rhs_key_uniqueness=KeyUniqueness.NOT_UNIQUE,
+                        out_cap_per_peer: Optional[int] = None,
+                        hot_cap: int = 1024, top_h: int = 16,
+                        min_frac: float = 0.01, **join_kwargs) -> Table:
+    """Skew-aware repartition join (BASELINE north star): keys hot enough
+    to overwhelm one shard are detected from per-shard histograms; their
+    BUILD rows are broadcast to every shard and their PROBE rows stay
+    local, while cold keys take the normal hash shuffle."""
+    num_parts = mesh.devices.size
+    lcap = out_cap_per_peer or (lhs._cap_hint or 1024)
+    rcap = out_cap_per_peer or (rhs._cap_hint or 1024)
+    lkeys, rkeys = list(lhs_keys), list(rhs_keys)
+    total_rows = int(np.sum(np.asarray(jax.device_get(lhs.num_rows))))
+    min_count = max(int(total_rows * min_frac), 2)
+
+    def probe_shuffle(block):
+        local = _local_view(block)
+        hot = _hot_key_hashes(local, lkeys, num_parts, top_h, min_count)
+        codes = group_code_columns(local, lkeys)
+        h = combine_hash(codes[1::2], codes[0::2])
+        is_hot = jnp.any(h[:, None] == hot[None, :], axis=1)
+        me = jax.lax.axis_index(AXIS).astype(jnp.int32)
+        dest = jnp.where(is_hot, me, partition_of(h, num_parts))
+        return _stack_local(
+            _exchange_local(local, dest, num_parts, lcap)), hot
+
+    def build_shuffle(block, hot):
+        local = _local_view(block)
+        codes = group_code_columns(local, rkeys)
+        h = combine_hash(codes[1::2], codes[0::2])
+        is_hot = jnp.any(h[:, None] == hot[None, :], axis=1) \
+            & local.row_mask()
+        # cold rows: normal hash shuffle (hot rows dropped from exchange)
+        dest = jnp.where(is_hot, num_parts, partition_of(h, num_parts))
+        cold = _exchange_local(local, dest, num_parts, rcap)
+        # hot rows: compact locally then all_gather to every shard
+        from ..ops.filter import compact_by_mask
+        hot_local = compact_by_mask(local, is_hot, hot_cap)
+        gathered_cols = {}
+        counts = jax.lax.all_gather(
+            jnp.reshape(hot_local.num_rows, (1,)).astype(jnp.int32),
+            AXIS, tiled=True)                      # [P]
+        for name in local.schema.names():
+            c = hot_local.columns[name]
+            gv = jax.lax.all_gather(c.values, AXIS, tiled=True)  # [P*cap]
+            gvalid = (None if c.valid is None else
+                      jax.lax.all_gather(c.valid, AXIS, tiled=True))
+            gathered_cols[name] = Column(gv, gvalid)
+        gcap = num_parts * hot_cap
+        gpos = jnp.arange(gcap)
+        live_g = (gpos % hot_cap) < jnp.take(counts, gpos // hot_cap)
+        hot_all = Table(local.schema, gathered_cols, jnp.sum(counts),
+                        dict(local.dicts), cap_hint=gcap)
+        hot_dense = compact_by_mask(hot_all, live_g, gcap)
+        from ..batch import concat_tables
+        merged = concat_tables([cold, hot_dense])
+        return _stack_local(merged)
+
+    def wrapper(lblock, rblock):
+        shuffled_l, hot = probe_shuffle(lblock)
+        shuffled_r = build_shuffle(rblock, hot)
+        lt = _local_view(shuffled_l)
+        rt = _local_view(shuffled_r)
+        plan = HashJoin(join_type, lkeys, rkeys, ScanTable(lt),
+                        ScanTable(rt), rhs_key_uniqueness, **join_kwargs)
+        bound, leaves = bind_plan(plan)
+        return _stack_local(bound.run(RunContext(leaves)))
+
+    return jax.shard_map(wrapper, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                         out_specs=P(AXIS), check_vma=False)(lhs, rhs)
+
+
 def dist_sort(mesh: Mesh, dist: Table, order, samples_per_shard: int = 64,
               out_cap_per_peer: Optional[int] = None) -> Table:
     """Distributed sample sort: sample keys -> all_gather -> splitters ->

@@ -127,3 +127,16 @@ def test_group_by_double_negzero():
     out = execute(GroupAggregate(["k"], [AggSpec(SUM, "v", "s")],
                                  ScanTable(t)))
     assert out.to_pylist() == [(0.0, 3)]
+
+
+def test_multi_column_distinct():
+    schema = TupleSchema.of(("k", INT64), ("a", INT64), ("b", INT64))
+    t = Table.from_data(schema, {
+        "k": [1, 1, 1, 2], "a": [5, 5, 7, 5], "b": [3, 4, 3, 3]})
+    out = execute(GroupAggregate(
+        ["k"],
+        [AggSpec(Aggregation.COUNT, "a", "da", distinct=True),
+         AggSpec(Aggregation.COUNT, "b", "db", distinct=True),
+         AggSpec(Aggregation.SUM, "a", "sa")],
+        ScanTable(t)))
+    assert out.to_pylist() == [(1, 2, 2, 17), (2, 1, 1, 5)]

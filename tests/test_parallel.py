@@ -111,3 +111,29 @@ def test_left_outer_dist_join():
         KeyUniqueness.UNIQUE, out_cap_per_peer=32))
     assert sorted(got.to_pylist(), key=str) == \
         sorted(expected.to_pylist(), key=str)
+
+
+def test_skew_aware_join_matches_local():
+    from supersonic_tpu.parallel.dist import dist_hash_join_skew
+    rng = np.random.default_rng(11)
+    n, m = 400, 50
+    # heavy skew: 60% of probe rows hit key 7
+    fk = np.where(rng.random(n) < 0.6, 7, rng.integers(0, m, n))
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT64, False),
+                       ("lv", DataType.INT64, False)),
+        {"fk": fk, "lv": np.arange(n)})
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT64, False),
+                       ("w", DataType.INT64, False)),
+        {"pk": np.arange(m), "w": np.arange(m) * 10})
+    expected = execute(HashJoin(JoinType.INNER, ["fk"], ["pk"],
+                                ScanTable(lhs), ScanTable(rhs),
+                                KeyUniqueness.UNIQUE))
+    mesh = make_mesh()
+    got = collect_table(dist_hash_join_skew(
+        mesh, JoinType.INNER, ["fk"], ["pk"],
+        distribute_table(lhs, mesh), distribute_table(rhs, mesh),
+        KeyUniqueness.UNIQUE, out_cap_per_peer=512, hot_cap=64,
+        min_frac=0.05))
+    assert sorted(got.to_pylist()) == sorted(expected.to_pylist())
