@@ -119,6 +119,15 @@ class Table:
                 codes, valid_np, d = dict_mod.encode(list(raw))
                 out_dicts[attr.name] = d
                 vals_np = codes
+            elif attr.type == DataType.ENUM and any(
+                    isinstance(v, str) for v in raw):
+                # ENUM given by value names -> codes via the schema's map
+                lst = list(raw)
+                valid_np = np.array([v is not None for v in lst], dtype=bool)
+                vals_np = np.array(
+                    [attr.enum.code_of(v) if isinstance(v, str)
+                     else (v if v is not None else 0) for v in lst],
+                    dtype=dtype)
             else:
                 if isinstance(raw, np.ndarray) and raw.dtype != object:
                     vals_np = raw.astype(dtype, copy=False)
@@ -187,6 +196,12 @@ class Table:
                 decoded = self.dicts[attr.name].decode(vals)
                 decoded[~valid] = None
                 out[attr.name] = decoded
+            elif attr.type == DataType.ENUM:
+                obj = np.empty(n, dtype=object)
+                for i in range(n):
+                    obj[i] = (attr.enum.name_of(int(vals[i]))
+                              if valid[i] else None)
+                out[attr.name] = obj
             elif attr.nullable:
                 obj = np.empty(n, dtype=object)
                 for i in range(n):

@@ -44,6 +44,10 @@ def _comparable_pair(lb: BoundExpression, rb: BoundExpression):
             b = jnp.take(rb_j, jnp.clip(rv.values, 0, rb_j.shape[0] - 1))
             return a, b, merge_valid(lv.valid, rv.valid)
         return get
+    # ENUM compares as its int32 code space (against ENUM or integers)
+    def _as_num(t):
+        return DataType.INT32 if t == DataType.ENUM else t
+    lt, rt = _as_num(lt), _as_num(rt)
     if is_numeric(lt) and is_numeric(rt):
         common = common_numeric_type(lt, rt)
         dt = jnp_dtype(common)

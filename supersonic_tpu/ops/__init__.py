@@ -10,7 +10,8 @@ from .coalesce import Coalesce
 from .sort import ExtendedSort, Sort, SortKey, SortOrder, sort_permutation
 from .aggregate import (AggregateClusters, Aggregation, AggregationSpecification,
                         AggSpec, BestEffortGroupAggregate, GroupAggregate,
-                        GroupAggregateOptions, ScalarAggregate)
+                        GroupAggregateOptions, HybridGroupAggregate,
+                        ScalarAggregate)
 from .hash_join import HashJoin, JoinType, KeyUniqueness
 from .merge import MergeUnionAll
 from .rowid_join import ForeignFilter, RowidMergeJoin

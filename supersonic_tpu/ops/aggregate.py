@@ -426,6 +426,15 @@ class BestEffortGroupAggregate(GroupAggregate):
     best_effort = True
 
 
+class HybridGroupAggregate(GroupAggregate):
+    """Disk-capable group-by (reference: aggregate_groups.cc:1146
+    HybridGroupAggregate): pregroup -> DISTINCT column-group transform ->
+    disk sort -> combine.  Under the TPU engine's static HBM budgeting
+    nothing spills: the sort+scan GroupAggregate already handles arbitrary
+    cardinality and multi-column DISTINCT in memory, so Hybrid is
+    semantically the same operator (retained for API parity)."""
+
+
 class ScalarAggregate(Operation):
     """Aggregate the whole input to exactly one row — even when empty
     (reference: aggregate_scalar.cc:17-58)."""

@@ -71,3 +71,17 @@ def test_pytree_roundtrip():
     t2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert t2.to_pylist() == t.to_pylist()
     assert t2.schema == t.schema
+
+
+def test_enum_column():
+    from supersonic_tpu import EnumDefinition, DataType, ScanTable, Filter, col, Const, execute
+    from supersonic_tpu.types import DataType as DT
+    colors = EnumDefinition(("red", "green", "blue"))
+    schema = TupleSchema.of(Attribute("c", DT.ENUM, True, colors),
+                            ("v", INT64))
+    t = Table.from_data(schema, {"c": ["blue", "red", None, "green"],
+                                 "v": [1, 2, 3, 4]})
+    assert t.to_pylist() == [("blue", 1), ("red", 2), (None, 3), ("green", 4)]
+    out = execute(Filter(col("c").eq(Const(colors.code_of("red"),
+                                           DT.INT32)), ScanTable(t)))
+    assert out.to_pylist() == [("red", 2)]
