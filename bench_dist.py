@@ -1,0 +1,103 @@
+"""Distributed-pipeline scaling benchmark (BASELINE.json config 5).
+
+Runs the full filter -> join -> group-by -> sort pipeline over a 1-device
+and an N-device mesh and reports rows/s + scaling efficiency.  On this
+container only one real TPU chip exists, so by default this runs on the
+CPU backend with an emulated 8-device mesh (`--devices N`); on a real
+multi-chip slice the same code measures ICI scaling (target: >=80% linear,
+BASELINE.md).
+"""
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def run(n_rows: int, n_dim: int, devices: int, cpu: bool):
+    if cpu:
+        import os
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                   f" --xla_force_host_platform_device_count={max(devices, 8)}")
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from supersonic_tpu import (AggSpec, Aggregation, Const, DataType,
+                                Filter, JoinType, KeyUniqueness, ScanTable,
+                                Table, TupleSchema, col)
+    from supersonic_tpu.parallel import (dist_group_aggregate,
+                                         dist_hash_join, dist_map, dist_sort,
+                                         distribute_table, make_mesh,
+                                         run_local_plan)
+
+    rng = np.random.default_rng(42)
+    fact = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"fk": rng.integers(0, n_dim, n_rows).astype(np.int32),
+         "v": rng.random(n_rows, dtype=np.float32)})
+    dim = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("g", DataType.INT32, False)),
+        {"pk": np.arange(n_dim, dtype=np.int32),
+         "g": rng.integers(0, 64, n_dim).astype(np.int32)})
+
+    def pipeline(mesh, dfact, ddim, per_peer):
+        filtered = dist_map(
+            mesh,
+            lambda t: run_local_plan(
+                lambda tt: Filter(col("v") > Const(0.5, DataType.FLOAT),
+                                  ScanTable(tt)), t),
+            dfact)
+        joined = dist_hash_join(
+            mesh, JoinType.INNER, ["fk"], ["pk"], filtered, ddim,
+            KeyUniqueness.UNIQUE, out_cap_per_peer=per_peer)
+        agg = dist_group_aggregate(
+            mesh, joined, ["g"],
+            [AggSpec(Aggregation.SUM, "v", "sv"),
+             AggSpec(Aggregation.COUNT, None, "c")],
+            out_cap_per_peer=256)
+        return dist_sort(mesh, agg, ["g"], out_cap_per_peer=256)
+
+    import jax
+
+    results = {}
+    for P in (1, devices):
+        mesh = make_mesh(P)
+        dfact = distribute_table(fact, mesh)
+        ddim = distribute_table(dim, mesh)
+        per_peer = dfact._cap_hint
+
+        stepped = jax.jit(lambda a, b: pipeline(mesh, a, b, per_peer))
+        out = stepped(dfact, ddim)
+        np.asarray(out.num_rows)  # compile + settle
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = stepped(dfact, ddim)
+            np.asarray(out.num_rows)
+            np.asarray(out.columns["sv"].values[:, :1])
+            best = min(best, time.perf_counter() - t0)
+        results[P] = n_rows / best
+        print(f"P={P}: {best*1e3:8.1f} ms  {results[P]/1e6:8.1f} M rows/s",
+              file=sys.stderr)
+    eff = results[devices] / (results[1] * devices)
+    print(json.dumps({
+        "metric": "dist_pipeline_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": f"fraction of linear (1->{devices} devices)",
+        "vs_baseline": round(eff / 0.8, 3),
+    }))
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=1_000_000)
+    ap.add_argument("--dim", type=int, default=100_000)
+    ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--tpu", action="store_true",
+                    help="use the default (TPU) backend instead of CPU")
+    a = ap.parse_args()
+    run(a.rows, a.dim, a.devices, cpu=not a.tpu)

@@ -92,8 +92,6 @@ def compile_plan(op: Operation):
             flags = jnp.zeros(0, dtype=jnp.bool_)
         return out, flags
 
-    flag_names = None  # resolved lazily after first trace
-
     return run, bound, leaves
 
 
