@@ -61,12 +61,13 @@ def tpu_pipeline(fact, dim):
     dim_t = Table.from_data(
         TupleSchema.of(("pk", DataType.INT32, False),
                        ("g", DataType.INT32, False)), dim)
+    # SUM keeps the input type (FLOAT), matching the reference's default
+    # output-type rule (aggregation_operators.h)
     plan = Sort(
         [SortKey("sv", ascending=False)],
         GroupAggregate(
             ["g"],
-            [AggSpec(Aggregation.SUM, "v", "sv",
-                     output_type=DataType.DOUBLE),
+            [AggSpec(Aggregation.SUM, "v", "sv"),
              AggSpec(Aggregation.COUNT, None, "c")],
             HashJoin(JoinType.INNER, ["fk"], ["pk"],
                      Filter(col("v") > Const(0.5, DataType.FLOAT),

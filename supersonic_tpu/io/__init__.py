@@ -1,3 +1,4 @@
 from .file_io import load, read_table, save, write_table
-from .serialization import (SerializationError, build_expression,
-                            build_expression_from_json)
+from .serialization import (SerializationError, build_aggregation,
+                            build_expression, build_expression_from_json,
+                            build_sort_order)

@@ -122,3 +122,34 @@ def build_expression_from_json(text: str) -> Expression:
     import json
 
     return build_expression(json.loads(text))
+
+
+def build_sort_order(desc: list):
+    """[{"column": "a", "ascending": true, "case_sensitive": true}, ...]
+    -> SortOrder (reference: ExtendedSortSpecification,
+    proto/specification.proto + specification_builder.cc)."""
+    from ..ops.sort import SortKey, SortOrder
+
+    keys = []
+    for d in desc:
+        keys.append(SortKey(d["column"], d.get("ascending", True),
+                            d.get("case_sensitive", True)))
+    return SortOrder(keys)
+
+
+def build_aggregation(desc: list):
+    """[{"aggregation": "SUM", "input": "v", "output": "sv",
+        "distinct": false, "output_type": "DOUBLE"}, ...]
+    -> AggregationSpecification (reference: AggregationSpecification
+    proto usage in benchmark/examples)."""
+    from ..ops.aggregate import (AggregationSpecification, AggSpec,
+                                 Aggregation)
+
+    spec = AggregationSpecification()
+    for d in desc:
+        spec.add(AggSpec(
+            Aggregation[d["aggregation"].upper()], d.get("input"),
+            d["output"],
+            DataType(d["output_type"]) if d.get("output_type") else None,
+            bool(d.get("distinct", False))))
+    return spec

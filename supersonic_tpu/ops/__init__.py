@@ -17,4 +17,4 @@ from .merge import MergeUnionAll
 from .rowid_join import ForeignFilter, RowidMergeJoin
 from .misc import (SharedOperation, Spy, SpyListener, TakeOwnership,
                    format_table)
-from .host import group_concat
+from .host import DateFormat, group_concat, to_string

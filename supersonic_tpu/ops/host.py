@@ -59,3 +59,46 @@ def group_concat(table_or_plan, group_by: Sequence[str], input_col: str,
     data[output] = [separator.join(groups[key]) if groups[key] else None
                     for key in order]
     return Table.from_data(out_schema, data)
+
+
+def to_string(table_or_plan, input_col: str, output: str,
+              fmt: Optional[str] = None) -> Table:
+    """Materialize a column as STRING (reference: ToString /
+    string_bound_expressions.cc; DateFormat for DATE/DATETIME with
+    ``fmt``).  Numeric -> string has no dense device encoding (the value
+    space is unbounded), so this runs at host materialization: the child
+    executes on device, the stringification is O(rows) host work, and the
+    result is re-dictionary-encoded.  Appends ``output`` to the schema.
+    """
+    import datetime
+
+    from .base import Operation, execute as _execute
+
+    src = (_execute(table_or_plan) if isinstance(table_or_plan, Operation)
+           else table_or_plan)
+    attr = src.schema.lookup(input_col)
+    cols = src.to_numpy()
+    vals = cols[input_col]
+    out_vals = []
+    for v in vals:
+        if v is None:
+            out_vals.append(None)
+        elif attr.type == DataType.DATE:
+            d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+            out_vals.append(d.strftime(fmt) if fmt else d.isoformat())
+        elif attr.type == DataType.DATETIME:
+            dt = (datetime.datetime(1970, 1, 1)
+                  + datetime.timedelta(microseconds=int(v)))
+            out_vals.append(dt.strftime(fmt) if fmt else dt.isoformat())
+        elif isinstance(v, bool):
+            out_vals.append("true" if v else "false")
+        else:
+            out_vals.append(str(v))
+    data = {a.name: list(cols[a.name]) for a in src.schema}
+    data[output] = out_vals
+    out_schema = src.schema.concat(TupleSchema(
+        [Attribute(output, DataType.STRING, True)]))
+    return Table.from_data(out_schema, data)
+
+
+DateFormat = to_string  # reference naming alias for DATE/DATETIME use

@@ -80,3 +80,31 @@ def test_benchmark_harness():
     assert "GroupAggregate" in table and "rows/µs" in table
     dot = to_dot(stats)
     assert dot.startswith("digraph") and "Filter" in dot
+
+
+def test_build_sort_order_and_aggregation():
+    from supersonic_tpu import Sort, GroupAggregate, STRING
+    from supersonic_tpu.io import build_aggregation, build_sort_order
+    t = make_table()
+    order = build_sort_order([{"column": "a", "ascending": False}])
+    out = execute(Sort(order, ScanTable(t)))
+    assert [r[0] for r in out.to_pylist()] == [3, 1, None]
+    spec = build_aggregation([
+        {"aggregation": "SUM", "input": "a", "output": "sa"},
+        {"aggregation": "COUNT", "output": "c"}])
+    out2 = execute(GroupAggregate(["s"], spec, ScanTable(t)))
+    assert sorted(out2.to_pylist(), key=str) == sorted(
+        [("x", 1, 1), (None, None, 1), ("yy", 3, 1)], key=str)
+
+
+def test_to_string_host():
+    from supersonic_tpu import DataType, TupleSchema as TS
+    from supersonic_tpu.ops.host import to_string
+    t = Table.from_data(
+        TS.of(("d", DataType.DATE), ("n", INT64)),
+        {"d": [0, 365, None], "n": [5, None, 7]})
+    out = to_string(t, "d", "ds")
+    assert [r[2] for r in out.to_pylist()] == ["1970-01-01", "1971-01-01",
+                                               None]
+    out2 = to_string(t, "n", "ns")
+    assert [r[2] for r in out2.to_pylist()] == ["5", None, "7"]
