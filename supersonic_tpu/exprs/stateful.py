@@ -57,24 +57,30 @@ class RunningSum(Expression):
         cb = self.child.do_bind(schema, dicts)
 
         def f(ctx: EvalContext) -> ExprValue:
+            from ..ops.segscan import seg_cumsum
             v = cb.evaluate(ctx)
             valid = v.valid_or_true()
             contrib = jnp.where(valid, v.values, jnp.zeros_like(v.values))
-            return ExprValue(jnp.cumsum(contrib), v.valid)
+            # blocked scan, not jnp.cumsum: 64-bit cumsum lowers to an
+            # emulated reduce-window that blows TPU scoped VMEM
+            no_reset = jnp.zeros(contrib.shape[0], dtype=jnp.bool_)
+            return ExprValue(seg_cumsum(contrib, no_reset), v.valid)
 
         return BoundExpression(
             Attribute(f"RUNNING_SUM({cb.name})", cb.type, cb.nullable), f)
 
 
 def _forward_fill(values: jnp.ndarray, valid: jnp.ndarray):
-    """(value, valid) -> last-valid-so-far per row, via associative scan."""
+    """(value, valid) -> last-valid-so-far per row.
 
-    def combine(a, b):
-        va, fa = a
-        vb, fb = b
-        return jnp.where(fb, vb, va), fa | fb
+    The last-valid fill IS the segmented carry-first scan with the valid
+    flag playing the reset role: value = valid_b ? v_b : carried.
+    """
+    from ..ops.segscan import _seg_scan
 
-    return jax.lax.associative_scan(combine, (values, valid))
+    filled = _seg_scan(values, valid, "first")
+    seen = jnp.cumsum(valid.astype(jnp.int32)) > 0
+    return filled, seen
 
 
 class Smudge(Expression):
@@ -143,6 +149,7 @@ class RunningMinWithFlush(Expression):
         from ..ops.aggregate import _min_identity
 
         def f(ctx: EvalContext) -> ExprValue:
+            from ..ops.segscan import seg_cummax, seg_cummin
             v = cb.evaluate(ctx)
             fl = fb.evaluate(ctx)
             valid = v.valid_or_true()
@@ -150,16 +157,8 @@ class RunningMinWithFlush(Expression):
             # segment restarts AFTER a flushed row: shift flush by one
             reset = jnp.roll(fl.values & fl.valid_or_true(), 1)
             reset = reset.at[0].set(True)
-
-            def combine(a, b):
-                ma, ra = a
-                mb, rb = b
-                return jnp.where(rb, mb, jnp.minimum(ma, mb)), ra | rb
-
-            m, _ = jax.lax.associative_scan(combine, (vals, reset))
-            seen_valid, _ = jax.lax.associative_scan(
-                lambda a, b: (jnp.where(b[1], b[0], a[0] | b[0]), a[1] | b[1]),
-                (valid, reset))
+            m = seg_cummin(vals, reset)
+            seen_valid = seg_cummax(valid.astype(jnp.int32), reset) > 0
             return ExprValue(m, seen_valid if cb.nullable else None)
 
         return BoundExpression(

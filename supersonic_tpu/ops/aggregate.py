@@ -6,22 +6,30 @@ aggregate_clusters.cc, column_aggregator.cc (per-column update kernels,
 COUNT counts non-null, FIRST/LAST keep encounter order, DISTINCT dedups
 per key).
 
-TPU redesign (SURVEY.md §2.4, §7.2 step 4): random scatter into a hash
-table is hostile to a vector machine, and even XLA's segment ops lower to
-~50ms/8M-row HBM scatters.  So:
+TPU redesign v3 (SURVEY.md §2.4; see BASELINE.md for the measured
+primitive costs that force this shape).  Constraints discovered on real
+hardware: scatter/gather cost ~50ms per 8M rows; XLA segment ops scatter;
+``associative_scan`` hangs this TPU's AOT compiler outright.  What IS
+fast and compiles: multi-operand ``lax.sort``, native ``cumsum``/
+``cummax``, elementwise ops.  So aggregation uses only those:
 
-  1. ONE stable multi-operand sort moves the key codes (ops/keys.py) AND
-     every needed payload column together (gathers avoided entirely).
-  2. Group runs fall out of neighbor comparison; every aggregate is a
-     segmented prefix scan (ops/segscan.py) read at each run's last row —
-     exact for any dtype including emulated f64, any group cardinality.
-  3. ONE compaction (payload sort) extracts the per-group rows, and a
-     final small sort re-ranks groups by first-occurrence row so the
-     output order matches the reference's insertion-order contract.
+  1. Rows sort ONCE per "pass" with key codes as sort keys and every
+     needed column as payload.  MIN/MAX/DISTINCT ride value-ordered
+     passes ((key, value) sort, NULL values last; MAX uses the
+     descending code) — the group min/max then sits at each run's first
+     row, and DISTINCT duplicates are neighbor-comparable.
+  2. SUM/COUNT are read off a single *global* cumsum: the group total is
+     the difference of the cumsum at consecutive run-end rows.  Floats
+     accumulate in f64 so the difference is exact at f32 scale.
+  3. ONE compaction per extraction moves run-end (and run-start) rows'
+     values into dense per-group arrays; diffs/finalization happen on
+     those small arrays.
+  4. A final small sort re-ranks groups by first-occurrence row id to
+     match the reference's insertion-order output contract.
 
-``AggregateClusters`` skips the sort and the re-rank (input already
-clustered, encounter order preserved).  The best-effort/pregroup ->
-shuffle -> combine algebra (aggregate.h:233-246) lives in parallel/dist.py.
+``AggregateClusters`` detects runs in raw input order (non-adjacent equal
+keys stay separate, per the streaming contract) and sorts value passes by
+run id, preserving encounter order without a re-rank.
 """
 from __future__ import annotations
 
@@ -37,8 +45,7 @@ from ..schema import Attribute, SchemaError, TupleSchema
 from ..types import DataType, jnp_dtype
 from .base import BindContext, BoundOperation, Operation, RunContext
 from .filter import compact_by_mask
-from .keys import group_code_columns, monotone_code
-from .segscan import seg_carry_first, seg_cummax, seg_cummin, seg_cumsum
+from .keys import descending_code, group_code_columns, monotone_code
 
 
 class Aggregation(enum.Enum):
@@ -124,70 +131,46 @@ def _normalize_spec(specification) -> AggregationSpecification:
     return AggregationSpecification(specification)
 
 
-def _scan_aggregates(specs, schema_in, sorted_cols, boundary, live_s, pos):
-    """Per-sorted-row aggregate scans; values at each run's last row are
-    the group results.  sorted_cols[name] -> (values, valid_or_None) in
-    sorted order.  Returns {output: (values_row, valid_row_or_None)}."""
-    out = {}
-    reset = boundary
-    for spec in specs:
-        out_attr = _resolve_output_attr(spec, schema_in)
-        odt = jnp_dtype(out_attr.type)
-        agg = spec.aggregation
-        if agg == Aggregation.COUNT and spec.input is None:
-            w = live_s.astype(jnp.int64)
-            out[spec.output] = (seg_cumsum(w, reset).astype(odt), None)
-            continue
-        vals, valid = sorted_cols[spec.input]
-        valid = (jnp.ones_like(live_s) if valid is None else valid) & live_s
-        weight = valid
-        if spec.distinct and agg in (Aggregation.SUM, Aggregation.COUNT):
-            vcode = monotone_code(vals, schema_in.lookup(spec.input).type)
-            same = ((~boundary) & (vcode == jnp.roll(vcode, 1))
-                    & (valid == jnp.roll(valid, 1)) & (pos > 0))
-            weight = weight & ~same
-        if agg == Aggregation.SUM:
-            acc = jnp.where(weight, vals, jnp.zeros_like(vals)).astype(odt)
-            s = seg_cumsum(acc, reset)
-            nv = seg_cumsum(weight.astype(jnp.int32), reset)
-            out[spec.output] = (s, nv > 0)
-        elif agg == Aggregation.COUNT:
-            out[spec.output] = (
-                seg_cumsum(weight.astype(jnp.int64), reset).astype(odt),
-                None)
-        elif agg == Aggregation.MIN:
-            acc = jnp.where(weight, vals, _min_identity(vals.dtype))
-            m = seg_cummin(acc, reset)
-            nv = seg_cumsum(weight.astype(jnp.int32), reset)
-            out[spec.output] = (m.astype(odt), nv > 0)
-        elif agg == Aggregation.MAX:
-            acc = jnp.where(weight, vals, _max_identity(vals.dtype))
-            m = seg_cummax(acc, reset)
-            nv = seg_cumsum(weight.astype(jnp.int32), reset)
-            out[spec.output] = (m.astype(odt), nv > 0)
-        elif agg == Aggregation.FIRST:
-            fvals = seg_carry_first(vals, reset)
-            fvalid = seg_carry_first(valid, reset)
-            out[spec.output] = (fvals.astype(odt), fvalid)
-        elif agg == Aggregation.LAST:
-            # at a run's last row the row's own value IS the group LAST
-            out[spec.output] = (vals.astype(odt), valid)
-        elif agg == Aggregation.CONCAT:
-            raise NotImplementedError(
-                "CONCAT aggregation runs on host — use group_concat "
-                "(variable-length strings have no dense device encoding)")
-        else:
-            raise SchemaError(f"unknown aggregation {agg}")
-    return out
+def _acc_dtype(values_dtype):
+    """Cumsum accumulation dtype.
+
+    Floats accumulate in f64 (the run-diff subtraction is then exact at
+    input scale).  Integers accumulate in i64 on CPU; on TPU a 64-bit
+    cumsum lowers to an emulated reduce-window that overflows scoped VMEM,
+    so integer sums accumulate in f64 there (exact up to 2^53 — documented
+    divergence from the reference's wrapping int64 for extreme sums).
+    """
+    if jnp.issubdtype(jnp.dtype(values_dtype), jnp.floating):
+        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if jax.default_backend() == "cpu" and jax.config.jax_enable_x64:
+        return jnp.int64
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def _diff(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-group value from a global cumsum extracted at run ends:
+    x[g] - x[g-1] (x[0] as is)."""
+    prev = jnp.concatenate([jnp.zeros(1, x.dtype), x[:-1]])
+    return x - prev
+
+
+def _pass_key(spec: AggSpec):
+    """Which sorted pass a spec runs in: None = row-stable base pass;
+    (col, 'asc'/'desc') = value-ordered pass."""
+    if spec.aggregation == Aggregation.MIN:
+        return (spec.input, "asc")
+    if spec.aggregation == Aggregation.MAX:
+        return (spec.input, "desc")
+    if spec.distinct and spec.aggregation in (Aggregation.SUM,
+                                              Aggregation.COUNT):
+        return (spec.input, "asc")
+    return None
 
 
 def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                        out_schema, out_cap, max_keys, rctx: RunContext,
                        pre_sorted: bool, rerank: bool, keep=None,
                        live_count=None):
-    """Shared core of GroupAggregate (pre_sorted=False) and
-    AggregateClusters (pre_sorted=True, no re-rank).  ``keep`` fuses an
-    upstream Filter: kept rows only, without a separate compaction."""
     cap = t.capacity
     pos = jnp.arange(cap)
     if keep is None:
@@ -195,32 +178,42 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
     if live_count is None:
         live_count = jnp.asarray(t.num_rows)
     key_attrs = [schema_in.lookup(n) for n in names]
-    # columns whose sorted values we need
-    needed = list(dict.fromkeys(
-        list(names) + [s.input for s in specs if s.input is not None]))
+    codes = group_code_columns(t, list(names))
+    pad = (~keep).astype(jnp.int32)
 
     if pre_sorted:
-        live_s = keep
-        sorted_cols = {n: (t.columns[n].values, t.columns[n].valid)
-                       for n in needed}
-        s_codes = group_code_columns(t, list(names))
-        orig_rowid = pos.astype(jnp.int32)
+        # run identity comes from RAW adjacency (streaming contract)
+        prev_same = jnp.ones(cap, dtype=jnp.bool_)
+        for c in codes:
+            prev_same = prev_same & (c == jnp.roll(c, 1))
+        raw_boundary = keep & (~prev_same | (pos == 0))
+        run_id = jnp.cumsum(raw_boundary.astype(jnp.int32)) - 1
+        sort_keys_base = None  # base pass unsorted
+        group_operands = [run_id]
     else:
-        codes = group_code_columns(t, list(names))
-        pad = (~keep).astype(jnp.int32)
-        operands = [pad] + codes
-        has_distinct = any(s.distinct for s in specs)
-        if has_distinct:
-            seen = set()
-            for s in specs:
-                if s.distinct and s.input is not None and s.input not in seen:
-                    seen.add(s.input)
-                    c = t.columns[s.input]
-                    operands.append(monotone_code(
-                        c.values, schema_in.lookup(s.input).type))
-                    operands.append(c.valid_or_true().astype(jnp.int32))
-        payload = [pos.astype(jnp.int32)]
-        layout = []
+        sort_keys_base = [pad] + codes
+        group_operands = codes
+
+    passes: dict = {}
+    for s in specs:
+        passes.setdefault(_pass_key(s), []).append(s)
+    if None not in passes:
+        passes[None] = []  # base pass always runs (keys + first_row)
+
+    ext_cap = cap if max_keys is not None else out_cap
+    merged_cols: dict[str, Column] = {}
+    first_row_col = None
+    num_groups = None
+
+    for pkey in sorted(passes.keys(), key=lambda k: (k is not None, str(k))):
+        pass_specs = passes[pkey]
+        is_base = pkey is None
+        # ---- build sort operands + payloads for this pass ----
+        payload: list[jnp.ndarray] = [pos.astype(jnp.int32)]
+        layout: list[tuple[str, bool]] = []
+        needed = list(dict.fromkeys(
+            (list(names) if is_base else [])
+            + [s.input for s in pass_specs if s.input is not None]))
         for n in needed:
             c = t.columns[n]
             payload.append(c.values)
@@ -229,75 +222,220 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                 layout.append((n, True))
             else:
                 layout.append((n, False))
-        res = jax.lax.sort(operands + payload, num_keys=len(operands),
-                           is_stable=True)
-        s_codes = list(res[1:1 + len(codes)])
-        pi = len(operands)
-        orig_rowid = res[pi]
-        pi += 1
-        sorted_cols = {}
-        for n, has_valid in layout:
-            vals = res[pi]
+
+        if pre_sorted and is_base:
+            s_rowid = pos.astype(jnp.int32)
+            sorted_cols = {n: (t.columns[n].values, t.columns[n].valid)
+                           for n in needed}
+            boundary = raw_boundary
+            live_s = keep
+            # is_end: next row starts a new run or is dead
+            nxt_b = jnp.roll(raw_boundary, -1).at[-1].set(True)
+            nxt_dead = ~jnp.roll(keep, -1).at[-1].set(False)
+            is_end = keep & (nxt_b | nxt_dead)
+        else:
+            if is_base:
+                operands = list(sort_keys_base)
+            else:
+                col_name, direction = pkey
+                cattr = schema_in.lookup(col_name)
+                ccol = t.columns[col_name]
+                vrank = jnp.where(ccol.valid_or_true(), 0, 1).astype(
+                    jnp.int32)  # NULL values last within the run
+                vcode = monotone_code(ccol.values, cattr.type)
+                if direction == "desc":
+                    vcode = descending_code(vcode)
+                base_keys = (sort_keys_base if not pre_sorted
+                             else [pad, run_id])
+                operands = list(base_keys) + [vrank, vcode]
+            res = jax.lax.sort(operands + payload,
+                               num_keys=len(operands), is_stable=is_base)
+            n_ops = len(operands)
+            if pre_sorted and not is_base:
+                s_group = [res[1]]  # sorted run_id
+            elif is_base:
+                s_group = list(res[1:1 + len(codes)])
+            else:
+                s_group = list(res[1:1 + len(codes)])
+            s_rowid = res[n_ops]
+            pi = n_ops + 1
+            sorted_cols = {}
+            for n, has_valid in layout:
+                vals = res[pi]
+                pi += 1
+                valid = None
+                if has_valid:
+                    valid = res[pi]
+                    pi += 1
+                sorted_cols[n] = (vals, valid)
+            prev_same = jnp.ones(cap, dtype=jnp.bool_)
+            for c in s_group:
+                prev_same = prev_same & (c == jnp.roll(c, 1))
+            live_s = pos < live_count
+            boundary = live_s & (~prev_same | (pos == 0))
+            is_end = live_s & (jnp.roll(boundary, -1)
+                               | (pos == live_count - 1))
+
+        if num_groups is None:
+            num_groups = jnp.sum(boundary.astype(jnp.int32))
+            if max_keys is None:
+                rctx.error_flags.append(
+                    ("aggregate result overflow", num_groups > out_cap))
+
+        # ---- per-row arrays to extract ----
+        end_cols: dict[str, Column] = {}
+        start_cols: dict[str, Column] = {}
+        finalize = []  # (fn(end_tab_cols, start_tab_cols) -> (name, Column))
+
+        if is_base:
+            for n, a in zip(names, key_attrs):
+                vals, valid = sorted_cols[n]
+                start_cols[f"k_{n}"] = Column(vals, None)
+                if a.nullable:
+                    start_cols[f"kv_{n}"] = Column(
+                        (valid if valid is not None
+                         else jnp.ones(cap, jnp.bool_)), None)
+            start_cols["__first"] = Column(s_rowid, None)
+
+        for s in pass_specs:
+            a = _resolve_output_attr(s, schema_in)
+            odt = jnp_dtype(a.type)
+            agg = s.aggregation
+            oname = s.output
+            if agg == Aggregation.COUNT and s.input is None:
+                cs = jnp.cumsum(live_s.astype(jnp.int32))
+                end_cols[f"c_{oname}"] = Column(cs, None)
+                finalize.append((oname, a, lambda e, st, o=oname,
+                                 odt=odt: Column(
+                                     _diff(e[f"c_{o}"].values).astype(odt),
+                                     None)))
+                continue
+            vals, valid = sorted_cols[s.input]
+            valid = ((jnp.ones(cap, jnp.bool_) if valid is None else valid)
+                     & live_s)
+            weight = valid
+            if s.distinct:
+                vcode2 = monotone_code(vals, schema_in.lookup(s.input).type)
+                same = ((~boundary) & (vcode2 == jnp.roll(vcode2, 1))
+                        & (valid == jnp.roll(valid, 1)) & (pos > 0))
+                weight = weight & ~same
+            if agg in (Aggregation.SUM, Aggregation.COUNT):
+                wcs = jnp.cumsum(weight.astype(jnp.int32))
+                end_cols[f"w_{oname}"] = Column(wcs, None)
+                if agg == Aggregation.SUM:
+                    acc = _acc_dtype(vals.dtype)
+                    cs = jnp.cumsum(jnp.where(
+                        weight, vals, jnp.zeros_like(vals)).astype(acc))
+                    end_cols[f"s_{oname}"] = Column(cs, None)
+
+                    def fin_sum(e, st, o=oname, odt=odt):
+                        nv = _diff(e[f"w_{o}"].values)
+                        sv = _diff(e[f"s_{o}"].values).astype(odt)
+                        return Column(sv, nv > 0)
+
+                    finalize.append((oname, a, fin_sum))
+                else:
+                    finalize.append((oname, a, lambda e, st, o=oname,
+                                     odt=odt: Column(
+                                         _diff(e[f"w_{o}"].values)
+                                         .astype(odt), None)))
+            elif agg in (Aggregation.MIN, Aggregation.MAX):
+                # value-ordered pass: group min/max = run-start value
+                start_cols[f"m_{oname}"] = Column(vals, None)
+                wcs = jnp.cumsum(valid.astype(jnp.int32))
+                end_cols[f"w_{oname}"] = Column(wcs, None)
+
+                def fin_mm(e, st, o=oname, odt=odt):
+                    nv = _diff(e[f"w_{o}"].values)
+                    return Column(st[f"m_{o}"].values.astype(odt), nv > 0)
+
+                finalize.append((oname, a, fin_mm))
+            elif agg == Aggregation.FIRST:
+                start_cols[f"f_{oname}"] = Column(vals, None)
+                start_cols[f"fv_{oname}"] = Column(
+                    (jnp.ones(cap, jnp.bool_)
+                     if sorted_cols[s.input][1] is None
+                     else sorted_cols[s.input][1]), None)
+                finalize.append((oname, a, lambda e, st, o=oname,
+                                 odt=odt: Column(
+                                     st[f"f_{o}"].values.astype(odt),
+                                     st[f"fv_{o}"].values)))
+            elif agg == Aggregation.LAST:
+                end_cols[f"l_{oname}"] = Column(vals, None)
+                end_cols[f"lv_{oname}"] = Column(
+                    (jnp.ones(cap, jnp.bool_)
+                     if sorted_cols[s.input][1] is None
+                     else sorted_cols[s.input][1]), None)
+                finalize.append((oname, a, lambda e, st, o=oname,
+                                 odt=odt: Column(
+                                     e[f"l_{o}"].values.astype(odt),
+                                     e[f"lv_{o}"].values)))
+            elif agg == Aggregation.CONCAT:
+                raise NotImplementedError(
+                    "CONCAT aggregation runs on host — use group_concat "
+                    "(variable-length strings have no dense device "
+                    "encoding)")
+            else:
+                raise SchemaError(f"unknown aggregation {agg}")
+
+        # ---- extract run-end and run-start rows ----
+        def extract(cols: dict[str, Column], mask) -> dict[str, Column]:
+            if not cols:
+                return {}
+            # declared dtypes don't matter for compaction (payload sort)
+            schema = TupleSchema([Attribute(n, DataType.INT64, False)
+                                  for n in cols])
+            tab = Table(schema, cols, live_count, {}, cap_hint=cap)
+            compacted = compact_by_mask(tab, mask, ext_cap)
+            return compacted.columns
+
+        e_tab = extract(end_cols, is_end)
+        s_tab = extract(start_cols, boundary)
+
+        for oname, a, fn in finalize:
+            merged_cols[oname] = fn(e_tab, s_tab)
+        if is_base:
+            keycols = {}
+            for n, a in zip(names, key_attrs):
+                kv = s_tab[f"k_{n}"].values
+                kvalid = (s_tab[f"kv_{n}"].values if a.nullable else None)
+                keycols[n] = Column(kv, kvalid)
+            merged_cols.update(keycols)
+            first_row_col = s_tab["__first"].values
+
+    # ---- re-rank to insertion order + clamp + slice ----
+    cols = {a.name: merged_cols[a.name] for a in out_schema}
+    n_out = jnp.minimum(num_groups, out_cap)
+    if rerank:
+        order_ops = [(jnp.arange(ext_cap) >= num_groups).astype(jnp.int32),
+                     first_row_col]
+        payload2: list[jnp.ndarray] = []
+        layout2 = []
+        for a in out_schema:
+            c = cols[a.name]
+            payload2.append(c.values)
+            if c.valid is not None:
+                payload2.append(c.valid)
+                layout2.append((a.name, True))
+            else:
+                layout2.append((a.name, False))
+        res2 = jax.lax.sort(order_ops + payload2, num_keys=2,
+                            is_stable=True)
+        pi = 2
+        cols = {}
+        for n, has_valid in layout2:
+            vals = res2[pi]
             pi += 1
             valid = None
             if has_valid:
-                valid = res[pi]
+                valid = res2[pi]
                 pi += 1
-            sorted_cols[n] = (vals, valid)
-        live_s = pos < live_count  # pads/filtered rows sorted last
-
-    prev_same = jnp.ones(cap, dtype=jnp.bool_)
-    for c in s_codes:
-        prev_same = prev_same & (c == jnp.roll(c, 1))
-    boundary = live_s & (~prev_same | (pos == 0))
-    num_groups = jnp.sum(boundary.astype(jnp.int32))
-    is_end = live_s & (jnp.roll(boundary, -1) | (pos == live_count - 1))
-
-    agg_rows = _scan_aggregates(specs, schema_in, sorted_cols, boundary,
-                                live_s, pos)
-    first_row = seg_carry_first(orig_rowid, boundary)
-
-    # extraction: one compaction moves each run-end row's values
-    ext_cap = cap if max_keys is not None else out_cap
-    ext_attrs = list(key_attrs)
-    for s in specs:
-        ext_attrs.append(_resolve_output_attr(s, schema_in))
-    ext_attrs.append(Attribute("__first", DataType.INT32, False))
-    ext_schema = TupleSchema(ext_attrs)
-    ext_cols: dict[str, Column] = {}
-    for n in names:
-        vals, valid = sorted_cols[n]
-        ext_cols[n] = Column(vals, valid)
-    for s in specs:
-        vals, valid = agg_rows[s.output]
-        ext_cols[s.output] = Column(
-            vals, valid if _resolve_output_attr(s, schema_in).nullable
-            else None)
-    ext_cols["__first"] = Column(first_row.astype(jnp.int32), None)
-    ext_t = Table(ext_schema, ext_cols, live_count, out_dicts, cap_hint=cap)
-    if max_keys is None:
-        rctx.error_flags.append(
-            ("aggregate result overflow", num_groups > out_cap))
-    compacted = compact_by_mask(ext_t, is_end, ext_cap)
-
-    if rerank:
-        from .sort import SortOrder, sort_table
-        ranked = sort_table(
-            Table(ext_schema, compacted.columns, num_groups, out_dicts,
-                  cap_hint=ext_cap),
-            SortOrder([("__first", True)]))
-    else:
-        ranked = compacted
-
-    cols = {n: ranked.columns[n] for n in
-            [a.name for a in key_attrs] + [s.output for s in specs]}
-    n_out = jnp.minimum(num_groups, out_cap)
+            cols[n] = Column(vals, valid)
 
     if max_keys is not None:
         K = max_keys
         rank = jnp.arange(ext_cap)
         overflow = (rank >= K) & (rank < num_groups)
-        merged = {}
         for s in specs:
             a = _resolve_output_attr(s, schema_in)
             c = cols[s.output]
@@ -310,28 +448,24 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                                           jnp.zeros_like(v_eff)))
                 vals = vals.at[K - 1].add(extra)
             elif agg == Aggregation.MIN:
-                tail = jnp.min(jnp.where(
-                    overflow & (jnp.ones_like(overflow) if valid is None
-                                else valid),
-                    vals, _min_identity(vals.dtype)))
+                ok = overflow if valid is None else (overflow & valid)
+                tail = jnp.min(jnp.where(ok, vals,
+                                         _min_identity(vals.dtype)))
                 vals = vals.at[K - 1].set(jnp.minimum(vals[K - 1], tail))
             elif agg == Aggregation.MAX:
-                tail = jnp.max(jnp.where(
-                    overflow & (jnp.ones_like(overflow) if valid is None
-                                else valid),
-                    vals, _max_identity(vals.dtype)))
+                ok = overflow if valid is None else (overflow & valid)
+                tail = jnp.max(jnp.where(ok, vals,
+                                         _max_identity(vals.dtype)))
                 vals = vals.at[K - 1].set(jnp.maximum(vals[K - 1], tail))
-            # FIRST/LAST keep the K-th group's own values
             if valid is not None and agg in (Aggregation.SUM,
                                              Aggregation.MIN,
                                              Aggregation.MAX):
-                any_tail = jnp.any(overflow & valid)
+                any_tail = jnp.any(overflow & (valid if valid is not None
+                                               else overflow))
                 valid = valid.at[K - 1].set(valid[K - 1] | any_tail)
-            merged[s.output] = Column(vals, valid)
-        cols.update(merged)
+            cols[s.output] = Column(vals, valid)
         n_out = jnp.minimum(num_groups, K)
 
-    # slice down to the declared output capacity
     if ext_cap != out_cap:
         cols = {n: Column(c.values[:out_cap],
                           None if c.valid is None else c.valid[:out_cap])
@@ -340,7 +474,7 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
 
 
 class GroupAggregate(Operation):
-    """Hash group-by, TPU-style (payload sort + segmented scans).
+    """Hash group-by, TPU-style (payload sorts + cumsum-diff extraction).
 
     reference: GroupAggregate (aggregate_groups.cc:980); result ordering =
     key insertion order (RowHashSet append order), reproduced by re-ranking
@@ -373,17 +507,6 @@ class GroupAggregate(Operation):
             out_cap = min(out_cap, opts.max_unique_keys_in_result)
         max_keys = opts.max_unique_keys_in_result
         schema_in = cb.schema
-        # DISTINCT needs (key, value)-sorted rows; with multiple distinct
-        # input columns the engine runs one sorted pass per distinct column
-        # (the reference replicates input per column group instead —
-        # hybrid_group_utils.h:20-66 — same asymptotics).
-        distinct_inputs = sorted({s.input for s in specs if s.distinct})
-        subsets: list[list[AggSpec]] = []
-        base = [s for s in specs
-                if not (s.distinct and s.input in distinct_inputs[1:])]
-        subsets.append(base)
-        for d in distinct_inputs[1:]:
-            subsets.append([s for s in specs if s.distinct and s.input == d])
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
@@ -391,27 +514,10 @@ class GroupAggregate(Operation):
             if bound_preds:
                 keep = keep_mask(bound_preds, rctx, t)
                 live_count = jnp.sum(keep.astype(jnp.int32))
-            parts = []
-            for sub in subsets:
-                sub_schema = TupleSchema(
-                    key_attrs + [_resolve_output_attr(s, schema_in)
-                                 for s in sub])
-                parts.append(_grouped_aggregate(
-                    t, names, sub, schema_in, out_dicts, sub_schema,
-                    out_cap, max_keys, rctx, pre_sorted=False, rerank=True,
-                    keep=keep, live_count=live_count))
-            first = parts[0]
-            if len(parts) == 1:
-                return first
-            # every pass ranks groups identically (same keys, same first-
-            # occurrence rows) so the agg columns align row-for-row
-            cols = dict(first.columns)
-            for p in parts[1:]:
-                for s_name in p.schema.names():
-                    if s_name not in cols:
-                        cols[s_name] = p.columns[s_name]
-            return Table(out_schema, cols, first.num_rows, out_dicts,
-                         cap_hint=out_cap)
+            return _grouped_aggregate(
+                t, names, specs, schema_in, out_dicts, out_schema, out_cap,
+                max_keys, rctx, pre_sorted=False, rerank=True, keep=keep,
+                live_count=live_count)
 
         return BoundOperation(out_schema, out_dicts, fn, out_cap)
 
@@ -519,7 +625,7 @@ class ScalarAggregate(Operation):
 class AggregateClusters(Operation):
     """Streaming aggregate over key-clustered input (reference:
     aggregate_clusters.cc:338-646): group boundaries detected by comparing
-    consecutive rows; no sort, output in input cluster order."""
+    consecutive rows; output in input cluster order."""
 
     def __init__(self, group_by: Sequence[str], specification, child,
                  out_capacity: Optional[int] = None):
