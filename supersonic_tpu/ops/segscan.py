@@ -75,10 +75,14 @@ def _seg_scan(vals: jnp.ndarray, reset: jnp.ndarray, mode: str) -> jnp.ndarray:
     v = vals.reshape(B, T)
     r = reset.reshape(B, T)
     # within-tile Hillis-Steele
+    # Pads are identity elements: (ident, r=False). The 'first' monoid has
+    # no left identity, but the forced reset[0]=True makes every position
+    # whose shift window crosses the array/tile start already reset-
+    # accumulated (tile prefixes are repaired by the carry combine below).
     d = 1
     while d < T:
         pv = jnp.pad(v, ((0, 0), (d, 0)), constant_values=ident)[:, :T]
-        pr = jnp.pad(r, ((0, 0), (d, 0)), constant_values=True)[:, :T]
+        pr = jnp.pad(r, ((0, 0), (d, 0)), constant_values=False)[:, :T]
         v = jnp.where(r, v, _op(mode, pv, v))
         r = r | pr
         d *= 2
@@ -87,7 +91,7 @@ def _seg_scan(vals: jnp.ndarray, reset: jnp.ndarray, mode: str) -> jnp.ndarray:
     d = 1
     while d < B:
         pcv = jnp.concatenate([jnp.full(d, ident, dtype), cv[:-d]])
-        pcr = jnp.concatenate([jnp.ones(d, dtype=jnp.bool_), cr[:-d]])
+        pcr = jnp.concatenate([jnp.zeros(d, dtype=jnp.bool_), cr[:-d]])
         cv = jnp.where(cr, cv, _op(mode, pcv, cv))
         cr = cr | pcr
         d *= 2

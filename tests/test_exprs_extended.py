@@ -178,3 +178,29 @@ def test_running_min_with_flush():
     # flush after row 2 -> running min resets at row 3
     assert eval_expr(RunningMinWithFlush(col("f"), col("v")), data, ST) == \
         [5, 3, 3, 4, 4]
+
+
+def test_stateful_multi_tile():
+    # cross the 2048 segscan tile boundary (regression: carry poisoning)
+    import numpy as np
+    n = 5000
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 100, n).tolist()
+    schema = TupleSchema.of(("v", INT64),)
+    t = Table.from_data(schema, {"v": vals})
+    out = execute(Compute(RunningSum(col("v")), ScanTable(t)))
+    got = [r[0] for r in out.to_pylist()]
+    import itertools
+    exp = list(itertools.accumulate(vals))
+    assert got == exp
+    # smudge across tiles
+    vals2 = [None if i % 7 else i for i in range(n)]
+    t2 = Table.from_data(schema, {"v": vals2})
+    out2 = execute(Compute(Smudge(col("v")), ScanTable(t2)))
+    got2 = [r[0] for r in out2.to_pylist()]
+    last = None
+    exp2 = []
+    for v in vals2:
+        last = v if v is not None else last
+        exp2.append(last)
+    assert got2 == exp2
