@@ -3,6 +3,7 @@ from .dist import (AXIS, collect_table, combine_specification,
                    dist_group_aggregate, dist_hash_join, dist_map, dist_sort,
                    distribute_table, make_mesh, run_local_plan, shuffle)
 from .hashing import combine_hash, partition_of
+from .multihost import global_mesh, initialize, is_multihost
 
 
 def dryrun(n_devices: int) -> None:
