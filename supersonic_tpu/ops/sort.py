@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..batch import Column, Table, gather_table
+from ..schema import TupleSchema
 from ..dictionary import transform as dict_transform
 from ..schema import SchemaError
 from ..types import DataType
@@ -111,9 +112,15 @@ def sort_table(table: Table, order: SortOrder,
 
 
 class Sort(Operation):
-    def __init__(self, order: SortOrder | Sequence, child: Operation):
+    """reference: Sort(sort_order, result_projector, mem_limit, child)
+    (sort.h) — ``result_projector`` optionally projects the sorted output
+    (identity when None)."""
+
+    def __init__(self, order: SortOrder | Sequence, child: Operation,
+                 result_projector=None):
         self.order = order if isinstance(order, SortOrder) else SortOrder(order)
         self.child = child
+        self.result_projector = result_projector
 
     def bind(self, ctx: BindContext) -> BoundOperation:
         from .filter import bind_predicates, keep_mask, unwrap_filters
@@ -123,17 +130,37 @@ class Sort(Operation):
         for k in self.order.keys:
             cb.schema.lookup(k.name)
         order = self.order
+        proj_pairs = (self.result_projector.resolve(cb.schema)
+                      if self.result_projector else None)
+        if proj_pairs is not None:
+            from ..schema import Attribute as _Attr
+            out_schema = TupleSchema([
+                _Attr(dst, cb.schema.lookup(src).type,
+                      cb.schema.lookup(src).nullable,
+                      cb.schema.lookup(src).enum)
+                for src, dst in proj_pairs])
+            out_dicts = {dst: cb.dicts[src] for src, dst in proj_pairs
+                         if src in cb.dicts}
+        else:
+            out_schema, out_dicts = cb.schema, cb.dicts
 
         def fn(rctx: RunContext) -> Table:
             t = cb.run(rctx)
             if bound_preds:
                 # fused Filter: fold the predicate into the pad key
                 keep = keep_mask(bound_preds, rctx, t)
-                return sort_table(t, order, pad_mask=~keep,
-                                  num_rows=jnp.sum(keep.astype(jnp.int32)))
-            return sort_table(t, order)
+                sorted_t = sort_table(
+                    t, order, pad_mask=~keep,
+                    num_rows=jnp.sum(keep.astype(jnp.int32)))
+            else:
+                sorted_t = sort_table(t, order)
+            if proj_pairs is None:
+                return sorted_t
+            cols = {dst: sorted_t.columns[src] for src, dst in proj_pairs}
+            return Table(out_schema, cols, sorted_t.num_rows, out_dicts,
+                         cap_hint=sorted_t.capacity)
 
-        return BoundOperation(cb.schema, cb.dicts, fn, cb.capacity)
+        return BoundOperation(out_schema, out_dicts, fn, cb.capacity)
 
 
 class ExtendedSort(Operation):

@@ -79,3 +79,11 @@ def test_sort_with_padding(capacity):
     t = Table.from_data(schema, {"a": [5, 2, 9]}, capacity=capacity)
     out = execute(Sort([("a", True)], ScanTable(t)))
     assert [r[0] for r in out.to_pylist()] == [2, 5, 9]
+
+
+def test_sort_result_projector():
+    from supersonic_tpu import Projector
+    out = execute(Sort(["a"], ScanTable(make_table()),
+                       result_projector=Projector([("b", "bb")])))
+    assert out.schema.names() == ("bb",)
+    assert [r[0] for r in out.to_pylist()] == [3.0, -2.5, 0.0, None, 1.0]
