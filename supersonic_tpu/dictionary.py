@@ -133,6 +133,41 @@ def transform(d: Dictionary, fn) -> tuple[Dictionary, np.ndarray]:
     return nd, remap
 
 
+class CrossSizeError(Exception):
+    """Cross-product dictionary would exceed the configured size budget."""
+
+
+def cross(a: Dictionary, b: Dictionary, fn=None,
+          max_size: int = 1 << 20) -> tuple[Dictionary, np.ndarray]:
+    """Combine two dictionaries value-by-value (default: concatenation).
+
+    Returns (new_dict, lut) where lut[code_a * len(b) + code_b] is the new
+    code of fn(a[code_a], b[code_b]).  This gives binary string expressions
+    over two *non-constant* columns a dense device encoding: the O(|a|*|b|)
+    combine runs on the host at bind time and evaluation is one device
+    gather (reference: string_bound_expressions.cc Concat row loop,
+    re-designed per SURVEY.md §2.5 strings-as-dictionary-codes).
+
+    Raises CrossSizeError when |a|*|b| > max_size; callers fall back to the
+    host materialization path (ops/host.py).
+    """
+    if fn is None:
+        fn = lambda x, y: x + y
+    la, lb = max(len(a), 1), max(len(b), 1)
+    if la * lb > max_size:
+        raise CrossSizeError(
+            f"cross dictionary {len(a)}x{len(b)} exceeds budget {max_size}")
+    if not a.values or not b.values:
+        return Dictionary(()), np.zeros(la * lb, dtype=np.int32)
+    combined = [fn(x, y) for x in a.values for y in b.values]
+    uniq = sorted(set(combined))
+    nd = Dictionary(tuple(uniq))
+    index = {v: i for i, v in enumerate(uniq)}
+    lut = np.fromiter((index[v] for v in combined), dtype=np.int32,
+                      count=len(combined))
+    return nd, lut
+
+
 def property_lut(d: Dictionary, fn, dtype) -> np.ndarray:
     """Per-code scalar property LUT (e.g. len) for device-side gather."""
     if len(d.values) == 0:

@@ -15,7 +15,8 @@ from .logic import (And, AndNot, BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor,
 from .elementary import (Case, CastTo, If, IfNull, IsNull, NullingIf,
                          ParseStringNulling, ParseStringQuiet)
 from .math import (Abs, Acos, Acosh, Asin, Asinh, Atan, Atanh, Ceil, Cos,
-                   Cosh, Exp, Floor, IsFinite, IsInf, IsNaN, IsNormal, Ln,
+                   Cosh, Exp, Floor, Format, FormatSignaling, IsFinite,
+                   IsInf, IsNaN, IsNormal, Ln,
                    LnNulling, LnSignaling, Log, Log2, Log2Nulling, Log10,
                    Log10Nulling, Pow, PowNulling, PowQuiet, PowSignaling,
                    Round, RoundToInt, RoundWithPrecision, Sin, Sinh, Sqrt,

@@ -13,7 +13,7 @@ from typing import Callable
 import jax.numpy as jnp
 
 from ..schema import Attribute
-from ..types import DataType, is_floating, is_numeric, jnp_dtype
+from ..types import DataType, TypeError_, is_floating, is_numeric, jnp_dtype
 from .base import (BoundExpression, EvalContext, Expression, ExprValue,
                    merge_valid, wrap)
 
@@ -263,3 +263,39 @@ IsNormal = _classify(
     "IS_NORMAL",
     lambda x: jnp.isfinite(x) & ((x == 0) | (jnp.abs(x) >= jnp.finfo(
         x.dtype).tiny)))
+
+
+class Format(Expression):
+    """FORMAT(number, precision) -> STRING: fixed-point decimal rendering,
+    precision clamped at >= 0 (reference: math_expressions.h:115 Format,
+    math_evaluators.h:39-59 snprintf "%.*f").
+
+    Device encoding exists only when the number is constant (folds to a
+    Const string) or dictionary-backed; an unbounded numeric column has no
+    dense device string encoding, so bind fails pointing at the host
+    materialization path (ops/host.py::format_number), mirroring ToString.
+    """
+
+    def __init__(self, number, precision):
+        self.number = wrap(number)
+        self.precision = wrap(precision)
+
+    def do_bind(self, schema, dicts):
+        from .terminal import Const
+
+        nb = self.number.do_bind(schema, dicts)
+        pb = self.precision.do_bind(schema, dicts)
+        if not pb.is_constant or not isinstance(self.precision, Const):
+            raise TypeError_(
+                "FORMAT precision must be a constant (host-side rendering "
+                "is bound per precision)")
+        prec = max(int(self.precision.value), 0)
+        if nb.is_constant and isinstance(self.number, Const):
+            return Const(f"%.{prec}f" % float(self.number.value)).do_bind(
+                schema, dicts)
+        raise TypeError_(
+            "FORMAT of a non-constant numeric column has no dense device "
+            "encoding; materialize via ops/host.py::format_number")
+
+
+FormatSignaling = Format  # reference: OPERATOR_FORMAT_SIGNALING

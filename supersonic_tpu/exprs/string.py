@@ -181,42 +181,135 @@ class StringContains(Expression):
 
 
 class Concat(Expression):
-    """CONCAT(args...): variadic; every arg but (at most) one must be a
-    constant.  Non-string constants are stringified like the reference's
-    ToString (reference: string_bound_expressions.cc Concat)."""
+    """CONCAT(args...): variadic string concatenation (reference:
+    string_bound_expressions.cc BoundConcatExpression; output NULL iff any
+    input is NULL, nullability = OR of inputs).
+
+    TPU design: non-constant string pieces are combined through
+    cross-product dictionaries built on the host at bind time
+    (`dictionary.cross`): for pieces with dictionaries da, db the combined
+    code is one gather through a |da|x|db| LUT, so evaluation stays a pure
+    device program.  Constant pieces fold into the neighbouring transform.
+    When the cross-product would exceed the size budget (1M entries) there
+    is no dense encoding and bind fails, pointing at the host
+    materialization path (ops/host.py::concat_columns)."""
+
+    CROSS_MAX = 1 << 20
 
     def __init__(self, *args):
         self.args = [wrap(a) for a in args]
 
     def do_bind(self, schema, dicts):
-        bounds = [a.do_bind(schema, dicts) for a in self.args]
-        var_idx = [i for i, b in enumerate(bounds) if not b.is_constant]
-        if len(var_idx) > 1:
-            raise TypeError_(
-                "CONCAT of multiple non-constant strings has no dense "
-                "device encoding; materialize and re-encode instead")
+        from ..dictionary import CrossSizeError, cross
 
-        def const_text(b: BoundExpression, i) -> str:
+        bounds = [a.do_bind(schema, dicts) for a in self.args]
+
+        def const_text(i: int) -> str:
             v = self.args[i].value if isinstance(self.args[i], Const) else None
             if v is None:
                 raise TypeError_("CONCAT constant argument must be Const")
             if isinstance(v, bool):
                 return "true" if v else "false"
-            return v if isinstance(v, str) else str(v)
+            return v if isinstance(v, (str, bytes)) else str(v)
 
+        var_idx = [i for i, b in enumerate(bounds) if not b.is_constant]
+        for i in var_idx:
+            b = bounds[i]
+            if b.type not in (DataType.STRING, DataType.BINARY):
+                raise TypeError_(
+                    "CONCAT of a non-constant numeric column requires "
+                    "ToString (no dense device encoding)")
+            _require_string(b, "CONCAT")
         if not var_idx:
-            text = "".join(const_text(b, i) for i, b in enumerate(bounds))
+            text = "".join(const_text(i) for i in range(len(bounds)))
             return Const(text).do_bind(schema, dicts)
-        vi = var_idx[0]
-        prefix = "".join(const_text(b, i) for i, b in enumerate(bounds[:vi]))
-        suffix = "".join(
-            const_text(b, i + vi + 1) for i, b in enumerate(bounds[vi + 1:]))
-        inner = self.args[vi]
-        vb = bounds[vi]
-        if vb.type in (DataType.STRING, DataType.BINARY):
-            return _dict_transform_expr(
-                "CONCAT", lambda s: prefix + s + suffix)(inner).do_bind(
-                    schema, dicts)
-        raise TypeError_(
-            "CONCAT of a non-constant numeric column requires ToString "
-            "(no dense device encoding)")
+
+        is_bytes = bounds[var_idx[0]].type == DataType.BINARY
+
+        def norm(t):
+            if is_bytes and isinstance(t, str):
+                return t.encode()
+            if not is_bytes and isinstance(t, bytes):
+                return t.decode()
+            return t
+
+        empty = b"" if is_bytes else ""
+        # Fold pieces left-to-right: `state` is (dict, eval_fn) of the
+        # accumulated prefix; constant text buffers into `pending` and is
+        # spliced into the next transform/cross.
+        state_dict = None
+        state_eval = None
+        state_valids: list = []
+        pending = empty
+        for i, b in enumerate(bounds):
+            if b.is_constant:
+                pending = pending + norm(const_text(i))
+                continue
+            d = b.dictionary
+            if state_dict is None:
+                if pending != empty:
+                    pre = pending
+                    nd, remap = transform(d, lambda s, pre=pre: pre + s)
+                    lut = jnp.asarray(remap)
+
+                    def ev(ctx, b=b, lut=lut):
+                        v = b.evaluate(ctx)
+                        c = jnp.take(lut, jnp.clip(v.values, 0,
+                                                   lut.shape[0] - 1))
+                        return c, v.valid
+
+                    state_dict, state_eval = nd, ev
+                else:
+                    def ev(ctx, b=b):
+                        v = b.evaluate(ctx)
+                        return v.values, v.valid
+
+                    state_dict, state_eval = d, ev
+            else:
+                sep = pending
+                try:
+                    nd, lut_np = cross(
+                        state_dict, d,
+                        fn=lambda x, y, sep=sep: x + sep + y,
+                        max_size=self.CROSS_MAX)
+                except CrossSizeError as e:
+                    raise TypeError_(
+                        f"CONCAT: {e}; materialize and re-encode via "
+                        "ops/host.py::concat_columns") from None
+                lut = jnp.asarray(lut_np)
+                lb = max(len(d), 1)
+
+                def ev(ctx, prev=state_eval, b=b, lut=lut, lb=lb,
+                       sd=max(len(state_dict), 1)):
+                    pc, pv = prev(ctx)
+                    v = b.evaluate(ctx)
+                    c2 = jnp.clip(v.values, 0, lb - 1)
+                    pc = jnp.clip(pc, 0, sd - 1)
+                    idx = pc.astype(jnp.int32) * lb + c2.astype(jnp.int32)
+                    return jnp.take(lut, idx), merge_valid(pv, v.valid)
+
+                state_dict, state_eval = nd, ev
+            state_valids.append(b.nullable)
+            pending = empty
+        if pending != empty:
+            post = pending
+            nd, remap = transform(state_dict, lambda s, post=post: s + post)
+            lut = jnp.asarray(remap)
+
+            def ev(ctx, prev=state_eval, lut=lut):
+                c, v = prev(ctx)
+                return jnp.take(lut, jnp.clip(c, 0, lut.shape[0] - 1)), v
+
+            state_dict, state_eval = nd, ev
+
+        nullable = any(state_valids)
+        out_type = DataType.BINARY if is_bytes else DataType.STRING
+        final_eval = state_eval
+
+        def g(ctx: EvalContext) -> ExprValue:
+            c, v = final_eval(ctx)
+            return ExprValue(c, v)
+
+        name = f"CONCAT({', '.join(b.name for b in bounds)})"
+        return BoundExpression(
+            Attribute(name, out_type, nullable), g, state_dict)

@@ -102,3 +102,52 @@ def to_string(table_or_plan, input_col: str, output: str,
 
 
 DateFormat = to_string  # reference naming alias for DATE/DATETIME use
+
+
+def format_number(table_or_plan, input_col: str, precision: int,
+                  output: str) -> Table:
+    """FORMAT(col, precision) at host materialization (reference:
+    math_expressions.h:115, math_evaluators.h:39-59 "%.*f" with precision
+    clamped at >= 0).  The child executes on device; rendering is O(rows)
+    host work and the result column is re-dictionary-encoded."""
+    src = (execute(table_or_plan) if isinstance(table_or_plan, Operation)
+           else table_or_plan)
+    prec = max(int(precision), 0)
+    cols = src.to_numpy()
+    out_vals = [None if v is None else ("%.*f" % (prec, float(v)))
+                for v in cols[input_col]]
+    data = {a.name: list(cols[a.name]) for a in src.schema}
+    data[output] = out_vals
+    out_schema = src.schema.concat(TupleSchema(
+        [Attribute(output, DataType.STRING, True)]))
+    return Table.from_data(out_schema, data)
+
+
+def concat_columns(table_or_plan, input_cols: Sequence[str], output: str,
+                   separator: str = "") -> Table:
+    """Row-wise CONCAT of arbitrarily many columns at host materialization
+    (reference: string_bound_expressions.cc BoundConcatExpression; output
+    NULL iff any input NULL).  Fallback for exprs.Concat when the
+    cross-product dictionary would exceed its size budget; non-string
+    inputs are stringified like the reference's implicit ToString."""
+    src = (execute(table_or_plan) if isinstance(table_or_plan, Operation)
+           else table_or_plan)
+    cols = src.to_numpy()
+    n = int(src.num_rows)
+    out_vals: list = []
+    for i in range(n):
+        parts = []
+        for name in input_cols:
+            v = cols[name][i]
+            if v is None:
+                parts = None
+                break
+            if isinstance(v, bool):
+                v = "true" if v else "false"
+            parts.append(v if isinstance(v, str) else str(v))
+        out_vals.append(None if parts is None else separator.join(parts))
+    data = {a.name: list(cols[a.name]) for a in src.schema}
+    data[output] = out_vals
+    out_schema = src.schema.concat(TupleSchema(
+        [Attribute(output, DataType.STRING, True)]))
+    return Table.from_data(out_schema, data)

@@ -204,3 +204,69 @@ def test_stateful_multi_tile():
         last = v if v is not None else last
         exp2.append(last)
     assert got2 == exp2
+
+
+S2 = TupleSchema.of(("a", STRING), ("b", STRING))
+
+
+def test_concat_two_columns():
+    # reference: string_bound_expressions.cc BoundConcatExpression —
+    # general concat of two non-constant columns (cross dictionary)
+    data = {"a": ["x", "y", "x", None], "b": ["1", "2", "2", "1"]}
+    assert eval_expr(Concat(col("a"), col("b")), data, S2) == \
+        ["x1", "y2", "x2", None]
+
+
+def test_concat_columns_with_separators():
+    data = {"a": ["ab", "a"], "b": ["c", "bc"]}
+    # overlapping combined values must dedupe to one code ("ab-c" twice
+    # would be wrong here, but "ab"+""+"c" == "a"+""+"bc" must collapse)
+    assert eval_expr(Concat(col("a"), col("b")), data, S2) == ["abc", "abc"]
+    assert eval_expr(
+        Concat(Const("<"), col("a"), Const("-"), col("b"), Const(">")),
+        data, S2) == ["<ab-c>", "<a-bc>"]
+
+
+def test_concat_three_columns_and_nulls():
+    S3 = TupleSchema.of(("a", STRING), ("b", STRING), ("c", STRING))
+    data = {"a": ["p", None, "q"], "b": ["1", "2", None], "c": ["u", "v", "w"]}
+    assert eval_expr(Concat(col("a"), col("b"), col("c")), data, S3) == \
+        ["p1u", None, None]
+
+
+def test_concat_sort_on_result():
+    # the cross dictionary must stay order-preserving: ORDER BY on the
+    # concat output codes == ORDER BY on the strings
+    from supersonic_tpu import Sort, SortKey
+    data = {"a": ["b", "a", "ab"], "b": ["c", "c", "b"]}
+    t = Table.from_data(S2, data)
+    out = execute(Sort([SortKey("cc")],
+                       Compute(Concat(col("a"), col("b")).as_("cc"),
+                               ScanTable(t))))
+    assert [r[0] for r in out.to_pylist()] == ["abb", "ac", "bc"]
+
+
+def test_format():
+    from supersonic_tpu import Format
+    from supersonic_tpu.types import TypeError_
+    data = {"x": [1.0]}
+    assert eval_expr(Format(Const(3.14159), Const(3)), data, NUM) == ["3.142"]
+    assert eval_expr(Format(Const(2.5), Const(0)), data, NUM) == ["2"] or \
+        eval_expr(Format(Const(2.5), Const(0)), data, NUM) == ["3"]
+    with pytest.raises(TypeError_):
+        execute(Compute(Format(col("x"), Const(2)),
+                        ScanTable(Table.from_data(NUM, data))))
+
+
+def test_host_format_number():
+    from supersonic_tpu.ops.host import format_number
+    t = Table.from_data(NUM, {"x": [1.5, None, -0.25]})
+    out = format_number(t, "x", 2, "fx")
+    assert [r[-1] for r in out.to_pylist()] == ["1.50", None, "-0.25"]
+
+
+def test_host_concat_columns():
+    from supersonic_tpu.ops.host import concat_columns
+    t = Table.from_data(S2, {"a": ["x", None], "b": ["y", "z"]})
+    out = concat_columns(t, ["a", "b"], "ab", separator="/")
+    assert [r[-1] for r in out.to_pylist()] == ["x/y", None]
