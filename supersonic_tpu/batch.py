@@ -153,6 +153,47 @@ class Table:
         return Table(schema, columns, n, out_dicts)
 
     @staticmethod
+    def from_arrays(schema: TupleSchema, values: dict[str, np.ndarray],
+                    valids: dict[str, Optional[np.ndarray]], num_rows: int,
+                    dicts: Optional[dict] = None,
+                    capacity: Optional[int] = None) -> "Table":
+        """Build a Table from already-physical host arrays (no per-row
+        python work): ``values[name]`` is the physical-dtype value array,
+        ``valids[name]`` an optional bool mask.  STRING/BINARY columns must
+        be pre-encoded codes with an entry in ``dicts``.  This is the
+        native-ingest constructor (fast file reads, C++ encoders)."""
+        cap = capacity or max(num_rows, 1)
+        if cap < num_rows:
+            raise SchemaError("capacity < row count")
+        columns: dict[str, Column] = {}
+        for attr in schema:
+            vals_np = np.ascontiguousarray(
+                values[attr.name], dtype=physical_dtype(attr.type))
+            valid_np = valids.get(attr.name)
+            if vals_np.shape[0] != num_rows:
+                raise SchemaError("array length != num_rows")
+            pad = cap - num_rows
+            if pad:
+                vals_np = np.concatenate(
+                    [vals_np, np.zeros(pad, dtype=vals_np.dtype)])
+            if attr.nullable:
+                if valid_np is None:
+                    valid_np = np.ones(num_rows, dtype=bool)
+                valid_np = np.ascontiguousarray(valid_np, dtype=bool)
+                if pad:
+                    valid_np = np.concatenate(
+                        [valid_np, np.zeros(pad, dtype=bool)])
+                columns[attr.name] = Column(jnp.asarray(vals_np),
+                                            jnp.asarray(valid_np))
+            else:
+                if valid_np is not None and not np.asarray(
+                        valid_np)[:num_rows].all():
+                    raise SchemaError(
+                        f"NULL in non-nullable column {attr.name!r}")
+                columns[attr.name] = Column(jnp.asarray(vals_np), None)
+        return Table(schema, columns, num_rows, dict(dicts or {}))
+
+    @staticmethod
     def empty(schema: TupleSchema, capacity: int = 1) -> "Table":
         cols = {}
         for a in schema:

@@ -1,4 +1,4 @@
-"""Binary columnar file format (host-side).
+"""Binary columnar file format (host-side, native-accelerated).
 
 Reference: cursor/infrastructure/file_io.cc — spill/interchange format:
 data is written in chunks of at most 8192 rows (file_io.cc:33); each chunk
@@ -8,21 +8,24 @@ variable-length payloads as lengths-then-concatenated-bytes (:77-101).
 
 This engine keeps the same chunked layout (schema header added, since the
 reference exchanges schemas out of band) so tables round-trip through
-files; STRING columns are written decoded (lengths + utf-8 bytes) and
-re-dictionary-encoded on read.  Disk spill is not used for execution
+files.  The reference's writer/reader are C++ row loops; here the hot
+paths are numpy block copies plus the native C++ kernels in
+supersonic_tpu/native (payload gather on write, dictionary encode on
+read) — no per-row Python work.  Disk spill is not used for execution
 (HBM is the memory budget; SURVEY.md §7.1) — this is the interchange and
 test-golden format.
 """
 from __future__ import annotations
 
-import io
 import struct
-from typing import BinaryIO, Iterable
+from typing import BinaryIO
 
 import numpy as np
 
+from .. import native
 from ..batch import Table
-from ..schema import Attribute, TupleSchema
+from ..dictionary import Dictionary
+from ..schema import Attribute, EnumDefinition, TupleSchema
 from ..types import DataType, physical_dtype
 
 MAX_CHUNK_ROWS = 8192  # reference: file_io.cc:33
@@ -39,6 +42,12 @@ def _write_schema(f: BinaryIO, schema: TupleSchema) -> None:
         f.write(struct.pack("<I", len(t)))
         f.write(t)
         f.write(struct.pack("<B", 1 if a.nullable else 0))
+        if a.type == DataType.ENUM:
+            f.write(struct.pack("<I", len(a.enum.names)))
+            for nm in a.enum.names:
+                b = nm.encode()
+                f.write(struct.pack("<I", len(b)))
+                f.write(b)
 
 
 def _read_schema(f: BinaryIO) -> TupleSchema:
@@ -50,46 +59,111 @@ def _read_schema(f: BinaryIO) -> TupleSchema:
         (lt,) = struct.unpack("<I", f.read(4))
         t = DataType(f.read(lt).decode())
         (nullable,) = struct.unpack("<B", f.read(1))
-        attrs.append(Attribute(name, t, bool(nullable)))
+        enum = None
+        if t == DataType.ENUM:
+            (ne,) = struct.unpack("<I", f.read(4))
+            names = []
+            for _ in range(ne):
+                (le,) = struct.unpack("<I", f.read(4))
+                names.append(f.read(le).decode())
+            enum = EnumDefinition(tuple(names))
+        attrs.append(Attribute(name, t, bool(nullable), enum))
     return TupleSchema(attrs)
 
 
+def _dict_blob(d: Dictionary, binary: bool):
+    """(blob bytes, int64 offsets[len+1], int64 lengths[len]) of a
+    dictionary's payloads."""
+    payloads = [v if binary else v.encode() for v in d.values]
+    lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                          count=len(payloads)) if payloads else \
+        np.zeros(0, dtype=np.int64)
+    offsets = np.zeros(len(payloads) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return b"".join(payloads), offsets, lengths
+
+
 def write_table(f: BinaryIO, table: Table) -> None:
-    """Write a Table (host-materialized) in the chunked columnar format."""
+    """Write a Table in the chunked columnar format (no per-row Python
+    work: block copies from the device arrays + native payload gather)."""
     f.write(MAGIC)
     _write_schema(f, table.schema)
-    cols = table.to_numpy()
     n = int(table.num_rows)
+    # materialize raw arrays once
+    raw_vals: dict[str, np.ndarray] = {}
+    raw_valid: dict[str, np.ndarray] = {}
+    dict_info: dict[str, tuple] = {}
+    for a in table.schema:
+        c = table.columns[a.name]
+        raw_vals[a.name] = np.asarray(c.values)[:n]
+        raw_valid[a.name] = (np.ones(n, dtype=bool) if c.valid is None
+                             else np.asarray(c.valid)[:n])
+        if a.type in (DataType.STRING, DataType.BINARY):
+            dict_info[a.name] = _dict_blob(
+                table.dicts[a.name], a.type == DataType.BINARY)
     for start in range(0, max(n, 1), MAX_CHUNK_ROWS):
         count = min(MAX_CHUNK_ROWS, n - start)
         if count <= 0:
             break
         f.write(struct.pack("<I", count))
         for a in table.schema:
-            data = cols[a.name][start:start + count]
+            vals = raw_vals[a.name][start:start + count]
+            valid = raw_valid[a.name][start:start + count]
             if a.type in (DataType.STRING, DataType.BINARY):
-                is_null = np.array([v is None for v in data], dtype=np.uint8)
                 if a.nullable:
-                    f.write(is_null.tobytes())
-                payloads = [
-                    (v.encode() if isinstance(v, str) else (v or b""))
-                    if v is not None else b"" for v in data]
-                lengths = np.array([len(p) for p in payloads],
-                                   dtype=np.uint32)
-                f.write(lengths.tobytes())
-                f.write(b"".join(payloads))
+                    f.write((~valid).astype(np.uint8).tobytes())
+                blob, offsets, dlens = dict_info[a.name]
+                codes = np.clip(vals.astype(np.int64), 0,
+                                max(len(dlens) - 1, 0))
+                lengths = (dlens[codes] if len(dlens) else
+                           np.zeros(count, dtype=np.int64))
+                lengths = np.where(valid, lengths, 0)
+                f.write(lengths.astype(np.uint32).tobytes())
+                total = int(lengths.sum())
+                out = native.gather_blob_bytes(
+                    blob, offsets, codes.astype(np.int32), valid, total)
+                if out is None:  # pure-python fallback
+                    parts = []
+                    for i in range(count):
+                        if valid[i]:
+                            c0 = int(codes[i])
+                            parts.append(blob[offsets[c0]:offsets[c0 + 1]])
+                    out = b"".join(parts)
+                f.write(out)
             else:
-                dtype = physical_dtype(a.type)
                 if a.nullable:
-                    is_null = np.array([v is None for v in data],
-                                       dtype=np.uint8)
-                    f.write(is_null.tobytes())
-                    vals = np.array([v if v is not None else 0 for v in data],
-                                    dtype=dtype)
-                else:
-                    vals = np.asarray(data, dtype=dtype)
-                f.write(vals.tobytes())
+                    f.write((~valid).astype(np.uint8).tobytes())
+                    vals = np.where(valid, vals, np.zeros(1, vals.dtype))
+                f.write(np.ascontiguousarray(vals).tobytes())
     f.write(struct.pack("<I", 0xFFFFFFFF))  # end marker
+
+
+def _decode_strings(blobs: list[bytes], lengths: np.ndarray,
+                    valid: np.ndarray, binary: bool):
+    """All string payloads of a column -> (codes int32, Dictionary)."""
+    blob = b"".join(blobs)
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths.astype(np.int64), out=offsets[1:])
+    res = native.dict_encode_bytes(blob, offsets, valid)
+    if res is not None:
+        codes, dict_rows = res
+        vals = []
+        for r in dict_rows:
+            b = blob[offsets[int(r)]:offsets[int(r) + 1]]
+            vals.append(b if binary else b.decode())
+        return codes, Dictionary(tuple(vals))
+    # fallback: python decode + dictionary.encode
+    from .. import dictionary as dict_mod
+
+    out = []
+    for i in range(len(lengths)):
+        if not valid[i]:
+            out.append(None)
+            continue
+        b = blob[offsets[i]:offsets[i + 1]]
+        out.append(b if binary else b.decode())
+    codes, _, d = dict_mod.encode(out)
+    return codes, d
 
 
 def read_table(f: BinaryIO, capacity: int | None = None) -> Table:
@@ -97,7 +171,10 @@ def read_table(f: BinaryIO, capacity: int | None = None) -> Table:
     if magic != MAGIC:
         raise IOError("bad file magic")
     schema = _read_schema(f)
-    chunks: dict[str, list] = {a.name: [] for a in schema}
+    val_chunks: dict[str, list] = {a.name: [] for a in schema}
+    valid_chunks: dict[str, list] = {a.name: [] for a in schema}
+    len_chunks: dict[str, list] = {a.name: [] for a in schema}
+    total = 0
     while True:
         raw = f.read(4)
         if len(raw) < 4:
@@ -105,36 +182,45 @@ def read_table(f: BinaryIO, capacity: int | None = None) -> Table:
         (count,) = struct.unpack("<I", raw)
         if count == 0xFFFFFFFF:
             break
+        total += count
         for a in schema:
             if a.type in (DataType.STRING, DataType.BINARY):
                 is_null = (np.frombuffer(f.read(count), dtype=np.uint8)
                            if a.nullable else np.zeros(count, np.uint8))
                 lengths = np.frombuffer(f.read(4 * count), dtype=np.uint32)
                 blob = f.read(int(lengths.sum()))
-                vals, off = [], 0
-                for i in range(count):
-                    ln = int(lengths[i])
-                    if is_null[i]:
-                        vals.append(None)
-                    else:
-                        b = blob[off:off + ln]
-                        vals.append(b.decode() if a.type == DataType.STRING
-                                    else b)
-                    off += ln
-                chunks[a.name].extend(vals)
+                val_chunks[a.name].append(blob)
+                len_chunks[a.name].append(lengths)
+                valid_chunks[a.name].append(is_null == 0)
             else:
                 dtype = physical_dtype(a.type)
                 is_null = (np.frombuffer(f.read(count), dtype=np.uint8)
                            if a.nullable else np.zeros(count, np.uint8))
                 vals = np.frombuffer(f.read(dtype.itemsize * count),
                                      dtype=dtype)
-                if a.nullable:
-                    chunks[a.name].extend(
-                        None if is_null[i] else vals[i].item()
-                        for i in range(count))
-                else:
-                    chunks[a.name].extend(vals.tolist())
-    return Table.from_data(schema, chunks, capacity=capacity)
+                val_chunks[a.name].append(vals)
+                valid_chunks[a.name].append(is_null == 0)
+    values: dict[str, np.ndarray] = {}
+    valids: dict[str, np.ndarray] = {}
+    dicts: dict[str, Dictionary] = {}
+    for a in schema:
+        valid = (np.concatenate(valid_chunks[a.name])
+                 if valid_chunks[a.name] else np.zeros(0, dtype=bool))
+        if a.type in (DataType.STRING, DataType.BINARY):
+            lengths = (np.concatenate(len_chunks[a.name])
+                       if len_chunks[a.name] else np.zeros(0, np.uint32))
+            codes, d = _decode_strings(
+                val_chunks[a.name], lengths, valid,
+                a.type == DataType.BINARY)
+            values[a.name] = codes
+            dicts[a.name] = d
+        else:
+            values[a.name] = (np.concatenate(val_chunks[a.name])
+                              if val_chunks[a.name]
+                              else np.zeros(0, physical_dtype(a.type)))
+        valids[a.name] = valid
+    return Table.from_arrays(schema, values, valids, total, dicts,
+                             capacity=capacity)
 
 
 def save(path: str, table: Table) -> None:

@@ -75,3 +75,34 @@ def dict_encode_bytes(blob: bytes, offsets: np.ndarray,
         dict_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return codes, dict_rows[:n_distinct]
+
+
+def gather_blob_bytes(dict_blob: bytes, dict_offsets: np.ndarray,
+                      codes: np.ndarray, valid, total: int):
+    """Concatenate dictionary payloads for each row (NULL rows contribute
+    nothing).  Returns the bytes, or None if the native library is
+    unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_gather_blob_ready"):
+        lib.gather_blob.restype = None
+        lib.gather_blob.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.c_int64, ctypes.c_char_p]
+        lib._gather_blob_ready = True
+    n = len(codes)
+    out = ctypes.create_string_buffer(max(total, 1))
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    dict_offsets = np.ascontiguousarray(dict_offsets, dtype=np.int64)
+    valid_ptr = None
+    if valid is not None:
+        valid_u8 = np.ascontiguousarray(valid, dtype=np.uint8)
+        valid_ptr = valid_u8.ctypes.data_as(ctypes.c_char_p)
+    lib.gather_blob(
+        dict_blob,
+        dict_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        valid_ptr, n, out)
+    return out.raw[:total]

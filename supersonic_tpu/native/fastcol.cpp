@@ -112,4 +112,24 @@ int64_t pack_nullable_i64(const int64_t* vals, const uint8_t* valid,
   return cnt;
 }
 
+// Gather variable-length payloads by dictionary code: writes the
+// concatenation of dict value bytes for each row (invalid rows contribute
+// zero bytes).  `out` must be sized to the sum of per-row lengths, which
+// the caller computes vectorized (dict length LUT gathered by codes).
+// Backs the file-writer's string-column path (reference: file_io.cc:77-101
+// lengths-then-concatenated-bytes layout).
+void gather_blob(const char* dict_bytes, const int64_t* dict_offsets,
+                 const int32_t* codes, const uint8_t* valid, int64_t n,
+                 char* out) {
+  int64_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (valid && !valid[i]) continue;
+    int32_t c = codes[i];
+    int64_t len = dict_offsets[c + 1] - dict_offsets[c];
+    std::memcpy(out + pos, dict_bytes + dict_offsets[c],
+                static_cast<size_t>(len));
+    pos += len;
+  }
+}
+
 }  // extern "C"
