@@ -1,0 +1,213 @@
+"""External (disk-spilling) merge sort.
+
+Reference: cursor/core/sort.cc external path — ``BufferingSorter``
+(:467) accumulates input into a memory-quota Table, flushes sorted runs
+through ``UnbufferedSorter`` (:406) to temp files (``BasicMerger::
+AddSorted`` :332-362), and the final ``Merge`` (:366-392) k-way-merges
+the run files plus the last in-memory run.
+
+TPU redesign: each run sorts *on device* (one multi-operand ``lax.sort``
+via ops/sort.sort_table) and spills through the chunked columnar file
+format (io/file_io.py); the final merge streams run files chunk-at-a-time
+on the host (memory = O(runs x 8192 rows)), using the same key semantics
+as the device sort (NULL-first ascending / NULL-last descending,
+sort.cc:44-47).  In-engine queries never spill — HBM is the budget
+(SURVEY.md §7.1); this is the beyond-memory ingest/ETL path.
+"""
+from __future__ import annotations
+
+import heapq
+import os
+import tempfile
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from ..batch import Table
+from ..schema import TupleSchema
+from ..types import DataType
+from ..ops.sort import SortOrder, sort_table
+from . import file_io
+
+MERGE_CHUNK_ROWS = file_io.MAX_CHUNK_ROWS
+
+
+class _Rev:
+    """Order-reversing comparison wrapper for DESC keys."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
+def _row_key(order: SortOrder, schema: TupleSchema):
+    """Host-row sort key matching ops/keys.py semantics: NULL == NULL,
+    NULL first ascending / last descending (reference: sort.cc:44-47)."""
+    idx = [(schema.names().index(k.name), k.ascending) for k in order.keys]
+
+    def key(row):
+        parts = []
+        for i, asc in idx:
+            v = row[i]
+            if asc:
+                parts.append((0, 0) if v is None else (1, v))
+            else:
+                parts.append((1, 0) if v is None else (0, _Rev(v)))
+        return tuple(parts)
+
+    return key
+
+
+def _iter_rows(path: str) -> Iterator[tuple]:
+    for chunk in file_io.iter_chunks(path):
+        yield from chunk.to_pylist()
+
+
+class ExternalSorter:
+    """Memory-bounded sorter: feed tables/rows, get sorted output back
+    (reference: Sorter interface, sort.h:134-173).
+
+    ``memory_limit_rows`` plays the reference's ``buffer_memory_limit``
+    (sort.h:89-98): once the buffered input exceeds it, the buffer is
+    sorted on device and spilled as a run file under ``temporary_
+    directory_prefix``."""
+
+    def __init__(self, schema: TupleSchema, order: SortOrder | Sequence,
+                 memory_limit_rows: int = 1 << 20,
+                 temporary_directory_prefix: Optional[str] = None):
+        self.schema = schema
+        self.order = order if isinstance(order, SortOrder) else SortOrder(order)
+        for k in self.order.keys:
+            schema.lookup(k.name)
+        self.limit = max(int(memory_limit_rows), 1)
+        self._tmpdir = tempfile.mkdtemp(prefix="sstp_sort_",
+                                        dir=temporary_directory_prefix)
+        self._runs: list[str] = []
+        self._buffer: list[dict] = []
+        self._buffered = 0
+
+    # -- write side (reference: SorterSink / Writer) -----------------------
+    def write(self, table: Table) -> None:
+        cols = table.to_numpy()
+        self._buffer.append({n: list(cols[n]) for n in self.schema.names()})
+        self._buffered += int(table.num_rows)
+        if self._buffered >= self.limit:
+            self._flush()
+
+    def write_rows(self, data: dict) -> None:
+        self._buffer.append({n: list(data[n]) for n in self.schema.names()})
+        self._buffered += len(next(iter(data.values()))) if data else 0
+        if self._buffered >= self.limit:
+            self._flush()
+
+    def _buffer_table(self) -> Optional[Table]:
+        if not self._buffered:
+            return None
+        merged = {n: [] for n in self.schema.names()}
+        for part in self._buffer:
+            for n in merged:
+                merged[n].extend(part[n])
+        return Table.from_data(self.schema, merged)
+
+    def _flush(self) -> None:
+        t = self._buffer_table()
+        self._buffer, self._buffered = [], 0
+        if t is None:
+            return
+        sorted_t = sort_table(t, self.order)  # one device lax.sort
+        path = os.path.join(self._tmpdir, f"run_{len(self._runs)}.sst")
+        file_io.save(path, sorted_t)
+        self._runs.append(path)
+
+    # -- read side (reference: Sorter::GetResultCursor) --------------------
+    def result_chunks(self) -> Iterator[Table]:
+        """Sorted output as a stream of ≤8192-row Tables (k-way heap merge
+        of run files + the last in-memory run; reference: sort.cc:366-392
+        BoundMergeUnionAll over file cursors)."""
+        last = self._buffer_table()
+        self._buffer, self._buffered = [], 0
+        if not self._runs:
+            if last is not None:
+                yield sort_table(last, self.order)
+            return
+        streams = [_iter_rows(p) for p in self._runs]
+        if last is not None:
+            streams.append(iter(sort_table(last, self.order).to_pylist()))
+        key = _row_key(self.order, self.schema)
+        names = self.schema.names()
+        buf: list[tuple] = []
+        for row in heapq.merge(*streams, key=key):
+            buf.append(row)
+            if len(buf) >= MERGE_CHUNK_ROWS:
+                yield Table.from_data(
+                    self.schema, {n: [r[i] for r in buf]
+                                  for i, n in enumerate(names)})
+                buf = []
+        if buf:
+            yield Table.from_data(
+                self.schema, {n: [r[i] for r in buf]
+                              for i, n in enumerate(names)})
+
+    def result(self, capacity: Optional[int] = None) -> Table:
+        """Fully-merged single Table (must fit in memory)."""
+        from ..batch import concat_tables
+
+        chunks = list(self.result_chunks())
+        if not chunks:
+            return Table.empty(self.schema)
+        if len(chunks) == 1:
+            return chunks[0]
+        # chunks arrive globally sorted; plain order-preserving concat
+        names = self.schema.names()
+        merged: dict[str, list] = {n: [] for n in names}
+        for c in chunks:
+            cols = c.to_numpy()
+            for n in names:
+                merged[n].extend(list(cols[n]))
+        return Table.from_data(self.schema, merged, capacity=capacity)
+
+    def close(self) -> None:
+        for p in self._runs:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        try:
+            os.rmdir(self._tmpdir)
+        except OSError:
+            pass
+        self._runs = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def external_sort(tables, order, memory_limit_rows: int = 1 << 20,
+                  temporary_directory_prefix: Optional[str] = None) -> Table:
+    """One-shot helper: sort an iterable of same-schema Tables under a
+    row-count memory bound, spilling runs to disk as needed."""
+    tables = list(tables) if not hasattr(tables, "__next__") else tables
+    first = None
+    sorter = None
+    for t in tables:
+        if sorter is None:
+            first = t
+            sorter = ExternalSorter(t.schema, order, memory_limit_rows,
+                                    temporary_directory_prefix)
+        sorter.write(t)
+    if sorter is None:
+        raise ValueError("external_sort needs at least one table")
+    try:
+        return sorter.result()
+    finally:
+        sorter.close()

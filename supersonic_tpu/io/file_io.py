@@ -223,6 +223,49 @@ def read_table(f: BinaryIO, capacity: int | None = None) -> Table:
                              capacity=capacity)
 
 
+def iter_chunks(path: str):
+    """Stream a file's chunks as small Tables (≤MAX_CHUNK_ROWS rows each)
+    without loading the whole file — the reading half of the reference's
+    spill-run streaming (FileInputCursor, file_io.cc:319).  Each chunk
+    carries its own (per-chunk) string dictionaries."""
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise IOError("bad file magic")
+        schema = _read_schema(f)
+        while True:
+            raw = f.read(4)
+            if len(raw) < 4:
+                break
+            (count,) = struct.unpack("<I", raw)
+            if count == 0xFFFFFFFF:
+                break
+            values: dict[str, np.ndarray] = {}
+            valids: dict[str, np.ndarray] = {}
+            dicts: dict[str, Dictionary] = {}
+            for a in schema:
+                if a.type in (DataType.STRING, DataType.BINARY):
+                    is_null = (np.frombuffer(f.read(count), dtype=np.uint8)
+                               if a.nullable else np.zeros(count, np.uint8))
+                    lengths = np.frombuffer(f.read(4 * count),
+                                            dtype=np.uint32)
+                    blob = f.read(int(lengths.sum()))
+                    codes, d = _decode_strings(
+                        [blob], lengths, is_null == 0,
+                        a.type == DataType.BINARY)
+                    values[a.name] = codes
+                    dicts[a.name] = d
+                    valids[a.name] = is_null == 0
+                else:
+                    dtype = physical_dtype(a.type)
+                    is_null = (np.frombuffer(f.read(count), dtype=np.uint8)
+                               if a.nullable else np.zeros(count, np.uint8))
+                    values[a.name] = np.frombuffer(
+                        f.read(dtype.itemsize * count), dtype=dtype)
+                    valids[a.name] = is_null == 0
+            yield Table.from_arrays(schema, values, valids, count, dicts)
+
+
 def save(path: str, table: Table) -> None:
     with open(path, "wb") as f:
         write_table(f, table)
