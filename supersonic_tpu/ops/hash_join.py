@@ -99,6 +99,38 @@ def _lex_lower_upper(build_codes: list[jnp.ndarray], build_n,
     return search(False), search(True)
 
 
+_DENSE_KEY_TYPES = ("INT32", "INT64", "UINT32", "DATE", "DATETIME")
+_DENSE_RANGE_MAX = 1 << 24  # 64MB int32 LUT ceiling
+
+from .scan import ScanTable as ScanTableOp  # noqa: E402  (cycle-free)
+
+
+def _bind_time_key_stats(op: Operation, name: str):
+    """Planner statistics: (min, max) of a concrete leaf's key column, or
+    None when the build side isn't a materialized leaf.  The reference's
+    planner sees concrete Tables the same way (Table is an Operation,
+    table.h:49); classic databases drive join-strategy choice from exactly
+    these table stats."""
+    if not isinstance(op, ScanTableOp):
+        return None
+    t = op.table
+    try:
+        n = int(t.num_rows)
+    except TypeError:
+        return None
+    if n == 0:
+        return None
+    import numpy as np
+    c = t.columns[name]
+    vals = np.asarray(c.values)[:n]
+    if c.valid is not None:
+        mask = np.asarray(c.valid)[:n]
+        if not mask.any():
+            return None
+        vals = vals[mask]
+    return int(vals.min()), int(vals.max())
+
+
 class HashJoin(Operation):
     """reference: HashJoinOperation (hash_join.h:35)."""
 
@@ -108,7 +140,8 @@ class HashJoin(Operation):
                  rhs_key_uniqueness: KeyUniqueness = KeyUniqueness.NOT_UNIQUE,
                  lhs_projector: Optional[Projector] = None,
                  rhs_projector: Optional[Projector] = None,
-                 out_capacity: Optional[int] = None):
+                 out_capacity: Optional[int] = None,
+                 allow_dense_lookup: bool = True):
         if len(lhs_keys) != len(rhs_keys) or not lhs_keys:
             raise SchemaError("join key lists must be equal-length, non-empty")
         self.join_type = join_type
@@ -120,6 +153,7 @@ class HashJoin(Operation):
         self.lhs_projector = lhs_projector or Projector.all()
         self.rhs_projector = rhs_projector or Projector.all()
         self.out_capacity = out_capacity
+        self.allow_dense_lookup = allow_dense_lookup
 
     def bind(self, ctx: BindContext) -> BoundOperation:
         from .filter import bind_predicates, keep_mask, unwrap_filters
@@ -187,6 +221,28 @@ class HashJoin(Operation):
             else:
                 remaps.append(None)
 
+        # Dense-build fast path (planner statistics): UNIQUE single integer
+        # key whose concrete build leaf spans a small value range -> a
+        # direct-address LUT join (one scatter to build + one gather to
+        # probe) replaces the joint sort + back sort of the merge probe.
+        # A runtime range-guard error flag keeps the compiled program safe
+        # when re-run with different leaf data of the same shapes.
+        dense_info = None
+        if (self.allow_dense_lookup and unique and len(rhs_keys) == 1
+                and remaps[0] is None):
+            la = lb.schema.lookup(lhs_keys[0])
+            ra = rb.schema.lookup(rhs_keys[0])
+            if (la.type.value in _DENSE_KEY_TYPES
+                    and ra.type.value in _DENSE_KEY_TYPES):
+                stats = _bind_time_key_stats(self.rhs, rhs_keys[0])
+                if stats is not None:
+                    kmin, kmax = stats
+                    rng = kmax - kmin + 1
+                    budget = min(max(4 * rb.capacity, 1 << 20),
+                                 _DENSE_RANGE_MAX)
+                    if 0 < rng <= budget:
+                        dense_info = (kmin, rng)
+
         def fn(rctx: RunContext) -> Table:
             lt = lb.run(rctx)
             rt = rb.run(rctx)
@@ -202,68 +258,93 @@ class HashJoin(Operation):
                     bcodes[i] = jnp.take(rb_, jnp.clip(bcodes[i], 0,
                                                        rb_.shape[0] - 1))
             rcap, lcap = rt.capacity, lt.capacity
-            # --- build: sort non-null rhs keys (NULL/pad rows sort last and
-            # are excluded from the searched range) ---
+            pinert = pnull | ~lkeep
             binert = bnull | ~rt.row_mask()
             rowid = jnp.arange(rcap, dtype=jnp.int32)
-            res = jax.lax.sort([binert.astype(jnp.int32)] + bcodes + [rowid],
-                               num_keys=1 + len(bcodes), is_stable=True)
-            build_perm = res[-1]
-            build_n = jnp.sum((~binert).astype(jnp.int32))
-            # --- probe: merge-style ---
-            # A vectorized binary search costs ~2*log2(build) serial gather
-            # rounds over all probe rows (~1.3s at 8M on v5e: gathers are
-            # index-count-bound).  Instead sort build+probe keys TOGETHER
-            # (side as tiebreak key: build rows precede probe rows within
-            # an equal-key run); then for a probe row, upper = inclusive
-            # prefix-count of live build rows, and lower = that count at
-            # its run's start — pure cumsum/cummax work.  One more
-            # payload sort restores probe row order.
-            pinert = pnull | ~lkeep
-            cat_codes = []
-            for bc, pc in zip(bcodes, pcodes):
-                dt = jnp.promote_types(bc.dtype, pc.dtype)
-                cat_codes.append(jnp.concatenate(
-                    [bc.astype(dt), pc.astype(dt)]))
-            side = jnp.concatenate([
-                jnp.zeros(rcap, jnp.int32), jnp.ones(lcap, jnp.int32)])
-            rowid_cat = jnp.concatenate([
-                rowid, jnp.arange(lcap, dtype=jnp.int32)])
-            is_build = jnp.concatenate([
-                (~binert).astype(jnp.int32), jnp.zeros(lcap, jnp.int32)])
-            jres = jax.lax.sort(cat_codes + [side, rowid_cat, is_build],
-                                num_keys=len(cat_codes) + 1, is_stable=True)
-            s_codes = jres[:len(cat_codes)]
-            s_side, s_rowid, s_isb = jres[-3], jres[-2], jres[-1]
-            bprefix = jnp.cumsum(s_isb)
-            tot = rcap + lcap
-            same_as_prev = jnp.ones(tot, dtype=jnp.bool_)
-            for c in s_codes:
-                same_as_prev = same_as_prev & (c == jnp.roll(c, 1))
-            boundary = ~same_as_prev | (jnp.arange(tot) == 0)
-            # build-count before this run; values are nondecreasing across
-            # runs so a plain cummax forward-fills run starts
-            run_start = jax.lax.cummax(
-                jnp.where(boundary, bprefix - s_isb, 0))
-            back = jax.lax.sort(
-                [s_side, s_rowid, run_start.astype(jnp.int32),
-                 bprefix.astype(jnp.int32)],
-                num_keys=2, is_stable=True)
-            lower = back[2][rcap:]
-            upper = back[3][rcap:]
-            count = jnp.where(pinert, 0, upper - lower)
+            if dense_info is not None:
+                # --- direct-address probe (dense unique build keys) ---
+                kmin, rng = dense_info
+                bvals = rt.columns[rhs_keys[0]].values
+                bidx = bvals.astype(jnp.int64) - kmin
+                inb = ~binert & (bidx >= 0) & (bidx < rng)
+                rctx.error_flags.append((
+                    "join build keys exceed planned dense range",
+                    jnp.any(~binert & ~inb)))
+                scat = jnp.where(inb, bidx, rng).astype(jnp.int32)
+                lut = jnp.full(rng, -1, jnp.int32).at[scat].set(
+                    rowid, mode="drop")
+                pvals = lt.columns[lhs_keys[0]].values
+                pidx = pvals.astype(jnp.int64) - kmin
+                pin = (pidx >= 0) & (pidx < rng) & ~pinert
+                borig = jnp.take(
+                    lut, jnp.clip(pidx, 0, rng - 1).astype(jnp.int32))
+                matched = pin & (borig >= 0)
+                borig_full = jnp.where(matched, borig, 0)
+            else:
+                # --- build: sort non-null rhs keys (NULL/pad rows sort
+                # last and are excluded from the searched range) ---
+                res = jax.lax.sort(
+                    [binert.astype(jnp.int32)] + bcodes + [rowid],
+                    num_keys=1 + len(bcodes), is_stable=True)
+                build_perm = res[-1]
+                build_n = jnp.sum((~binert).astype(jnp.int32))
+                # --- probe: merge-style ---
+                # A vectorized binary search costs ~2*log2(build) serial
+                # gather rounds over all probe rows (~1.3s at 8M on v5e:
+                # gathers are index-count-bound).  Instead sort build+probe
+                # keys TOGETHER (side as tiebreak key: build rows precede
+                # probe rows within an equal-key run); then for a probe
+                # row, upper = inclusive prefix-count of live build rows,
+                # and lower = that count at its run's start — pure
+                # cumsum/cummax work.  One more payload sort restores
+                # probe row order.
+                cat_codes = []
+                for bc, pc in zip(bcodes, pcodes):
+                    dt = jnp.promote_types(bc.dtype, pc.dtype)
+                    cat_codes.append(jnp.concatenate(
+                        [bc.astype(dt), pc.astype(dt)]))
+                side = jnp.concatenate([
+                    jnp.zeros(rcap, jnp.int32), jnp.ones(lcap, jnp.int32)])
+                rowid_cat = jnp.concatenate([
+                    rowid, jnp.arange(lcap, dtype=jnp.int32)])
+                is_build = jnp.concatenate([
+                    (~binert).astype(jnp.int32), jnp.zeros(lcap, jnp.int32)])
+                jres = jax.lax.sort(cat_codes + [side, rowid_cat, is_build],
+                                    num_keys=len(cat_codes) + 1,
+                                    is_stable=True)
+                s_codes = jres[:len(cat_codes)]
+                s_side, s_rowid, s_isb = jres[-3], jres[-2], jres[-1]
+                bprefix = jnp.cumsum(s_isb)
+                tot = rcap + lcap
+                same_as_prev = jnp.ones(tot, dtype=jnp.bool_)
+                for c in s_codes:
+                    same_as_prev = same_as_prev & (c == jnp.roll(c, 1))
+                boundary = ~same_as_prev | (jnp.arange(tot) == 0)
+                # build-count before this run; values are nondecreasing
+                # across runs so a plain cummax forward-fills run starts
+                run_start = jax.lax.cummax(
+                    jnp.where(boundary, bprefix - s_isb, 0))
+                back = jax.lax.sort(
+                    [s_side, s_rowid, run_start.astype(jnp.int32),
+                     bprefix.astype(jnp.int32)],
+                    num_keys=2, is_stable=True)
+                lower = back[2][rcap:]
+                upper = back[3][rcap:]
+                count = jnp.where(pinert, 0, upper - lower)
             if unique:
-                count = jnp.minimum(count, 1)
                 # fast path: <=1 match per probe row, so no expansion.
                 # LEFT_OUTER keeps lhs columns zero-copy; INNER moves the
                 # surviving rows with one payload-sort compaction (gathers
                 # are the most expensive primitive on TPU).
-                matched = (count > 0) & lkeep
-                bpos0 = jnp.clip(lower, 0, rcap - 1)
+                if dense_info is None:
+                    count = jnp.minimum(count, 1)
+                    matched = (count > 0) & lkeep
+                    bpos0 = jnp.clip(lower, 0, rcap - 1)
+                    borig_full = jnp.where(
+                        matched, jnp.take(build_perm, bpos0), 0)
                 if left_outer and not bound_preds:
                     n_out = lt.num_rows
-                    ridx = jnp.where(matched, jnp.take(build_perm, bpos0),
-                                     -1)
+                    ridx = jnp.where(matched, borig_full, -1)
                     lhs_out = lt
                 else:
                     # compaction path: INNER keeps matched rows; fused
@@ -275,7 +356,7 @@ class HashJoin(Operation):
                             Attribute("__match", DataType.BOOL, False))
                     aug_schema = lb.schema.concat(TupleSchema(aug_attrs))
                     aug_cols = dict(lt.columns)
-                    aug_cols["__bpos"] = Column(bpos0.astype(jnp.int32),
+                    aug_cols["__bpos"] = Column(borig_full.astype(jnp.int32),
                                                 None)
                     if left_outer:
                         aug_cols["__match"] = Column(matched, None)
@@ -293,9 +374,7 @@ class HashJoin(Operation):
                     if left_outer:
                         hit_o = live_o & lhs_out.columns["__match"].values
                     ridx = jnp.where(
-                        hit_o,
-                        jnp.take(build_perm,
-                                 lhs_out.columns["__bpos"].values), -1)
+                        hit_o, lhs_out.columns["__bpos"].values, -1)
                 rgath = gather_table(rt, ridx, n_out,
                                      fill_invalid=left_outer)
                 cols = {}

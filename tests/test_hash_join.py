@@ -1,7 +1,7 @@
 """Hash join tests (reference analogue: cursor/core/hash_join_test.cc)."""
 import pytest
 
-from supersonic_tpu import (DOUBLE, INT64, STRING, HashJoin, JoinType,
+from supersonic_tpu import (DOUBLE, INT64, STRING, DataType, HashJoin, JoinType,
                             KeyUniqueness, Projector, ScanTable, Table,
                             TupleSchema, execute)
 
@@ -111,3 +111,76 @@ def test_empty_build_side():
     out = execute(HashJoin(JoinType.LEFT_OUTER, ["k"], ["k2"],
                            ScanTable(lhs), ScanTable(rhs)))
     assert out.to_pylist() == [(1, None), (2, None)]
+
+
+# ---------------------------------------------------------------------------
+# Dense direct-address fast path (planner statistics; UNIQUE integer keys)
+# ---------------------------------------------------------------------------
+
+def _dense_tables():
+    import numpy as np
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, True), ("x", DataType.DOUBLE)),
+        {"fk": [5, 3, None, 99, 5, 7], "x": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]})
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, True), ("y", DataType.INT64)),
+        {"pk": [3, 5, 7, None], "y": [30, 50, 70, 0]})
+    return lhs, rhs
+
+
+@pytest.mark.parametrize("allow_dense", [True, False])
+def test_unique_join_dense_vs_merge_paths(allow_dense):
+    lhs, rhs = _dense_tables()
+    for jt, want in [
+        (JoinType.INNER,
+         [(5, 1.0, 50), (3, 2.0, 30), (5, 5.0, 50), (7, 6.0, 70)]),
+        (JoinType.LEFT_OUTER,
+         [(5, 1.0, 50), (3, 2.0, 30), (None, 3.0, None), (99, 4.0, None),
+          (5, 5.0, 50), (7, 6.0, 70)]),
+    ]:
+        out = execute(HashJoin(
+            jt, ["fk"], ["pk"], ScanTable(lhs), ScanTable(rhs),
+            KeyUniqueness.UNIQUE,
+            lhs_projector=Projector.named("fk", "x"),
+            rhs_projector=Projector.named("y"),
+            allow_dense_lookup=allow_dense))
+        assert out.to_pylist() == want
+
+
+def test_dense_path_is_selected_and_guard_flags():
+    import jax
+    import numpy as np
+    from supersonic_tpu.ops.base import compile_plan
+
+    lhs, rhs = _dense_tables()
+    plan = HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(lhs),
+                    ScanTable(rhs), KeyUniqueness.UNIQUE)
+    run, bound, leaves = compile_plan(plan)
+    out, flags = jax.jit(run)(leaves)
+    assert not np.asarray(flags).any()
+    # re-run the SAME compiled program with a build key far outside the
+    # planned dense range -> the range-guard flag must trip
+    from supersonic_tpu.batch import Column
+    import jax.numpy as jnp
+    rt = leaves[1]
+    newvals = jnp.asarray(np.array([3, 5, 1 << 22, 0], dtype=np.int32))
+    bad = Table(rt.schema,
+                {**rt.columns,
+                 "pk": Column(newvals, rt.columns["pk"].valid)},
+                rt.num_rows, rt.dicts)
+    out2, flags2 = jax.jit(run)([leaves[0], bad])
+    assert np.asarray(flags2).any()
+
+
+def test_dense_path_duplicate_range_sparse_keys_fall_back():
+    # build keys with a huge range must NOT use the dense LUT (stats budget)
+    import numpy as np
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT64, False)),
+        {"fk": np.array([0, 1 << 40, 7], dtype=np.int64)})
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT64, False)),
+        {"pk": np.array([1 << 40, 7], dtype=np.int64)})
+    out = execute(HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(lhs),
+                           ScanTable(rhs), KeyUniqueness.UNIQUE))
+    assert out.to_pylist() == [(1 << 40, 1 << 40), (7, 7)]
