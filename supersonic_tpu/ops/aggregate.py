@@ -178,7 +178,18 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
     if live_count is None:
         live_count = jnp.asarray(t.num_rows)
     key_attrs = [schema_in.lookup(n) for n in names]
-    codes = group_code_columns(t, list(names))
+    pairs = group_code_columns(t, list(names))
+    # flatten (null_rank?, code) pairs into sort operands; remember where
+    # each key's operands landed so key values can be read back from them
+    codes: list[jnp.ndarray] = []
+    key_slots: list[tuple[Optional[int], int]] = []
+    for nr, c in pairs:
+        if nr is not None:
+            key_slots.append((len(codes), len(codes) + 1))
+            codes.extend([nr, c])
+        else:
+            key_slots.append((None, len(codes)))
+            codes.append(c)
     pad = (~keep).astype(jnp.int32)
 
     if pre_sorted:
@@ -300,8 +311,9 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
             for i, (n, a) in enumerate(zip(names, key_attrs)):
                 if key_from_code[n]:
                     # sorted code operand IS the key value stream
-                    vals = s_group[2 * i + 1].astype(jnp_dtype(a.type))
-                    valid = s_group[2 * i] == 1
+                    nr_i, c_i = key_slots[i]
+                    vals = s_group[c_i].astype(jnp_dtype(a.type))
+                    valid = (s_group[nr_i] == 1) if nr_i is not None else None
                 else:
                     vals, valid = sorted_cols[n]
                 start_cols[f"k_{n}"] = Column(vals, None)
@@ -535,8 +547,14 @@ class GroupAggregate(Operation):
 
     def bind(self, ctx: BindContext) -> BoundOperation:
         from .filter import bind_predicates, keep_mask, unwrap_filters
+        from .hash_join import HashJoin, KeyUniqueness
         inner, preds = unwrap_filters(self.child)
-        cb = inner.bind(ctx)
+        # Fuse a UNIQUE join child: bind it masked (uncompacted output +
+        # keep mask) and fold the mask into this aggregate's pad key —
+        # saves the join's whole payload-sort compaction.
+        masked_join = (isinstance(inner, HashJoin)
+                       and inner.uniqueness == KeyUniqueness.UNIQUE)
+        cb = inner.bind(ctx, _masked=True) if masked_join else inner.bind(ctx)
         bound_preds = bind_predicates(preds, cb)
         names = self.group_by
         specs = self.spec.specs
@@ -552,10 +570,16 @@ class GroupAggregate(Operation):
         schema_in = cb.schema
 
         def fn(rctx: RunContext) -> Table:
-            t = cb.run(rctx)
-            keep = live_count = None
+            if masked_join:
+                t, keep = cb.run(rctx)
+            else:
+                t = cb.run(rctx)
+                keep = None
+            live_count = None
             if bound_preds:
-                keep = keep_mask(bound_preds, rctx, t)
+                pk = keep_mask(bound_preds, rctx, t)
+                keep = pk if keep is None else (keep & pk)
+            if keep is not None:
                 live_count = jnp.sum(keep.astype(jnp.int32))
             return _grouped_aggregate(
                 t, names, specs, schema_in, out_dicts, out_schema, out_cap,

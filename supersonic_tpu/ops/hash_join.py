@@ -155,7 +155,14 @@ class HashJoin(Operation):
         self.out_capacity = out_capacity
         self.allow_dense_lookup = allow_dense_lookup
 
-    def bind(self, ctx: BindContext) -> BoundOperation:
+    def bind(self, ctx: BindContext, _masked: bool = False) -> BoundOperation:
+        # _masked (UNIQUE rhs only): produce the join output at lhs
+        # capacity as (Table, keep_mask) WITHOUT compacting — consumers
+        # that already reduce over masks (GroupAggregate, Sort) fold the
+        # mask into their pad key, saving a full payload-sort compaction
+        # (the same fusion contract as unwrap_filters).
+        if _masked and self.uniqueness != KeyUniqueness.UNIQUE:
+            raise SchemaError("masked join binding requires a UNIQUE rhs")
         from .filter import bind_predicates, keep_mask, unwrap_filters
         lhs_inner, lhs_preds = unwrap_filters(self.lhs)
         lb = lhs_inner.bind(ctx)
@@ -193,7 +200,9 @@ class HashJoin(Operation):
         unique = self.uniqueness == KeyUniqueness.UNIQUE
         # UNIQUE rhs bounds output by the probe side; NOT_UNIQUE has no
         # static bound — default to lhs+rhs (overflow raises at execute).
-        if unique and left_outer:
+        if _masked:
+            out_cap = lb.capacity
+        elif unique and left_outer:
             # zero-copy lhs fast path emits exactly the lhs rows
             out_cap = lb.capacity
         elif self.out_capacity:
@@ -342,6 +351,22 @@ class HashJoin(Operation):
                     bpos0 = jnp.clip(lower, 0, rcap - 1)
                     borig_full = jnp.where(
                         matched, jnp.take(build_perm, bpos0), 0)
+                if _masked:
+                    ridx_m = jnp.where(matched, borig_full, -1)
+                    rgath = gather_table(rt, ridx_m, lt.num_rows,
+                                         fill_invalid=left_outer)
+                    cols = {}
+                    for src, dst in lpairs:
+                        cols[dst] = lt.columns[src]
+                    for src, dst in rpairs:
+                        c = rgath.columns[src]
+                        if left_outer and c.valid is None:
+                            c = Column(c.values,
+                                       jnp.ones(lcap, dtype=jnp.bool_))
+                        cols[dst] = c
+                    keep_out = lkeep if left_outer else matched
+                    return Table(out_schema, cols, lt.num_rows, out_dicts,
+                                 cap_hint=lcap), keep_out
                 if left_outer and not bound_preds:
                     n_out = lt.num_rows
                     ridx = jnp.where(matched, borig_full, -1)

@@ -53,11 +53,13 @@ def key_operands(table: Table, names: list[str], ascendings: list[bool],
                  pad_mask=None):
     """Build the lax.sort operand list for the given key columns.
 
-    Returns (operands, num_keys): [pad_rank] + per-key [null_rank, code].
-    Ascending signed order over the operand tuple == the reference's
-    multi-column comparator with NULL-first-ascending semantics; padding
-    rows always sort last.  ``pad_mask`` overrides the default
-    rows-past-num_rows padding (used for filter fusion).
+    Returns (operands, num_keys): [pad_rank] + per-key [null_rank?, code]
+    — the null-rank operand is emitted only for nullable columns (it is a
+    constant otherwise; every dropped operand shrinks the sort's HBM
+    traffic).  Ascending signed order over the operand tuple == the
+    reference's multi-column comparator with NULL-first-ascending
+    semantics; padding rows always sort last.  ``pad_mask`` overrides the
+    default rows-past-num_rows padding (used for filter fusion).
     """
     cap = table.capacity
     if pad_mask is None:
@@ -68,7 +70,12 @@ def key_operands(table: Table, names: list[str], ascendings: list[bool],
         attr = table.schema.lookup(name)
         colm = table.columns[name]
         code = monotone_code(colm.values, attr.type)
-        valid = colm.valid_or_true()
+        if colm.valid is None:
+            if not asc:
+                code = descending_code(code)
+            operands.append(code)
+            continue
+        valid = colm.valid
         if asc:
             null_rank = jnp.where(valid, 1, 0).astype(jnp.int32)  # NULL first
         else:
@@ -76,11 +83,22 @@ def key_operands(table: Table, names: list[str], ascendings: list[bool],
             code = descending_code(code)
         code = jnp.where(valid, code, jnp.zeros_like(code))
         operands.extend([null_rank, code])
-    return operands, 1 + 2 * len(names)
+    return operands, len(operands)
 
 
 def group_code_columns(table: Table, names: list[str]):
-    """Per-key (code, null_rank) arrays for equality-based grouping.
-    Equal (code, null_rank) pairs == reference key equality (NULL == NULL)."""
-    ops, _ = key_operands(table, names, [True] * len(names))
-    return ops[1:]  # drop pad rank; caller masks padding itself
+    """Per-key (null_rank_or_None, code) pairs for equality-based grouping.
+    Equal pairs == reference key equality (NULL == NULL); null_rank is
+    None for non-nullable columns (code equality suffices)."""
+    pairs = []
+    for name in names:
+        attr = table.schema.lookup(name)
+        colm = table.columns[name]
+        code = monotone_code(colm.values, attr.type)
+        if colm.valid is None:
+            pairs.append((None, code))
+        else:
+            null_rank = jnp.where(colm.valid, 1, 0).astype(jnp.int32)
+            pairs.append((null_rank,
+                          jnp.where(colm.valid, code, jnp.zeros_like(code))))
+    return pairs

@@ -124,8 +124,14 @@ class Sort(Operation):
 
     def bind(self, ctx: BindContext) -> BoundOperation:
         from .filter import bind_predicates, keep_mask, unwrap_filters
+        from .hash_join import HashJoin, KeyUniqueness
         inner, preds = unwrap_filters(self.child)
-        cb = inner.bind(ctx)
+        # UNIQUE join child: bind masked and fold its keep mask into the
+        # sort's pad key (same fusion as filters) — skips the join's
+        # payload-sort compaction; this sort moves the rows anyway.
+        masked_join = (isinstance(inner, HashJoin)
+                       and inner.uniqueness == KeyUniqueness.UNIQUE)
+        cb = inner.bind(ctx, _masked=True) if masked_join else inner.bind(ctx)
         bound_preds = bind_predicates(preds, cb)
         for k in self.order.keys:
             cb.schema.lookup(k.name)
@@ -145,10 +151,16 @@ class Sort(Operation):
             out_schema, out_dicts = cb.schema, cb.dicts
 
         def fn(rctx: RunContext) -> Table:
-            t = cb.run(rctx)
+            if masked_join:
+                t, keep = cb.run(rctx)
+            else:
+                t = cb.run(rctx)
+                keep = None
             if bound_preds:
                 # fused Filter: fold the predicate into the pad key
-                keep = keep_mask(bound_preds, rctx, t)
+                pk = keep_mask(bound_preds, rctx, t)
+                keep = pk if keep is None else (keep & pk)
+            if keep is not None:
                 sorted_t = sort_table(
                     t, order, pad_mask=~keep,
                     num_rows=jnp.sum(keep.astype(jnp.int32)))

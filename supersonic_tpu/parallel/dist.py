@@ -32,7 +32,7 @@ from ..ops.keys import group_code_columns, key_operands
 from ..ops.scan import ScanTable
 from ..ops.sort import Sort, SortOrder
 from ..schema import TupleSchema
-from .hashing import combine_hash, partition_of
+from .hashing import hash_of_pairs, partition_of
 
 AXIS = "x"
 
@@ -54,8 +54,8 @@ def distribute_table(table: Table, mesh: Mesh,
     P_ = mesh.devices.size
     n = int(table.num_rows)
     if keys:
-        codes = group_code_columns(table, list(keys))
-        h = combine_hash(codes[1::2], codes[0::2])
+        pairs = group_code_columns(table, list(keys))
+        h = hash_of_pairs(pairs)
         dest = np.asarray(partition_of(h, P_))[:n]
     else:
         dest = np.arange(n, dtype=np.int32) % P_
@@ -229,8 +229,8 @@ def shuffle(mesh: Mesh, dist: Table, dest_fn: Callable[[Table], jnp.ndarray],
 
 def _key_dest_fn(names: list[str], num_parts: int):
     def dest(local: Table) -> jnp.ndarray:
-        codes = group_code_columns(local, names)
-        h = combine_hash(codes[1::2], codes[0::2])
+        pairs = group_code_columns(local, names)
+        h = hash_of_pairs(pairs)
         return partition_of(h, num_parts)
     return dest
 
@@ -331,8 +331,8 @@ def _hot_key_hashes(local: Table, keys: list[str], num_parts: int,
     on every shard (skew detection per BASELINE north star).
     """
     cap = local.capacity
-    codes = group_code_columns(local, keys)
-    h = combine_hash(codes[1::2], codes[0::2])
+    pairs = group_code_columns(local, keys)
+    h = hash_of_pairs(pairs)
     live = local.row_mask()
     h = jnp.where(live, h, jnp.uint32(0xFFFFFFFF))
     hs = jax.lax.sort([h], num_keys=1, is_stable=False)[0]
@@ -381,8 +381,8 @@ def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
     def probe_shuffle(block):
         local = _local_view(block)
         hot = _hot_key_hashes(local, lkeys, num_parts, top_h, min_count)
-        codes = group_code_columns(local, lkeys)
-        h = combine_hash(codes[1::2], codes[0::2])
+        pairs = group_code_columns(local, lkeys)
+        h = hash_of_pairs(pairs)
         is_hot = jnp.any(h[:, None] == hot[None, :], axis=1)
         me = jax.lax.axis_index(AXIS).astype(jnp.int32)
         dest = jnp.where(is_hot, me, partition_of(h, num_parts))
@@ -391,8 +391,8 @@ def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
 
     def build_shuffle(block, hot):
         local = _local_view(block)
-        codes = group_code_columns(local, rkeys)
-        h = combine_hash(codes[1::2], codes[0::2])
+        pairs = group_code_columns(local, rkeys)
+        h = hash_of_pairs(pairs)
         is_hot = jnp.any(h[:, None] == hot[None, :], axis=1) \
             & local.row_mask()
         # cold rows: normal hash shuffle (hot rows dropped from exchange)

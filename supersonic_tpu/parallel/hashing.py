@@ -49,16 +49,22 @@ def _fold32(code: jnp.ndarray) -> jnp.ndarray:
 
 def combine_hash(codes: list[jnp.ndarray],
                  null_ranks: list[jnp.ndarray] | None = None) -> jnp.ndarray:
-    """uint32 row hash over multiple key-code columns (NULL-aware)."""
+    """uint32 row hash over multiple key-code columns (NULL-aware).
+    ``null_ranks`` entries may be None for non-nullable columns."""
     h = jnp.zeros(codes[0].shape[0], dtype=jnp.uint32)
     for i, c in enumerate(codes):
         term = _mix32(_fold32(c))
-        if null_ranks is not None:
+        if null_ranks is not None and null_ranks[i] is not None:
             # NULL contributes a fixed sentinel (reference: 0xdeadbabe)
             is_null = null_ranks[i] == 0  # ascending null-rank: 0 == NULL
             term = jnp.where(is_null, jnp.uint32(0xDEADBABE), term)
         h = h * jnp.uint32(29) + term
     return _mix32(h)
+
+
+def hash_of_pairs(pairs) -> jnp.ndarray:
+    """Row hash from group_code_columns' (null_rank_or_None, code) pairs."""
+    return combine_hash([c for _, c in pairs], [nr for nr, _ in pairs])
 
 
 def partition_of(h: jnp.ndarray, num_partitions: int) -> jnp.ndarray:
