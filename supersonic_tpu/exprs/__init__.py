@@ -10,21 +10,28 @@ from .arithmetic import (CppDivide, CppDivideNulling, CppDivideSignaling,
                          Multiply, Negate, Plus)
 from .comparison import (Equal, Greater, GreaterOrEqual, In, IsEven, IsOdd,
                          Less, LessOrEqual, NotEqual)
-from .logic import (And, AndNot, BitwiseAnd, BitwiseNot, BitwiseOr, BitwiseXor,
+from .logic import (And, AndNot, BitwiseAnd, BitwiseAndNot, BitwiseNot,
+                    BitwiseOr, BitwiseXor,
                     Not, Or, ShiftLeft, ShiftRight, Xor)
-from .elementary import (Case, CastTo, If, IfNull, IsNull, NullingIf,
+from .elementary import (Case, CastNulling, CastQuiet, CastSignaling,
+                         CastTo, Copy, If, IfNull, IsNull, NullingIf,
                          ParseStringNulling, ParseStringQuiet)
-from .math import (Abs, Acos, Acosh, Asin, Asinh, Atan, Atanh, Ceil, Cos,
+from .math import (Abs, Acos, Acosh, Asin, Asinh, Atan, Atan2, Atanh, Ceil,
+                   CeilToInt, Cos, Cot, FloorToInt, LnQuiet, Log2Quiet,
+                   Log2Signaling, Log10Quiet, Log10Signaling, LogNulling,
+                   LogQuiet, RoundWithMultiplier, TruncToInt,
                    Cosh, Exp, Floor, Format, FormatSignaling, IsFinite,
                    IsInf, IsNaN, IsNormal, Ln,
                    LnNulling, LnSignaling, Log, Log2, Log2Nulling, Log10,
                    Log10Nulling, Pow, PowNulling, PowQuiet, PowSignaling,
                    Round, RoundToInt, RoundWithPrecision, Sin, Sinh, Sqrt,
                    SqrtNulling, SqrtSignaling, Tan, Tanh, Trunc)
-from .string import (Concat, Length, Ltrim, Rtrim, StringContains,
+from .string import (Concat, Concatenate, Length, Ltrim, Rtrim,
+                     StringContains, SubstringSignaling,
                      StringOffset, StringReplace, Substring, ToLower, ToUpper,
                      Trim)
-from .date import (AddDays, AddMinutes, AddMonths, Day, DayLocal,
+from .date import (AddDays, AddMinutes, AddMonths, DateToDatetime, Day,
+                   DayLocal,
                    FromUnixTime, Hour, HourLocal, MakeDate, MakeDatetime,
                    Microsecond, Minute, MinuteLocal, Month, MonthLocal,
                    Quarter, QuarterLocal, Second, SecondLocal, UnixTimestamp,

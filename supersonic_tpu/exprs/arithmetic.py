@@ -197,3 +197,6 @@ class Negate(Expression):
             return ExprValue(-(v.values.astype(jnp_dtype(t))), v.valid)
 
         return BoundExpression(Attribute(f"NEGATE({cb.name})", t, cb.nullable), fn)
+
+
+CppDivideQuiet = CppDivide  # reference: OPERATOR_CPP_DIVIDE_QUIET

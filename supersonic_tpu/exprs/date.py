@@ -285,3 +285,28 @@ class AddMonths(Expression):
         return BoundExpression(
             Attribute(f"ADD_MONTHS({cb.name})", DataType.DATETIME,
                       cb.nullable or mb.nullable), f)
+
+
+class DateToDatetime(Expression):
+    """DATE -> DATETIME at midnight (reference: OPERATOR_DATE_TO_DATETIME,
+    base/infrastructure/operators.h:54; also the implicit DATE->DATETIME
+    promotion)."""
+
+    def __init__(self, child):
+        self.child = wrap(child)
+
+    def do_bind(self, schema, dicts):
+        cb = self.child.do_bind(schema, dicts)
+        if cb.type == DataType.DATETIME:
+            return cb
+        if cb.type != DataType.DATE:
+            raise TypeError_(f"DATE_TO_DATETIME requires DATE, got {cb.type}")
+
+        def f(ctx):
+            v = cb.evaluate(ctx)
+            return ExprValue(v.values.astype(jnp.int64) * US_PER_DAY,
+                             v.valid)
+
+        return BoundExpression(
+            Attribute(f"DATE_TO_DATETIME({cb.name})", DataType.DATETIME,
+                      cb.nullable), f)

@@ -278,3 +278,62 @@ class ParseStringQuiet(_ParseString):
             return out
 
         return BoundExpression(bound.attr, fn, bound.dictionary)
+
+
+CastQuiet = CastTo  # device numeric casts wrap (C++ static_cast semantics)
+
+
+def _cast_policy(policy: str):
+    """CAST with overflow handling (reference: cast_bound_expression.cc
+    CAST_QUIET / CAST_NULLING / CAST_SIGNALING; only narrowing integer and
+    float->integer casts can fail)."""
+
+    class _Cast(Expression):
+        def __init__(self, type_: DataType, child):
+            self.type_ = type_
+            self.child = wrap(child)
+
+        def do_bind(self, schema, dicts):
+            import jax.numpy as jnp
+
+            from ..types import is_integer
+            inner = CastTo(self.type_, self.child).do_bind(schema, dicts)
+            cb = self.child.do_bind(schema, dicts)
+            dst = self.type_
+            if not is_integer(dst) or dst == cb.type:
+                return inner
+            info = jnp.iinfo(jnp_dtype(dst))
+            lo, hi = float(info.min), float(info.max)
+
+            def f(ctx):
+                v = cb.evaluate(ctx)
+                out = inner.evaluate(ctx)
+                x = v.values.astype(jnp.float64)
+                ok = (x >= lo) & (x <= hi)
+                if policy == "signaling":
+                    bad = ~ok if v.valid is None else (~ok & v.valid)
+                    ctx.flag_error("CAST overflow", bad)
+                    return out
+                return ExprValue(out.values, merge_valid(out.valid, ok))
+
+            nullable = inner.nullable or policy == "nulling"
+            return BoundExpression(
+                Attribute(inner.name, dst, nullable), f, inner.dictionary)
+
+    _Cast.__name__ = f"Cast{policy.title()}"
+    return _Cast
+
+
+CastNulling = _cast_policy("nulling")
+CastSignaling = _cast_policy("signaling")
+
+
+class Copy(Expression):
+    """Materializing column copy (reference: OPERATOR_COPY) — a no-op under
+    value semantics (XLA arrays are immutable)."""
+
+    def __init__(self, child):
+        self.child = wrap(child)
+
+    def do_bind(self, schema, dicts):
+        return self.child.do_bind(schema, dicts)

@@ -183,3 +183,10 @@ class BitwiseNot(Expression):
 
         return BoundExpression(
             Attribute(f"BITWISE_NOT({cb.name})", cb.type, cb.nullable), fn)
+
+
+class BitwiseAndNot(_BinaryBitwise):
+    """a & ~b (reference: OPERATOR_BITWISE_ANDNOT, operators.h AndNot)."""
+
+    op_name = "BITWISE_AND_NOT"
+    op = staticmethod(lambda a, b: a & ~b)

@@ -299,3 +299,132 @@ class Format(Expression):
 
 
 FormatSignaling = Format  # reference: OPERATOR_FORMAT_SIGNALING
+
+
+Cot = _unary_float("COT", lambda x: 1.0 / jnp.tan(x))
+
+
+class Atan2(Expression):
+    """ATAN2(x, y) -> atan2(x, y) (reference: math_expressions.h:63,
+    math_evaluators.h:174)."""
+
+    def __init__(self, x, y):
+        self.x = wrap(x)
+        self.y = wrap(y)
+
+    def do_bind(self, schema, dicts):
+        xb = self.x.do_bind(schema, dicts)
+        yb = self.y.do_bind(schema, dicts)
+
+        def f(ctx):
+            xv = xb.evaluate(ctx)
+            yv = yb.evaluate(ctx)
+            out = jnp.arctan2(xv.values.astype(jnp.float64),
+                              yv.values.astype(jnp.float64))
+            return ExprValue(out, merge_valid(xv.valid, yv.valid))
+
+        return BoundExpression(
+            Attribute(f"ATAN2({xb.name}, {yb.name})", DataType.DOUBLE,
+                      xb.nullable or yb.nullable), f)
+
+
+def _to_int_expr(op_name: str, fn):
+    """float -> INT64 rounding family (reference: math_evaluators.h:87-103
+    CeilToInt/FloorToInt: C-style cast of ceil/floor)."""
+
+    class _Op(Expression):
+        def __init__(self, child):
+            self.child = wrap(child)
+
+        def do_bind(self, schema, dicts):
+            cb = self.child.do_bind(schema, dicts)
+
+            def f(ctx):
+                v = cb.evaluate(ctx)
+                x = v.values.astype(jnp.float64)
+                return ExprValue(fn(x).astype(jnp.int64), v.valid)
+
+            return BoundExpression(
+                Attribute(f"{op_name}({cb.name})", DataType.INT64,
+                          cb.nullable), f)
+
+    _Op.__name__ = op_name.title().replace("_", "")
+    return _Op
+
+
+CeilToInt = _to_int_expr("CEIL_TO_INT", jnp.ceil)
+FloorToInt = _to_int_expr("FLOOR_TO_INT", jnp.floor)
+TruncToInt = _to_int_expr("TRUNC_TO_INT", jnp.trunc)
+
+
+class RoundWithMultiplier(Expression):
+    """ROUND_WITH_MULTIPLIER(arg, mult) = round(arg*mult)/mult
+    (reference: math_evaluators.h:117, OPERATOR_ROUND_WITH_MULTIPLIER)."""
+
+    def __init__(self, child, multiplier):
+        self.child = wrap(child)
+        self.multiplier = wrap(multiplier)
+
+    def do_bind(self, schema, dicts):
+        cb = self.child.do_bind(schema, dicts)
+        mb = self.multiplier.do_bind(schema, dicts)
+
+        def f(ctx):
+            v = cb.evaluate(ctx)
+            m = mb.evaluate(ctx)
+            x = v.values.astype(jnp.float64)
+            mm = m.values.astype(jnp.float64)
+            # C round(): halves away from zero
+            y = x * mm
+            r = jnp.where(y >= 0, jnp.floor(y + 0.5), jnp.ceil(y - 0.5))
+            return ExprValue(r / mm, merge_valid(v.valid, m.valid))
+
+        return BoundExpression(
+            Attribute(f"ROUND_WITH_MULTIPLIER({cb.name})", DataType.DOUBLE,
+                      cb.nullable or mb.nullable), f)
+
+
+# Log with an arbitrary base: policy variants (reference:
+# math_expressions.h:49-52 LogNulling/LogQuiet; enum also reserves
+# OPERATOR_LOG_SIGNALING).  Quiet == Log (IEEE nan/inf out of domain).
+LogQuiet = Log
+
+
+class LogNulling(Expression):
+    """LOG(base, x) yielding NULL outside the domain (x>0, base>0,
+    base!=1)."""
+
+    def __init__(self, base, x):
+        self.base = wrap(base)
+        self.x = wrap(x)
+
+    def do_bind(self, schema, dicts):
+        bb = self.base.do_bind(schema, dicts)
+        xb = self.x.do_bind(schema, dicts)
+
+        def f(ctx):
+            b = bb.evaluate(ctx)
+            x = xb.evaluate(ctx)
+            bd = b.values.astype(jnp.float64)
+            xd = x.values.astype(jnp.float64)
+            ok = (xd > 0) & (bd > 0) & (bd != 1.0)
+            y = jnp.log(jnp.where(ok, xd, 1.0)) / jnp.log(
+                jnp.where(ok, bd, 2.0))
+            valid = merge_valid(b.valid, x.valid, ok)
+            return ExprValue(y, valid)
+
+        return BoundExpression(
+            Attribute(f"LOG_NULLING({bb.name}, {xb.name})", DataType.DOUBLE,
+                      True), f)
+
+
+LnQuiet = Ln
+Log10Quiet = Log10
+Log2Quiet = Log2
+Log10Signaling = _unary_float("LOG10_SIGNALING", jnp.log10,
+                              domain=lambda x: x > 0, policy="signaling")
+Log2Signaling = _unary_float("LOG2_SIGNALING", jnp.log2,
+                             domain=lambda x: x > 0, policy="signaling")
+
+
+SqrtQuiet = Sqrt  # reference: OPERATOR_SQRT_QUIET

@@ -313,3 +313,7 @@ class Concat(Expression):
         name = f"CONCAT({', '.join(b.name for b in bounds)})"
         return BoundExpression(
             Attribute(name, out_type, nullable), g, state_dict)
+
+
+Concatenate = Concat  # reference: OPERATOR_CONCATENATE
+SubstringSignaling = Substring  # reference: OPERATOR_SUBSTRING_SIGNALING

@@ -270,3 +270,43 @@ def test_host_concat_columns():
     t = Table.from_data(S2, {"a": ["x", None], "b": ["y", "z"]})
     out = concat_columns(t, ["a", "b"], "ab", separator="/")
     assert [r[-1] for r in out.to_pylist()] == ["x/y", None]
+
+
+def test_long_tail_math():
+    from supersonic_tpu import (Atan2, CeilToInt, Cot, FloorToInt,
+                                LogNulling, RoundWithMultiplier, TruncToInt)
+    data = {"x": [2.5, -2.5, None]}
+    assert eval_expr(CeilToInt(col("x")), data, NUM) == [3, -2, None]
+    assert eval_expr(FloorToInt(col("x")), data, NUM) == [2, -3, None]
+    assert eval_expr(TruncToInt(col("x")), data, NUM) == [2, -2, None]
+    assert eval_expr(RoundWithMultiplier(col("x"), Const(2.0)), data,
+                     NUM) == [2.5, -2.5, None]
+    got = eval_expr(Atan2(col("x"), Const(1.0)), data, NUM)
+    assert got[0] == pytest.approx(math.atan2(2.5, 1.0))
+    got = eval_expr(Cot(Const(1.0)), {"x": [0.0]}, NUM)
+    assert got[0] == pytest.approx(1 / math.tan(1.0))
+    # LogNulling: domain errors -> NULL
+    assert eval_expr(LogNulling(Const(2.0), col("x")), data, NUM) == \
+        [pytest.approx(math.log2(2.5)), None, None]
+
+
+def test_cast_policies():
+    from supersonic_tpu import CastNulling, CastSignaling, DataType
+    from supersonic_tpu import EvaluationError
+    data = {"x": [100.0, 1e12, None]}
+    # nulling: overflow of INT32 -> NULL
+    assert eval_expr(CastNulling(DataType.INT32, col("x")), data, NUM) == \
+        [100, None, None]
+    with pytest.raises(EvaluationError):
+        eval_expr(CastSignaling(DataType.INT32, col("x")), data, NUM)
+
+
+def test_bitwise_andnot_and_date_to_datetime():
+    from supersonic_tpu import BitwiseAndNot, DataType, DateToDatetime
+    I = TupleSchema.of(("a", INT64), ("b", INT64))
+    assert eval_expr(BitwiseAndNot(col("a"), col("b")),
+                     {"a": [0b1100], "b": [0b1010]}, I) == [0b0100]
+    D = TupleSchema.of(("d", DataType.DATE),)
+    # 2 days after epoch -> 1970-01-03T00:00:00 in microseconds
+    assert eval_expr(DateToDatetime(col("d")), {"d": [2]}, D) == \
+        [2 * 86_400 * 1_000_000]
