@@ -321,6 +321,104 @@ def dist_hash_join(mesh: Mesh, join_type: JoinType,
     return dist_map(mesh, local_join, lsh, rsh)
 
 
+def dist_hash_join_ring(mesh: Mesh, join_type: JoinType,
+                        lhs_keys: Sequence[str], rhs_keys: Sequence[str],
+                        lhs: Table, rhs: Table) -> Table:
+    """Ring-pipelined join for a UNIQUE build side: probe rows stay put;
+    the build partitions rotate around the ICI ring with ``ppermute``
+    while each shard probes the currently-resident partition — the
+    exchange of step k+1 overlaps the probe compute of step k (the
+    BASELINE north-star "exchange overlapped with compute"; SURVEY.md
+    §5.8 ppermute pipelining).
+
+    Avoids repartitioning the (large) probe side entirely: total traffic
+    is P rotations of the build side only.  Output is lhs-shaped per
+    shard: INNER compacts matched rows, LEFT_OUTER keeps every probe row
+    with NULL rhs columns where no partition matched.
+    """
+    num_parts = mesh.devices.size
+    lkeys, rkeys = list(lhs_keys), list(rhs_keys)
+    left_outer = join_type == JoinType.LEFT_OUTER
+    perm = [(i, (i + 1) % num_parts) for i in range(num_parts)]
+
+    from ..ops.base import BindContext
+
+    def wrapper(lblock, rblock):
+        lt = _local_view(lblock)
+        rt0 = _local_view(rblock)
+        lcap = lt.capacity
+
+        def masked_join(rt_vals, rt_valids, rt_n):
+            cols = {}
+            for n in rt0.schema.names():
+                cols[n] = Column(rt_vals[n], rt_valids.get(n))
+            rt = Table(rt0.schema, cols, rt_n, dict(rt0.dicts),
+                       cap_hint=rt0.capacity)
+            plan = HashJoin(JoinType.INNER, lkeys, rkeys, ScanTable(lt),
+                            ScanTable(rt), KeyUniqueness.UNIQUE)
+            ctx = BindContext()
+            bound = plan.bind(ctx, _masked=True)
+            return bound.run(RunContext(ctx.leaves))
+
+        rt_vals0 = {n: rt0.columns[n].values for n in rt0.schema.names()}
+        rt_valids0 = {n: rt0.columns[n].valid for n in rt0.schema.names()
+                      if rt0.columns[n].valid is not None}
+        # accumulated rhs output columns (lhs-shaped) + match mask
+        out0, keep0 = masked_join(rt_vals0, rt_valids0, rt0.num_rows)
+        acc0 = {n: (out0.columns[n].values,
+                    out0.columns[n].valid_or_true())
+                for n in rt0.schema.names()}
+
+        def step(carry, _):
+            rt_vals, rt_valids, rt_n, matched, acc = carry
+            # rotate the build partition one hop; XLA overlaps the
+            # collective-permute with the next iteration's probe
+            rt_vals = {n: jax.lax.ppermute(v, AXIS, perm)
+                       for n, v in rt_vals.items()}
+            rt_valids = {n: jax.lax.ppermute(v, AXIS, perm)
+                         for n, v in rt_valids.items()}
+            rt_n = jax.lax.ppermute(jnp.reshape(rt_n, (1,)), AXIS,
+                                    perm)[0]
+            out, keep = masked_join(rt_vals, rt_valids, rt_n)
+            new = keep & ~matched
+            acc = {n: (jnp.where(new, out.columns[n].values, acc[n][0]),
+                       jnp.where(new, out.columns[n].valid_or_true(),
+                                 acc[n][1]))
+                   for n in acc}
+            return (rt_vals, rt_valids, rt_n, matched | keep, acc), None
+
+        carry = (rt_vals0, rt_valids0, rt0.num_rows, keep0, acc0)
+        if num_parts > 1:
+            carry, _ = jax.lax.scan(step, carry, None,
+                                    length=num_parts - 1)
+        _, _, _, matched, acc = carry
+
+        attrs = list(lt.schema) + [
+            type(a)(a.name, a.type, a.nullable or left_outer, a.enum)
+            for a in rt0.schema]
+        out_schema = TupleSchema(attrs)
+        cols = dict(lt.columns)
+        for a in rt0.schema:
+            vals, valid = acc[a.name]
+            if left_outer:
+                cols[a.name] = Column(vals, valid & matched)
+            else:
+                cols[a.name] = Column(
+                    vals, valid if a.nullable else None)
+        dicts = {**lt.dicts, **rt0.dicts}
+        if left_outer:
+            keep_rows = lt.row_mask()
+        else:
+            keep_rows = matched
+        out = Table(out_schema, cols,
+                    jnp.sum(keep_rows.astype(jnp.int32)), dicts,
+                    cap_hint=lcap)
+        return _stack_local(compact_by_mask(out, keep_rows, lcap))
+
+    return jax.shard_map(wrapper, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+                         out_specs=P(AXIS), check_vma=False)(lhs, rhs)
+
+
 def _hot_key_hashes(local: Table, keys: list[str], num_parts: int,
                     top_h: int, min_count) -> jnp.ndarray:
     """Globally-agreed hot key hashes (uint32[top_h]; 0xFFFFFFFF = unused).

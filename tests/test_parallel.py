@@ -137,3 +137,30 @@ def test_skew_aware_join_matches_local():
         KeyUniqueness.UNIQUE, out_cap_per_peer=512, hot_cap=64,
         min_frac=0.05))
     assert sorted(got.to_pylist()) == sorted(expected.to_pylist())
+
+
+@pytest.mark.parametrize("jt", [JoinType.INNER, JoinType.LEFT_OUTER])
+def test_ring_pipelined_join_matches_local(jt):
+    from supersonic_tpu.parallel.dist import dist_hash_join_ring
+    rng = np.random.default_rng(13)
+    n, m = 300, 40
+    fk = rng.integers(0, m + 10, n)  # some keys have no build match
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT64, False),
+                       ("lv", DataType.INT64, False)),
+        {"fk": fk, "lv": np.arange(n)})
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT64, False),
+                       ("w", DataType.INT64, True)),
+        {"pk": np.arange(m),
+         "w": [None if i % 7 == 0 else i * 10 for i in range(m)]})
+    expected = execute(HashJoin(jt, ["fk"], ["pk"],
+                                ScanTable(lhs), ScanTable(rhs),
+                                KeyUniqueness.UNIQUE))
+    mesh = make_mesh()
+    got = collect_table(dist_hash_join_ring(
+        mesh, jt, ["fk"], ["pk"],
+        distribute_table(lhs, mesh),
+        distribute_table(rhs, mesh, keys=["pk"])))
+    assert sorted(got.to_pylist(), key=str) == \
+        sorted(expected.to_pylist(), key=str)
