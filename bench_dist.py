@@ -84,10 +84,16 @@ def run(n_rows: int, n_dim: int, devices: int, cpu: bool):
         print(f"P={P}: {best*1e3:8.1f} ms  {results[P]/1e6:8.1f} M rows/s",
               file=sys.stderr)
     eff = results[devices] / (results[1] * devices)
+    if cpu:
+        print("NOTE: CPU-emulated mesh shares one host's cores across all "
+              "virtual devices — this validates the distributed path "
+              "functionally; scaling efficiency is only meaningful on a "
+              "real multi-chip slice (--tpu).", file=sys.stderr)
     print(json.dumps({
         "metric": "dist_pipeline_scaling_efficiency",
         "value": round(eff, 3),
-        "unit": f"fraction of linear (1->{devices} devices)",
+        "unit": (f"fraction of linear (1->{devices} devices)"
+                 + ("; CPU-EMULATED, functional check only" if cpu else "")),
         "vs_baseline": round(eff / 0.8, 3),
     }))
 
