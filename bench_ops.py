@@ -124,6 +124,22 @@ def main(n=8_000_000, m=1_000_000):
                  lhs_projector=Projector.named("v"),
                  rhs_projector=Projector.named("w")),
         perturb_all(), n)
+    results["join_merge"] = bench(
+        "join 8M x 1M (merge probe)",
+        HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact),
+                 ScanTable(dim), KeyUniqueness.UNIQUE,
+                 lhs_projector=Projector.named("v"),
+                 rhs_projector=Projector.named("w"),
+                 allow_dense_lookup=False),
+        perturb_all(), n)
+    results["join_multi"] = bench(
+        "join 8M x 1M NOT_UNIQUE",
+        HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact),
+                 ScanTable(dim), KeyUniqueness.NOT_UNIQUE,
+                 lhs_projector=Projector.named("v"),
+                 rhs_projector=Projector.named("w"),
+                 out_capacity=n),
+        perturb_all(), n)
     return results
 
 

@@ -185,3 +185,48 @@ def to_dot(root: NodeStats, title: str = "plan") -> str:
 def save_dot(root: NodeStats, path: str, title: str = "plan") -> None:
     with open(path, "w") as f:
         f.write(to_dot(root, title))
+
+
+def describe_plan(op: Operation, schemas: bool = True) -> str:
+    """Human-readable plan tree (reference: AppendDebugDescription on every
+    cursor/operation, cursor.h:189 / operation.h:65, and
+    TupleSchema::GetHumanReadableSpecification)."""
+    from ..ops.base import bind_plan
+
+    lines: list[str] = []
+
+    def describe(node: Operation) -> str:
+        name = type(node).__name__
+        details = []
+        for attr in ("join_type", "uniqueness", "order", "group_by",
+                     "expressions", "limit", "offset"):
+            v = getattr(node, attr, None)
+            if v is None:
+                continue
+            if attr == "order":
+                v = ", ".join(
+                    f"{k.name} {'ASC' if k.ascending else 'DESC'}"
+                    for k in v.keys)
+            elif attr == "expressions":
+                v = f"{len(v)} expr(s)"
+            elif hasattr(v, "value"):
+                v = v.value
+            details.append(f"{attr}={v}")
+        if schemas:
+            try:
+                bound, _ = bind_plan(node)
+                spec = ", ".join(
+                    f"{a.name}: {a.type.value}{'?' if a.nullable else ''}"
+                    for a in bound.schema)
+                details.append(f"schema=({spec})")
+            except Exception:
+                pass
+        return f"{name}" + (f" [{'; '.join(details)}]" if details else "")
+
+    def walk(node: Operation, depth: int) -> None:
+        lines.append("  " * depth + describe(node))
+        for c in plan_children(node):
+            walk(c, depth + 1)
+
+    walk(op, 0)
+    return "\n".join(lines)

@@ -184,3 +184,22 @@ def test_file_io_large_fast_path(tmp_path):
     got = out.to_numpy()
     assert list(got["s"][:22]) == svals[:22]
     assert np.array_equal(got["k"], np.arange(n, dtype=np.int64))
+
+
+def test_describe_plan():
+    from supersonic_tpu import (AggSpec, Aggregation, DataType, Filter,
+                                GroupAggregate, ScanTable, Sort, SortKey,
+                                Table, TupleSchema, col)
+    from supersonic_tpu.bench import describe_plan
+
+    t = Table.from_data(
+        TupleSchema.of(("g", DataType.INT32), ("v", DataType.DOUBLE)),
+        {"g": [1, 2, 1], "v": [1.0, 2.0, None]})
+    plan = Sort([SortKey("sv", ascending=False)],
+                GroupAggregate(["g"], [AggSpec(Aggregation.SUM, "v", "sv")],
+                               Filter(col("v") > 0.5, ScanTable(t))))
+    txt = describe_plan(plan)
+    assert "Sort" in txt and "GroupAggregate" in txt and "Filter" in txt
+    assert "sv DESC" in txt and "sv: DOUBLE?" in txt
+    lines = txt.splitlines()
+    assert lines[3].startswith("      ScanTable")
