@@ -312,17 +312,21 @@ class HashJoin(Operation):
                     dt = jnp.promote_types(bc.dtype, pc.dtype)
                     cat_codes.append(jnp.concatenate(
                         [bc.astype(dt), pc.astype(dt)]))
+                # 3-valued side key doubles as the is-build flag (0 = live
+                # build < 1 = probe < 2 = dead build), saving one 9M-row
+                # sort operand: within an equal-key run live build rows
+                # precede probes and dead build rows trail harmlessly
                 side = jnp.concatenate([
-                    jnp.zeros(rcap, jnp.int32), jnp.ones(lcap, jnp.int32)])
+                    jnp.where(binert, 2, 0).astype(jnp.int32),
+                    jnp.ones(lcap, jnp.int32)])
                 rowid_cat = jnp.concatenate([
                     rowid, jnp.arange(lcap, dtype=jnp.int32)])
-                is_build = jnp.concatenate([
-                    (~binert).astype(jnp.int32), jnp.zeros(lcap, jnp.int32)])
-                jres = jax.lax.sort(cat_codes + [side, rowid_cat, is_build],
+                jres = jax.lax.sort(cat_codes + [side, rowid_cat],
                                     num_keys=len(cat_codes) + 1,
                                     is_stable=True)
                 s_codes = jres[:len(cat_codes)]
-                s_side, s_rowid, s_isb = jres[-3], jres[-2], jres[-1]
+                s_side, s_rowid = jres[-2], jres[-1]
+                s_isb = (s_side == 0).astype(jnp.int32)
                 bprefix = jnp.cumsum(s_isb)
                 tot = rcap + lcap
                 same_as_prev = jnp.ones(tot, dtype=jnp.bool_)
@@ -333,8 +337,11 @@ class HashJoin(Operation):
                 # across runs so a plain cummax forward-fills run starts
                 run_start = jax.lax.cummax(
                     jnp.where(boundary, bprefix - s_isb, 0))
+                # back sort keyed on is-probe (side==1), not the 3-valued
+                # side, so probe rows land in the static [rcap:] slice
+                is_probe = (s_side == 1).astype(jnp.int32)
                 back = jax.lax.sort(
-                    [s_side, s_rowid, run_start.astype(jnp.int32),
+                    [is_probe, s_rowid, run_start.astype(jnp.int32),
                      bprefix.astype(jnp.int32)],
                     num_keys=2, is_stable=True)
                 lower = back[2][rcap:]
@@ -436,10 +443,20 @@ class HashJoin(Operation):
             qrow = jnp.zeros(out_cap, dtype=jnp.int32).at[scatter_pos].max(
                 jnp.arange(lcap, dtype=jnp.int32), mode="drop")
             qrow = jax.lax.cummax(qrow)
-            k = out_pos - jnp.take(base, qrow)
             live_out = out_pos < jnp.minimum(total, out_cap)
-            has_match = jnp.take(count, qrow) > 0
-            bpos = jnp.take(lower, qrow) + k.astype(jnp.int32)
+            # output j of lhs row q maps to build slot lower[q] + (j -
+            # base[q]); gather the single fused difference (lower - base)
+            # instead of lower, base, and count separately — each 8M
+            # gather costs ~25-50ms on TPU.
+            d = (lower - base.astype(jnp.int32)).astype(jnp.int32)
+            bpos = out_pos.astype(jnp.int32) + jnp.take(d, qrow)
+            if left_outer:
+                # unmatched lhs rows (count==0, eff==1) emit a NULL rhs row
+                has_match = jnp.take(count, qrow) > 0
+            else:
+                # INNER: eff == count, so every covered output position has
+                # a real match
+                has_match = live_out
             ridx = jnp.where(
                 has_match,
                 jnp.take(build_perm, jnp.clip(bpos, 0, rcap - 1)),
