@@ -167,6 +167,186 @@ def _pass_key(spec: AggSpec):
     return None
 
 
+_DENSE_DOMAIN_MAX = 2048  # segment_reduce_small MAX_SEGMENTS
+
+
+def _dense_domain(cb, name, key_attr, specs, schema_in, options):
+    """(kmin, K, stats_guarded) when the single group key has a statically
+    bounded integer domain small enough for the dense Pallas aggregation:
+    ENUM (value map), STRING/BINARY (dictionary size), or integer columns
+    with planner statistics.  None -> use the sort-based general path."""
+    if key_attr.nullable or options.max_unique_keys_in_result:
+        return None
+    if any(s.distinct for s in specs):
+        return None
+    guarded = False
+    if key_attr.type == DataType.ENUM:
+        dom = (0, max(len(key_attr.enum.names) - 1, 0))
+    elif key_attr.type in (DataType.STRING, DataType.BINARY):
+        d = cb.dicts.get(name)
+        if d is None:
+            return None
+        dom = (0, max(len(d) - 1, 0))
+    elif key_attr.type in (DataType.INT32, DataType.INT64, DataType.UINT32,
+                           DataType.DATE, DataType.DATETIME):
+        dom = cb.stats.get(name)
+        guarded = True  # leaf-derived bounds: re-runs need a range check
+        if dom is None:
+            return None
+    else:
+        return None
+    kmin, kmax = dom
+    K = kmax - kmin + 1
+    if not 0 < K <= _DENSE_DOMAIN_MAX:
+        return None
+    i32_ok = (DataType.FLOAT, DataType.INT32, DataType.UINT32,
+              DataType.DATE, DataType.ENUM, DataType.STRING,
+              DataType.BINARY, DataType.BOOL)
+    for s in specs:
+        if s.aggregation == Aggregation.COUNT:
+            continue
+        if s.aggregation in (Aggregation.FIRST, Aggregation.LAST):
+            continue  # any fixed-width type: one tiny gather at the end
+        if s.aggregation == Aggregation.CONCAT:
+            return None
+        in_t = schema_in.lookup(s.input).type
+        if in_t not in i32_ok:
+            return None  # 64-bit values: kernel is f32/i32 only
+    return kmin, K, guarded
+
+
+def _dense_grouped_aggregate(t: Table, name, key_attr, specs, schema_in,
+                             out_dicts, out_schema, out_cap, kmin, K,
+                             guarded, rctx: RunContext, keep=None):
+    """Dense-domain group-by: per-group accumulators held in VMEM by the
+    Pallas segmented-reduce kernel (kernels/segment_reduce.py) — no sort,
+    no compaction; O(rows) streaming + O(K) finalization.  This is the
+    shape of the reference's own headline benchmark (1M rows GROUP BY 50
+    string keys, benchmark/examples/operation_example.cc:24-40)."""
+    from ..kernels.segment_reduce import segment_reduce_small
+
+    cap = t.capacity
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    if keep is None:
+        keep = t.row_mask()
+    kcol = t.columns[name]
+    gid64 = kcol.values.astype(jnp.int64) - kmin
+    in_domain = (gid64 >= 0) & (gid64 < K)
+    if guarded:
+        rctx.error_flags.append((
+            "aggregate key exceeds planned dense domain",
+            jnp.any(keep & ~in_domain)))
+    live = keep & in_domain
+    ids = jnp.where(live, gid64, -1).astype(jnp.int32)
+
+    count_all = segment_reduce_small(live.astype(jnp.int32), ids, K, "sum")
+    first_pos = segment_reduce_small(
+        jnp.where(live, pos, jnp.int32(2**31 - 1)), ids, K, "min")
+    present = count_all > 0
+    num_groups = jnp.sum(present.astype(jnp.int32))
+    rctx.error_flags.append(
+        ("aggregate result overflow", num_groups > out_cap))
+
+    cols_k: dict[str, Column] = {}
+    # group key value for slot j is kmin + j by construction
+    key_vals = (jnp.arange(K, dtype=jnp.int64) + kmin).astype(
+        jnp_dtype(key_attr.type))
+    cols_k[name] = Column(key_vals, None)
+
+    for s in specs:
+        a = _resolve_output_attr(s, schema_in)
+        odt = jnp_dtype(a.type)
+        agg = s.aggregation
+        if agg == Aggregation.COUNT and s.input is None:
+            cols_k[s.output] = Column(count_all.astype(odt), None)
+            continue
+        c = t.columns[s.input]
+        valid = live if c.valid is None else (live & c.valid)
+        in_t = schema_in.lookup(s.input).type
+        if agg == Aggregation.COUNT:
+            w = segment_reduce_small(valid.astype(jnp.int32), ids, K, "sum")
+            cols_k[s.output] = Column(w.astype(odt), None)
+        elif agg == Aggregation.SUM:
+            # accumulate in the input's width like the reference
+            # (aggregation_operators.h: SUM aggregates in the output type;
+            # f32 rounding / i32 wrap match its sequential semantics up to
+            # FP reduction order — documented divergence)
+            acc_dt = (jnp.float32 if jnp.issubdtype(c.values.dtype,
+                                                    jnp.floating)
+                      else jnp.int32)
+            v = jnp.where(valid, c.values, jnp.zeros_like(c.values)).astype(
+                acc_dt)
+            sv = segment_reduce_small(v, ids, K, "sum")
+            wc = segment_reduce_small(valid.astype(jnp.int32), ids, K,
+                                      "sum")
+            cols_k[s.output] = Column(sv.astype(odt), wc > 0)
+        elif agg in (Aggregation.MIN, Aggregation.MAX):
+            mode = "min" if agg == Aggregation.MIN else "max"
+            code = monotone_code(c.values, in_t)
+            acc_dt = (jnp.float32 if jnp.issubdtype(code.dtype,
+                                                    jnp.floating)
+                      else jnp.int32)
+            init = (jnp.inf if mode == "min" else -jnp.inf) \
+                if acc_dt == jnp.float32 else \
+                (2**31 - 1 if mode == "min" else -(2**31))
+            v = jnp.where(valid, code.astype(acc_dt), acc_dt(init))
+            mv = segment_reduce_small(v, ids, K, mode)
+            wc = segment_reduce_small(valid.astype(jnp.int32), ids, K,
+                                      "sum")
+            cols_k[s.output] = Column(mv.astype(odt), wc > 0)
+        elif agg in (Aggregation.FIRST, Aggregation.LAST):
+            mode = "min" if agg == Aggregation.FIRST else "max"
+            sentinel = 2**31 - 1 if mode == "min" else -(2**31)
+            p = segment_reduce_small(
+                jnp.where(live, pos, jnp.int32(sentinel)), ids, K, mode)
+            safe = jnp.clip(p, 0, cap - 1)
+            vals = jnp.take(c.values, safe)
+            fvalid = present & (jnp.take(c.valid, safe)
+                                if c.valid is not None else present)
+            cols_k[s.output] = Column(vals.astype(odt), fvalid)
+        else:
+            raise SchemaError(f"unsupported dense aggregation {agg}")
+
+    # re-rank to insertion order: sort the K slots by first occurrence,
+    # absent slots last; slice/pad to out_cap
+    order_ops = [jnp.where(present, 0, 1).astype(jnp.int32), first_pos]
+    payload: list[jnp.ndarray] = []
+    layout = []
+    for a in out_schema:
+        c = cols_k[a.name]
+        payload.append(c.values)
+        if c.valid is not None:
+            payload.append(c.valid)
+            layout.append((a.name, True))
+        else:
+            layout.append((a.name, False))
+    res = jax.lax.sort(order_ops + payload, num_keys=2, is_stable=True)
+    pi = 2
+    cols: dict[str, Column] = {}
+    for n, has_valid in layout:
+        vals = res[pi]
+        pi += 1
+        valid = None
+        if has_valid:
+            valid = res[pi]
+            pi += 1
+        cols[n] = Column(vals, valid)
+
+    def fit(arr):
+        if arr.shape[0] == out_cap:
+            return arr
+        if arr.shape[0] > out_cap:
+            return arr[:out_cap]
+        padv = jnp.zeros(out_cap - arr.shape[0], dtype=arr.dtype)
+        return jnp.concatenate([arr, padv])
+
+    cols = {n: Column(fit(c.values),
+                      None if c.valid is None else fit(c.valid))
+            for n, c in cols.items()}
+    n_out = jnp.minimum(num_groups, out_cap)
+    return Table(out_schema, cols, n_out, out_dicts, cap_hint=out_cap)
+
+
 def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                        out_schema, out_cap, max_keys, rctx: RunContext,
                        pre_sorted: bool, rerank: bool, keep=None,
@@ -562,12 +742,22 @@ class GroupAggregate(Operation):
         agg_attrs = [_resolve_output_attr(s, cb.schema) for s in specs]
         out_schema = TupleSchema(key_attrs + agg_attrs)
         out_dicts = {n: cb.dicts[n] for n in names if n in cb.dicts}
+        # STRING/BINARY aggregation outputs (MIN/MAX/FIRST/LAST) carry the
+        # input column's dictionary (codes pass through untransformed)
+        for s_ in specs:
+            if s_.input is not None and s_.input in cb.dicts:
+                out_dicts[s_.output] = cb.dicts[s_.input]
         opts = self.options
         out_cap = opts.estimated_result_row_count or cb.capacity
         if opts.max_unique_keys_in_result:
             out_cap = min(out_cap, opts.max_unique_keys_in_result)
         max_keys = opts.max_unique_keys_in_result
         schema_in = cb.schema
+
+        dense = None
+        if len(names) == 1:
+            dense = _dense_domain(cb, names[0], key_attrs[0], specs,
+                                  cb.schema, opts)
 
         def fn(rctx: RunContext) -> Table:
             if masked_join:
@@ -579,6 +769,11 @@ class GroupAggregate(Operation):
             if bound_preds:
                 pk = keep_mask(bound_preds, rctx, t)
                 keep = pk if keep is None else (keep & pk)
+            if dense is not None:
+                kmin, K, guarded = dense
+                return _dense_grouped_aggregate(
+                    t, names[0], key_attrs[0], specs, schema_in, out_dicts,
+                    out_schema, out_cap, kmin, K, guarded, rctx, keep=keep)
             if keep is not None:
                 live_count = jnp.sum(keep.astype(jnp.int32))
             return _grouped_aggregate(
@@ -586,7 +781,11 @@ class GroupAggregate(Operation):
                 max_keys, rctx, pre_sorted=False, rerank=True, keep=keep,
                 live_count=live_count)
 
-        return BoundOperation(out_schema, out_dicts, fn, out_cap)
+        # key column keeps its value bounds through grouping
+        out_stats = {names[0]: cb.stats[names[0]]} \
+            if names and names[0] in cb.stats else {}
+        return BoundOperation(out_schema, out_dicts, fn, out_cap,
+                              stats=out_stats)
 
 
 class BestEffortGroupAggregate(GroupAggregate):
@@ -684,9 +883,11 @@ class ScalarAggregate(Operation):
                     cols[s.output] = Column(v.astype(odt)[None], ok[None])
                 else:
                     raise NotImplementedError(f"scalar {agg}")
-            return Table(out_schema, cols, 1, {})
+            return Table(out_schema, cols, 1, out_dicts)
 
-        return BoundOperation(out_schema, {}, fn, 1)
+        out_dicts = {s_.output: cb.dicts[s_.input] for s_ in specs
+                     if s_.input is not None and s_.input in cb.dicts}
+        return BoundOperation(out_schema, out_dicts, fn, 1)
 
 
 class AggregateClusters(Operation):
@@ -709,6 +910,11 @@ class AggregateClusters(Operation):
         agg_attrs = [_resolve_output_attr(s, cb.schema) for s in specs]
         out_schema = TupleSchema(key_attrs + agg_attrs)
         out_dicts = {n: cb.dicts[n] for n in names if n in cb.dicts}
+        # STRING/BINARY aggregation outputs (MIN/MAX/FIRST/LAST) carry the
+        # input column's dictionary (codes pass through untransformed)
+        for s_ in specs:
+            if s_.input is not None and s_.input in cb.dicts:
+                out_dicts[s_.output] = cb.dicts[s_.input]
         out_cap = self.out_capacity or cb.capacity
         schema_in = cb.schema
 

@@ -36,12 +36,21 @@ class RunContext:
 
 @dataclass
 class BoundOperation:
-    """Result of binding: static schema/dicts + a traced table function."""
+    """Result of binding: static schema/dicts + a traced table function.
+
+    ``stats`` carries planner statistics — per-column (min, max) value
+    bounds known at bind time (from concrete leaf tables, propagated
+    through value-preserving operators).  Used to pick dense strategies
+    (direct-address joins, dense-domain aggregation); consumers must add
+    a runtime guard flag since re-running a compiled plan with different
+    leaf data can violate the planned bounds.
+    """
 
     schema: TupleSchema
     dicts: dict[str, Dictionary]
     fn: Callable[[RunContext], Table]
     capacity: int  # static output capacity
+    stats: dict[str, tuple[int, int]] = field(default_factory=dict)
 
     def run(self, ctx: RunContext) -> Table:
         return self.fn(ctx)

@@ -148,4 +148,5 @@ class Filter(Operation):
             keep = v.values & v.valid_or_true() & t.row_mask()
             return compact_by_mask(t, keep, out_cap)
 
-        return BoundOperation(cb.schema, cb.dicts, fn, out_cap)
+        return BoundOperation(cb.schema, cb.dicts, fn, out_cap,
+                              stats=dict(cb.stats))

@@ -102,34 +102,6 @@ def _lex_lower_upper(build_codes: list[jnp.ndarray], build_n,
 _DENSE_KEY_TYPES = ("INT32", "INT64", "UINT32", "DATE", "DATETIME")
 _DENSE_RANGE_MAX = 1 << 24  # 64MB int32 LUT ceiling
 
-from .scan import ScanTable as ScanTableOp  # noqa: E402  (cycle-free)
-
-
-def _bind_time_key_stats(op: Operation, name: str):
-    """Planner statistics: (min, max) of a concrete leaf's key column, or
-    None when the build side isn't a materialized leaf.  The reference's
-    planner sees concrete Tables the same way (Table is an Operation,
-    table.h:49); classic databases drive join-strategy choice from exactly
-    these table stats."""
-    if not isinstance(op, ScanTableOp):
-        return None
-    t = op.table
-    try:
-        n = int(t.num_rows)
-    except TypeError:
-        return None
-    if n == 0:
-        return None
-    import numpy as np
-    c = t.columns[name]
-    vals = np.asarray(c.values)[:n]
-    if c.valid is not None:
-        mask = np.asarray(c.valid)[:n]
-        if not mask.any():
-            return None
-        vals = vals[mask]
-    return int(vals.min()), int(vals.max())
-
 
 class HashJoin(Operation):
     """reference: HashJoinOperation (hash_join.h:35)."""
@@ -243,7 +215,7 @@ class HashJoin(Operation):
             ra = rb.schema.lookup(rhs_keys[0])
             if (la.type.value in _DENSE_KEY_TYPES
                     and ra.type.value in _DENSE_KEY_TYPES):
-                stats = _bind_time_key_stats(self.rhs, rhs_keys[0])
+                stats = rb.stats.get(rhs_keys[0])
                 if stats is not None:
                     kmin, kmax = stats
                     rng = kmax - kmin + 1
@@ -478,4 +450,14 @@ class HashJoin(Operation):
                 cols[dst] = c
             return Table(out_schema, cols, n_out, out_dicts)
 
-        return BoundOperation(out_schema, out_dicts, fn, out_cap)
+        # planner stats: projected lhs/rhs columns keep their bounds
+        # (gathers preserve the value set; LEFT_OUTER adds NULLs only)
+        out_stats = {}
+        for src, dst in lpairs:
+            if src in lb.stats:
+                out_stats[dst] = lb.stats[src]
+        for src, dst in rpairs:
+            if src in rb.stats:
+                out_stats[dst] = rb.stats[src]
+        return BoundOperation(out_schema, out_dicts, fn, out_cap,
+                              stats=out_stats)

@@ -27,4 +27,5 @@ class Limit(Operation):
                 return Table(cb.schema, {}, n, dict(t.dicts), cap_hint=out_cap)
             return gather_table(t, idx, n)
 
-        return BoundOperation(cb.schema, cb.dicts, fn, out_cap)
+        return BoundOperation(cb.schema, cb.dicts, fn, out_cap,
+                              stats=dict(cb.stats))

@@ -75,4 +75,6 @@ class Project(Operation):
             cols = {dst: t.columns[src] for src, dst in pairs}
             return Table(schema, cols, t.num_rows, dicts, cap_hint=t.capacity)
 
-        return BoundOperation(schema, dicts, fn, cb.capacity)
+        stats = {dst: cb.stats[src] for src, dst in pairs
+                 if src in cb.stats}
+        return BoundOperation(schema, dicts, fn, cb.capacity, stats=stats)

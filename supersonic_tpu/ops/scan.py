@@ -6,6 +6,7 @@ Table-as-Operation (cursor/infrastructure/table.h:49).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..batch import Table, gather_table
@@ -27,7 +28,40 @@ class ScanTable(Operation):
         def fn(rctx: RunContext) -> Table:
             return rctx.leaf_tables[idx]
 
-        return BoundOperation(schema, dicts, fn, cap)
+        return BoundOperation(schema, dicts, fn, cap,
+                              stats=table_stats(self.table))
+
+
+def table_stats(table: Table) -> dict:
+    """Planner statistics from a concrete leaf: per-integer-column (min,
+    max) over live rows (the same role as classic DB table stats)."""
+    import numpy as np
+
+    from ..types import DataType
+
+    int_types = (DataType.INT32, DataType.INT64, DataType.UINT32,
+                 DataType.DATE, DataType.DATETIME, DataType.ENUM)
+    stats: dict = {}
+    try:
+        n = int(table.num_rows)
+    except TypeError:
+        return stats  # traced num_rows: not a concrete leaf
+    if n == 0:
+        return stats
+    for a in table.schema:
+        if a.type not in int_types:
+            continue
+        c = table.columns[a.name]
+        if isinstance(c.values, jax.core.Tracer):
+            continue
+        vals = np.asarray(c.values)[:n]
+        if c.valid is not None:
+            mask = np.asarray(c.valid)[:n]
+            if not mask.any():
+                continue
+            vals = vals[mask]
+        stats[a.name] = (int(vals.min()), int(vals.max()))
+    return stats
 
 
 class ScanTableWithSelection(Operation):

@@ -172,7 +172,13 @@ class Sort(Operation):
             return Table(out_schema, cols, sorted_t.num_rows, out_dicts,
                          cap_hint=sorted_t.capacity)
 
-        return BoundOperation(out_schema, out_dicts, fn, cb.capacity)
+        if proj_pairs is not None:
+            out_stats = {dst: cb.stats[src] for src, dst in proj_pairs
+                         if src in cb.stats}
+        else:
+            out_stats = dict(cb.stats)
+        return BoundOperation(out_schema, out_dicts, fn, cb.capacity,
+                              stats=out_stats)
 
 
 class ExtendedSort(Operation):
@@ -225,4 +231,5 @@ class ExtendedSort(Operation):
                              cap_hint=out_cap)
             return sorted_t
 
-        return BoundOperation(cb.schema, cb.dicts, fn, out_cap)
+        return BoundOperation(cb.schema, cb.dicts, fn, out_cap,
+                              stats=dict(cb.stats))

@@ -2,7 +2,7 @@
 aggregate_scalar_test, aggregate_clusters_test)."""
 import pytest
 
-from supersonic_tpu import (DOUBLE, INT64, STRING, AggregateClusters, AggSpec,
+from supersonic_tpu import (DOUBLE, INT64, STRING, AggregateClusters, AggSpec, DataType,
                             Aggregation, GroupAggregate, GroupAggregateOptions,
                             ScalarAggregate, ScanTable, Table, TupleSchema,
                             execute)
@@ -140,3 +140,120 @@ def test_multi_column_distinct():
          AggSpec(Aggregation.SUM, "a", "sa")],
         ScanTable(t)))
     assert out.to_pylist() == [(1, 2, 2, 17), (2, 1, 1, 5)]
+
+
+# ---------------------------------------------------------------------------
+# Dense-domain aggregation (Pallas segmented reduce; stats/dict/enum bounds)
+# ---------------------------------------------------------------------------
+
+def _rand_table(n=500, seed=9, key_kind="int"):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    if key_kind == "int":
+        kt, kv = (DataType.INT32, rng.integers(5, 25, n).astype(np.int32))
+        extra = {}
+    elif key_kind == "string":
+        kt = DataType.STRING
+        kv = [f"k{int(x):02d}" for x in rng.integers(0, 17, n)]
+        extra = {}
+    schema = TupleSchema([
+        Attribute("k", kt, False),
+        Attribute("v", DataType.FLOAT, True),
+        Attribute("s", DataType.STRING, True),
+        Attribute("w", DataType.INT32, False),
+    ])
+    data = {
+        "k": kv,
+        "v": [None if rng.random() < 0.1 else float(x)
+              for x in rng.random(n).astype(np.float32)],
+        "s": [None if rng.random() < 0.1 else f"s{int(x)}"
+              for x in rng.integers(0, 9, n)],
+        "w": rng.integers(-100, 100, n).astype(np.int32),
+    }
+    return Table.from_data(schema, data)
+
+
+SPECS = [AggSpec(Aggregation.SUM, "v", "sv"),
+         AggSpec(Aggregation.COUNT, None, "c"),
+         AggSpec(Aggregation.COUNT, "v", "cv"),
+         AggSpec(Aggregation.MIN, "w", "wmin"),
+         AggSpec(Aggregation.MAX, "w", "wmax"),
+         AggSpec(Aggregation.MIN, "s", "smin"),
+         AggSpec(Aggregation.FIRST, "s", "sf"),
+         AggSpec(Aggregation.LAST, "v", "vl")]
+
+
+@pytest.mark.parametrize("key_kind", ["int", "string"])
+def test_dense_aggregation_matches_general(key_kind):
+    # the dense (Pallas segmented-reduce) path must agree with the
+    # sort-based general path on every aggregation kind
+    import numpy as np
+    t = _rand_table(key_kind=key_kind)
+    dense = execute(GroupAggregate(["k"], SPECS, ScanTable(t)))
+    # force the general path: nullable copy of the key column disables the
+    # dense domain (NULL groups unsupported there)
+    schema2 = TupleSchema([
+        Attribute("k", t.schema.lookup("k").type, True)]
+        + [t.schema.lookup(n) for n in ("v", "s", "w")])
+    t2 = Table(schema2,
+               {"k": t.columns["k"]._replace(
+                   valid=jnp.ones(t.capacity, bool)),
+                **{n: t.columns[n] for n in ("v", "s", "w")}},
+               t.num_rows, t.dicts)
+    general = execute(GroupAggregate(["k"], SPECS, ScanTable(t2)))
+    drows = dense.to_pylist()
+    grows = general.to_pylist()
+    assert len(drows) == len(grows)
+    for dr, gr in zip(drows, grows):
+        assert dr[0] == gr[0]           # same key, same insertion order
+        assert dr[1] == pytest.approx(gr[1], rel=1e-5)  # SUM f32 vs f64
+        assert dr[2:] == gr[2:]
+
+
+import jax.numpy as jnp  # noqa: E402
+from supersonic_tpu.schema import Attribute  # noqa: E402
+
+
+def test_dense_aggregation_guard_flag():
+    # re-running the compiled plan with keys outside the planned stats
+    # domain must trip the guard flag
+    import jax
+    import numpy as np
+    from supersonic_tpu.ops.base import compile_plan
+
+    t = Table.from_data(
+        TupleSchema.of(("k", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"k": np.array([1, 2, 3], np.int32),
+         "v": np.array([1.0, 2.0, 3.0], np.float32)})
+    plan = GroupAggregate(["k"], [AggSpec(Aggregation.SUM, "v", "sv")],
+                          ScanTable(t))
+    run, bound, leaves = compile_plan(plan)
+    out, flags = jax.jit(run)(leaves)
+    assert not np.asarray(flags).any()
+    from supersonic_tpu.batch import Column
+    bad_k = jnp.asarray(np.array([1, 2, 50_000], np.int32))
+    bad = Table(t.schema, {**t.columns,
+                           "k": t.columns["k"]._replace(values=bad_k)},
+                t.num_rows, t.dicts)
+    out2, flags2 = jax.jit(run)([bad])
+    assert np.asarray(flags2).any()
+
+
+def test_string_aggregation_dictionaries_propagate():
+    # MIN/MAX/FIRST/LAST of STRING carry the input dictionary (regression:
+    # KeyError at materialization)
+    t = Table.from_data(
+        TupleSchema.of(("g", DataType.INT32, False),
+                       ("s", DataType.STRING)),
+        {"g": [1, 1, 2], "s": ["b", "a", "c"]})
+    out = execute(GroupAggregate(
+        ["g"], [AggSpec(Aggregation.MIN, "s", "smin"),
+                AggSpec(Aggregation.MAX, "s", "smax"),
+                AggSpec(Aggregation.FIRST, "s", "sf"),
+                AggSpec(Aggregation.LAST, "s", "sl")], ScanTable(t)))
+    assert out.to_pylist() == [(1, "a", "b", "b", "a"), (2, "c", "c", "c",
+                                                         "c")]
+    out2 = execute(ScalarAggregate(
+        [AggSpec(Aggregation.MAX, "s", "m")], ScanTable(t)))
+    assert out2.to_pylist() == [("c",)]
