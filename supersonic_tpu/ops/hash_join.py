@@ -202,14 +202,18 @@ class HashJoin(Operation):
             else:
                 remaps.append(None)
 
-        # Dense-build fast path (planner statistics): UNIQUE single integer
-        # key whose concrete build leaf spans a small value range -> a
-        # direct-address LUT join (one scatter to build + one gather to
-        # probe) replaces the joint sort + back sort of the merge probe.
-        # A runtime range-guard error flag keeps the compiled program safe
-        # when re-run with different leaf data of the same shapes.
+        # Dense-build fast path (planner statistics): single integer key
+        # whose concrete build leaf spans a small value range.  UNIQUE rhs
+        # -> a direct-address LUT join (one scatter to build + one gather
+        # to probe); NOT_UNIQUE rhs -> a CSR layout (scatter-add counts +
+        # exclusive prefix-sum offsets over a build-side-only sort), so
+        # each probe reads its (lower, count) match range with two O(1)
+        # gathers.  Either way the joint build+probe sort and the back
+        # sort of the merge probe disappear.  A runtime range-guard error
+        # flag keeps the compiled program safe when re-run with different
+        # leaf data of the same shapes.
         dense_info = None
-        if (self.allow_dense_lookup and unique and len(rhs_keys) == 1
+        if (self.allow_dense_lookup and len(rhs_keys) == 1
                 and remaps[0] is None):
             la = lb.schema.lookup(lhs_keys[0])
             ra = rb.schema.lookup(rhs_keys[0])
@@ -242,7 +246,35 @@ class HashJoin(Operation):
             pinert = pnull | ~lkeep
             binert = bnull | ~rt.row_mask()
             rowid = jnp.arange(rcap, dtype=jnp.int32)
-            if dense_info is not None:
+            if dense_info is not None and not unique:
+                # --- CSR probe (dense multi-match build keys) ---
+                # counts per key slot via one scatter-add; exclusive
+                # prefix sum gives each slot's start position in the
+                # build-side-only sort (1 key operand vs the merge
+                # probe's joint sort of build+probe with side keys).
+                kmin, rng = dense_info
+                bvals = rt.columns[rhs_keys[0]].values
+                bidx = bvals.astype(jnp.int64) - kmin
+                inb = ~binert & (bidx >= 0) & (bidx < rng)
+                rctx.error_flags.append((
+                    "join build keys exceed planned dense range",
+                    jnp.any(~binert & ~inb)))
+                # dead rows scatter at index rng -> dropped from counts,
+                # and sort last (slot rng > all live slots)
+                bslot = jnp.where(inb, bidx, rng).astype(jnp.int32)
+                counts = jnp.zeros(rng, jnp.int32).at[bslot].add(
+                    1, mode="drop")
+                start = jnp.cumsum(counts) - counts
+                res = jax.lax.sort([bslot, rowid], num_keys=1,
+                                   is_stable=True)
+                build_perm = res[-1]
+                pvals = lt.columns[lhs_keys[0]].values
+                pidx = pvals.astype(jnp.int64) - kmin
+                pin = (pidx >= 0) & (pidx < rng) & ~pinert
+                pslot = jnp.clip(pidx, 0, rng - 1).astype(jnp.int32)
+                count = jnp.where(pin, jnp.take(counts, pslot), 0)
+                lower = jnp.where(pin, jnp.take(start, pslot), 0)
+            elif dense_info is not None:
                 # --- direct-address probe (dense unique build keys) ---
                 kmin, rng = dense_info
                 bvals = rt.columns[rhs_keys[0]].values

@@ -184,3 +184,58 @@ def test_dense_path_duplicate_range_sparse_keys_fall_back():
     out = execute(HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(lhs),
                            ScanTable(rhs), KeyUniqueness.UNIQUE))
     assert out.to_pylist() == [(1 << 40, 1 << 40), (7, 7)]
+
+
+@pytest.mark.parametrize("jt", [JoinType.INNER, JoinType.LEFT_OUTER])
+def test_not_unique_join_dense_csr_vs_merge_paths(jt):
+    # randomized parity: the dense CSR probe (duplicate build keys in a
+    # small integer range) must agree with the general merge probe
+    import numpy as np
+    rng = np.random.default_rng(7)
+    ls = TupleSchema.of(("fk", DataType.INT32, True), ("x", INT64))
+    rs = TupleSchema.of(("pk", DataType.INT32, True), ("y", INT64))
+    fk = rng.integers(0, 40, size=200).astype(object)
+    pk = rng.integers(0, 30, size=100).astype(object)
+    fk[rng.random(200) < 0.1] = None
+    pk[rng.random(100) < 0.1] = None
+    lhs = Table.from_data(ls, {"fk": list(fk),
+                               "x": list(range(200))})
+    rhs = Table.from_data(rs, {"pk": list(pk),
+                               "y": list(range(100))})
+    outs = []
+    for allow_dense in (True, False):
+        out = execute(HashJoin(
+            jt, ["fk"], ["pk"], ScanTable(lhs), ScanTable(rhs),
+            KeyUniqueness.NOT_UNIQUE, out_capacity=4096,
+            allow_dense_lookup=allow_dense))
+        outs.append(out.to_pylist())
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 200  # duplicates actually expanded
+
+
+def test_dense_csr_guard_flag_not_unique():
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from supersonic_tpu.ops.base import compile_plan
+    from supersonic_tpu.batch import Column
+
+    ls = TupleSchema.of(("fk", DataType.INT32, False))
+    rs = TupleSchema.of(("pk", DataType.INT32, False))
+    lhs = Table.from_data(ls, {"fk": [3, 5, 3]})
+    rhs = Table.from_data(rs, {"pk": [3, 3, 5, 9]})
+    plan = HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(lhs),
+                    ScanTable(rhs), KeyUniqueness.NOT_UNIQUE,
+                    out_capacity=16)
+    run, bound, leaves = compile_plan(plan)
+    out, flags = jax.jit(run)(leaves)
+    assert not np.asarray(flags).any()
+    # same compiled program, build key outside the planned dense range
+    rt = leaves[1]
+    newvals = jnp.asarray(np.array([3, 3, 1 << 22, 9], dtype=np.int32))
+    bad = Table(rt.schema,
+                {**rt.columns,
+                 "pk": Column(newvals, rt.columns["pk"].valid)},
+                rt.num_rows, rt.dicts)
+    out2, flags2 = jax.jit(run)([leaves[0], bad])
+    assert np.asarray(flags2).any()
