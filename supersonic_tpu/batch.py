@@ -269,6 +269,45 @@ class Table:
         return f"Table({self.schema!r}, num_rows={self.num_rows}, capacity={self.capacity})"
 
 
+def gather_arrays(arrays: Sequence[jnp.ndarray],
+                  safe_indices: jnp.ndarray) -> list:
+    """Gather rows of several equal-length 1-D arrays at the same indices.
+
+    TPU gathers are index-count-bound (~same cost fetching 1 or 4 lanes
+    per index — measured on-chip), so same-width arrays are packed into
+    one (cap, k) matrix and gathered with a single XLA gather instead of
+    k of them.  32-bit arrays (i32/u32/f32) are bitcast to a common u32;
+    64-bit arrays group by exact dtype (64-bit bitcasts are unsupported by
+    the TPU x64 rewriter); bools group as a bool matrix.
+    ``safe_indices`` must already be in-range.
+    """
+    groups: dict = {}
+    for i, a in enumerate(arrays):
+        if a.dtype in (jnp.int32, jnp.uint32, jnp.float32):
+            groups.setdefault("u32", []).append(i)
+        else:
+            groups.setdefault(str(a.dtype), []).append(i)
+    out: list = [None] * len(arrays)
+    for key, idxs in groups.items():
+        if len(idxs) == 1:
+            i = idxs[0]
+            out[i] = jnp.take(arrays[i], safe_indices, axis=0)
+            continue
+        if key == "u32":
+            packed = jnp.stack(
+                [jax.lax.bitcast_convert_type(arrays[i], jnp.uint32)
+                 for i in idxs], axis=1)
+        else:
+            packed = jnp.stack([arrays[i] for i in idxs], axis=1)
+        g = jnp.take(packed, safe_indices, axis=0)
+        for j, i in enumerate(idxs):
+            col = g[:, j]
+            if key == "u32":
+                col = jax.lax.bitcast_convert_type(col, arrays[i].dtype)
+            out[i] = col
+    return out
+
+
 def gather_table(table: Table, indices: jnp.ndarray, num_rows,
                  fill_invalid: bool = False) -> Table:
     """Build a new Table by gathering rows of ``table`` at ``indices``.
@@ -277,25 +316,38 @@ def gather_table(table: Table, indices: jnp.ndarray, num_rows,
     (base/infrastructure/view_copier.h:37): selection vectors become int32
     gather index arrays.  ``indices`` may contain out-of-range sentinels
     when ``fill_invalid`` — those rows come out as NULL (used for LEFT_OUTER
-    padding, hash_join.cc:801-806).
+    padding, hash_join.cc:801-806).  All same-width columns (and validity
+    masks) move in one packed gather (see gather_arrays).
     """
     cap = indices.shape[0]
     in_cap = table.capacity
     oob = (indices < 0) | (indices >= in_cap)
     safe = jnp.where(oob, 0, indices)
+    jobs: list = []
+    col_slot: dict[str, int] = {}
+    valid_slot: dict[str, int] = {}
+    for attr in table.schema:
+        col = table.columns[attr.name]
+        col_slot[attr.name] = len(jobs)
+        jobs.append(col.values)
+        if fill_invalid:
+            valid_slot[attr.name] = len(jobs)
+            jobs.append(col.valid_or_true())
+        elif col.valid is not None:
+            valid_slot[attr.name] = len(jobs)
+            jobs.append(col.valid)
+    gathered = gather_arrays(jobs, safe)
     cols: dict[str, Column] = {}
     new_schema_attrs = []
     for attr in table.schema:
-        col = table.columns[attr.name]
-        vals = jnp.take(col.values, safe, axis=0)
+        vals = gathered[col_slot[attr.name]]
         valid = None
         nullable = attr.nullable
         if fill_invalid:
             nullable = True
-            base = col.valid_or_true()
-            valid = jnp.take(base, safe, axis=0) & ~oob
-        elif col.valid is not None:
-            valid = jnp.take(col.valid, safe, axis=0)
+            valid = gathered[valid_slot[attr.name]] & ~oob
+        elif attr.name in valid_slot:
+            valid = gathered[valid_slot[attr.name]]
         new_schema_attrs.append(Attribute(attr.name, attr.type, nullable, attr.enum))
         cols[attr.name] = Column(vals, valid)
     return Table(TupleSchema(new_schema_attrs), cols, num_rows, dict(table.dicts))

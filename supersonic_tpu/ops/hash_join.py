@@ -25,7 +25,7 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from ..batch import Column, Table, gather_table
+from ..batch import Column, Table, gather_arrays, gather_table
 from ..schema import Attribute, SchemaError, TupleSchema
 from .base import BindContext, BoundOperation, Operation, RunContext
 from .keys import monotone_code
@@ -101,6 +101,80 @@ def _lex_lower_upper(build_codes: list[jnp.ndarray], build_n,
 
 _DENSE_KEY_TYPES = ("INT32", "INT64", "UINT32", "DATE", "DATETIME")
 _DENSE_RANGE_MAX = 1 << 24  # 64MB int32 LUT ceiling
+
+
+def _fat_lut_probe(rt: Table, srcs, scat, pslot, pin, rng: int,
+                   nullable_out: bool):
+    """Dense UNIQUE join via a *fat* LUT: scatter a match flag plus every
+    projected rhs column (and its validity) into per-dtype-group lookup
+    tables indexed by key slot, then probe each group with ONE gather.
+    The separate rhs row gather of the rowid-LUT design disappears — TPU
+    gathers are index-count-bound, so extra lanes ride along ~free.
+
+    Returns ({src: Column at probe capacity}, matched).  Fetched values
+    are arbitrary where ``matched`` is False; with ``nullable_out``
+    (LEFT_OUTER) validity is already masked to matched.
+    """
+    u32_tags: list = [("flag", None)]
+    u32_arrs = [jnp.ones(scat.shape[0], jnp.uint32)]
+    other: dict = {}
+    for src in dict.fromkeys(srcs):
+        col = rt.columns[src]
+        v = col.values
+        if v.dtype in (jnp.int32, jnp.uint32, jnp.float32):
+            u32_tags.append(("val", src))
+            u32_arrs.append(jax.lax.bitcast_convert_type(v, jnp.uint32))
+        elif v.dtype == jnp.bool_:
+            u32_tags.append(("bval", src))
+            u32_arrs.append(v.astype(jnp.uint32))
+        else:
+            tags, arrs = other.setdefault(str(v.dtype), ([], []))
+            tags.append(("val", src))
+            arrs.append(v)
+        if col.valid is not None:
+            u32_tags.append(("valid", src))
+            u32_arrs.append(col.valid.astype(jnp.uint32))
+    fetched = {}
+    lut = jnp.zeros((rng, len(u32_arrs)), jnp.uint32).at[scat].set(
+        jnp.stack(u32_arrs, axis=1), mode="drop")
+    g = jnp.take(lut, pslot, axis=0)
+    for j, tag in enumerate(u32_tags):
+        fetched[tag] = g[:, j]
+    for tags_arrs in other.values():
+        tags, arrs = tags_arrs
+        lut2 = jnp.zeros((rng, len(arrs)), arrs[0].dtype).at[scat].set(
+            jnp.stack(arrs, axis=1), mode="drop")
+        g2 = jnp.take(lut2, pslot, axis=0)
+        for j, tag in enumerate(tags):
+            fetched[tag] = g2[:, j]
+    matched = pin & (fetched[("flag", None)] > 0)
+    out = {}
+    for src in dict.fromkeys(srcs):
+        col = rt.columns[src]
+        if ("bval", src) in fetched:
+            vals = fetched[("bval", src)] > 0
+        else:
+            vals = fetched[("val", src)]
+            if vals.dtype == jnp.uint32:
+                vals = jax.lax.bitcast_convert_type(vals, col.values.dtype)
+        valid = None
+        if col.valid is not None:
+            valid = fetched[("valid", src)] > 0
+        if nullable_out:
+            valid = matched if valid is None else (valid & matched)
+        out[src] = Column(vals, valid)
+    return out, matched
+
+
+def _subset(t: Table, names) -> Table:
+    """View of ``t`` restricted to ``names`` (no data movement).  Keeps
+    row movement (gathers, compaction payload sorts) from paying for
+    columns the join never projects into its output."""
+    names = list(dict.fromkeys(names))
+    attrs = [t.schema.lookup(n) for n in names]
+    return Table(TupleSchema(attrs), {n: t.columns[n] for n in names},
+                 t.num_rows, {n: t.dicts[n] for n in names if n in t.dicts},
+                 cap_hint=t.capacity)
 
 
 class HashJoin(Operation):
@@ -183,8 +257,12 @@ class HashJoin(Operation):
             out_cap = lb.capacity
         else:
             out_cap = lb.capacity + rb.capacity
-        if unique and lb.schema.has("__bpos"):
-            raise SchemaError("column name '__bpos' is reserved")
+        for rsv in ("__bpos", "__d", "__cnt", "__match"):
+            if lb.schema.has(rsv):
+                raise SchemaError(f"column name {rsv!r} is reserved")
+        for nm in lb.schema.names():
+            if nm.startswith("__r"):
+                raise SchemaError("column names '__r*' are reserved")
         # string join keys: remap both sides into a merged dictionary so
         # codes are directly comparable
         remaps = []
@@ -246,6 +324,7 @@ class HashJoin(Operation):
             pinert = pnull | ~lkeep
             binert = bnull | ~rt.row_mask()
             rowid = jnp.arange(rcap, dtype=jnp.int32)
+            rfetch = None
             if dense_info is not None and not unique:
                 # --- CSR probe (dense multi-match build keys) ---
                 # counts per key slot via one scatter-add; exclusive
@@ -272,8 +351,12 @@ class HashJoin(Operation):
                 pidx = pvals.astype(jnp.int64) - kmin
                 pin = (pidx >= 0) & (pidx < rng) & ~pinert
                 pslot = jnp.clip(pidx, 0, rng - 1).astype(jnp.int32)
-                count = jnp.where(pin, jnp.take(counts, pslot), 0)
-                lower = jnp.where(pin, jnp.take(start, pslot), 0)
+                # one packed gather for (count, start) — TPU gathers are
+                # index-count-bound, two lanes cost the same as one
+                g_cnt, g_start = gather_arrays([counts, start.astype(
+                    jnp.int32)], pslot)
+                count = jnp.where(pin, g_cnt, 0)
+                lower = jnp.where(pin, g_start, 0)
             elif dense_info is not None:
                 # --- direct-address probe (dense unique build keys) ---
                 kmin, rng = dense_info
@@ -284,15 +367,13 @@ class HashJoin(Operation):
                     "join build keys exceed planned dense range",
                     jnp.any(~binert & ~inb)))
                 scat = jnp.where(inb, bidx, rng).astype(jnp.int32)
-                lut = jnp.full(rng, -1, jnp.int32).at[scat].set(
-                    rowid, mode="drop")
                 pvals = lt.columns[lhs_keys[0]].values
                 pidx = pvals.astype(jnp.int64) - kmin
                 pin = (pidx >= 0) & (pidx < rng) & ~pinert
-                borig = jnp.take(
-                    lut, jnp.clip(pidx, 0, rng - 1).astype(jnp.int32))
-                matched = pin & (borig >= 0)
-                borig_full = jnp.where(matched, borig, 0)
+                pslot = jnp.clip(pidx, 0, rng - 1).astype(jnp.int32)
+                rfetch, matched = _fat_lut_probe(
+                    rt, [s for s, _ in rpairs], scat, pslot, pin, rng,
+                    left_outer)
             else:
                 # --- build: sort non-null rhs keys (NULL/pad rows sort
                 # last and are excluded from the searched range) ---
@@ -359,63 +440,105 @@ class HashJoin(Operation):
                 if dense_info is None:
                     count = jnp.minimum(count, 1)
                     matched = (count > 0) & lkeep
-                    bpos0 = jnp.clip(lower, 0, rcap - 1)
-                    borig_full = jnp.where(
-                        matched, jnp.take(build_perm, bpos0), 0)
+                    # gather rhs rows through a build-order pre-sort of the
+                    # (small) rhs table: one rcap-index gather up front
+                    # replaces an 8M-index build_perm resolution per probe
+                    # row (TPU gathers are index-count-bound)
+                    rsrc = gather_table(
+                        _subset(rt, [s for s, _ in rpairs]), build_perm,
+                        rt.num_rows)
+                    rpos_full = jnp.clip(lower, 0, rcap - 1)
+
+                def rhs_at_probe():
+                    """rhs output columns at lhs capacity (arbitrary values
+                    where not matched; LEFT_OUTER validity pre-masked)."""
+                    if rfetch is not None:
+                        return dict(rfetch)
+                    ridx_m = jnp.where(matched, rpos_full, -1)
+                    rg = gather_table(rsrc, ridx_m, lt.num_rows,
+                                      fill_invalid=left_outer)
+                    out = {}
+                    for src in dict.fromkeys(s for s, _ in rpairs):
+                        c = rg.columns[src]
+                        if left_outer and c.valid is None:
+                            c = Column(c.values,
+                                       jnp.ones(lcap, dtype=jnp.bool_))
+                        out[src] = c
+                    return out
+
                 if _masked:
-                    ridx_m = jnp.where(matched, borig_full, -1)
-                    rgath = gather_table(rt, ridx_m, lt.num_rows,
-                                         fill_invalid=left_outer)
+                    rcols = rhs_at_probe()
                     cols = {}
                     for src, dst in lpairs:
                         cols[dst] = lt.columns[src]
                     for src, dst in rpairs:
-                        c = rgath.columns[src]
-                        if left_outer and c.valid is None:
-                            c = Column(c.values,
-                                       jnp.ones(lcap, dtype=jnp.bool_))
-                        cols[dst] = c
+                        cols[dst] = rcols[src]
                     keep_out = lkeep if left_outer else matched
                     return Table(out_schema, cols, lt.num_rows, out_dicts,
                                  cap_hint=lcap), keep_out
                 if left_outer and not bound_preds:
-                    n_out = lt.num_rows
-                    ridx = jnp.where(matched, borig_full, -1)
-                    lhs_out = lt
+                    rcols = rhs_at_probe()
+                    cols = {}
+                    for src, dst in lpairs:
+                        cols[dst] = lt.columns[src]
+                    for src, dst in rpairs:
+                        cols[dst] = rcols[src]
+                    return Table(out_schema, cols, lt.num_rows, out_dicts,
+                                 cap_hint=lcap)
+                # compaction path: INNER keeps matched rows; fused
+                # LEFT_OUTER keeps all filter-surviving rows.  With a fat
+                # LUT the probed rhs columns ride the compaction payload
+                # sort directly; otherwise the build position __bpos rides
+                # it and the rhs rows are gathered after compaction.
+                emit = lkeep if left_outer else matched
+                aug_attrs = []
+                lsub = _subset(lt, [s for s, _ in lpairs])
+                aug_cols = dict(lsub.columns)
+                rname = {}
+                if rfetch is not None:
+                    for i, src in enumerate(
+                            dict.fromkeys(s for s, _ in rpairs)):
+                        nm = f"__r{i}"
+                        ra = rb.schema.lookup(src)
+                        c = rfetch[src]
+                        aug_attrs.append(Attribute(
+                            nm, ra.type, c.valid is not None, ra.enum))
+                        aug_cols[nm] = c
+                        rname[src] = nm
                 else:
-                    # compaction path: INNER keeps matched rows; fused
-                    # LEFT_OUTER keeps all filter-surviving rows
-                    emit = lkeep if left_outer else matched
-                    aug_attrs = [Attribute("__bpos", DataType.INT32, False)]
+                    aug_attrs.append(Attribute("__bpos", DataType.INT32,
+                                               False))
+                    aug_cols["__bpos"] = Column(
+                        rpos_full.astype(jnp.int32), None)
                     if left_outer:
                         aug_attrs.append(
                             Attribute("__match", DataType.BOOL, False))
-                    aug_schema = lb.schema.concat(TupleSchema(aug_attrs))
-                    aug_cols = dict(lt.columns)
-                    aug_cols["__bpos"] = Column(borig_full.astype(jnp.int32),
-                                                None)
-                    if left_outer:
                         aug_cols["__match"] = Column(matched, None)
-                    aug = Table(aug_schema, aug_cols, lt.num_rows,
-                                dict(lt.dicts), cap_hint=lcap)
-                    from .filter import compact_by_mask
-                    if out_cap < lcap:
-                        rctx.error_flags.append((
-                            "join result overflow",
-                            jnp.sum(emit.astype(jnp.int32)) > out_cap))
-                    lhs_out = compact_by_mask(aug, emit, out_cap)
-                    n_out = lhs_out.num_rows
-                    live_o = jnp.arange(out_cap) < n_out
-                    hit_o = live_o
-                    if left_outer:
-                        hit_o = live_o & lhs_out.columns["__match"].values
-                    ridx = jnp.where(
-                        hit_o, lhs_out.columns["__bpos"].values, -1)
-                rgath = gather_table(rt, ridx, n_out,
-                                     fill_invalid=left_outer)
+                aug_schema = lsub.schema.concat(TupleSchema(aug_attrs))
+                aug = Table(aug_schema, aug_cols, lt.num_rows,
+                            dict(lsub.dicts), cap_hint=lcap)
+                from .filter import compact_by_mask
+                if out_cap < lcap:
+                    rctx.error_flags.append((
+                        "join result overflow",
+                        jnp.sum(emit.astype(jnp.int32)) > out_cap))
+                lhs_out = compact_by_mask(aug, emit, out_cap)
+                n_out = lhs_out.num_rows
                 cols = {}
                 for src, dst in lpairs:
                     cols[dst] = lhs_out.columns[src]
+                if rfetch is not None:
+                    for src, dst in rpairs:
+                        cols[dst] = lhs_out.columns[rname[src]]
+                    return Table(out_schema, cols, n_out, out_dicts)
+                live_o = jnp.arange(out_cap) < n_out
+                hit_o = live_o
+                if left_outer:
+                    hit_o = live_o & lhs_out.columns["__match"].values
+                ridx = jnp.where(
+                    hit_o, lhs_out.columns["__bpos"].values, -1)
+                rgath = gather_table(rsrc, ridx, n_out,
+                                     fill_invalid=left_outer)
                 for src, dst in rpairs:
                     c = rgath.columns[src]
                     if left_outer and c.valid is None:
@@ -449,28 +572,41 @@ class HashJoin(Operation):
             qrow = jax.lax.cummax(qrow)
             live_out = out_pos < jnp.minimum(total, out_cap)
             # output j of lhs row q maps to build slot lower[q] + (j -
-            # base[q]); gather the single fused difference (lower - base)
-            # instead of lower, base, and count separately — each 8M
-            # gather costs ~25-50ms on TPU.
+            # base[q]); the fused difference (lower - base) — and, for
+            # LEFT_OUTER, the match count — ride the packed lhs gather as
+            # extra int32 lanes instead of separate 8M-index gathers (TPU
+            # gathers are index-count-bound; extra lanes are ~free).
+            n_out = jnp.minimum(total, out_cap)
             d = (lower - base.astype(jnp.int32)).astype(jnp.int32)
-            bpos = out_pos.astype(jnp.int32) + jnp.take(d, qrow)
+            qidx = jnp.where(live_out, qrow, lcap)
+            from ..types import DataType as _DT
+            lsub = _subset(lt, [s for s, _ in lpairs])
+            aug_attrs = [Attribute("__d", _DT.INT32, False)]
+            aug_cols = dict(lsub.columns)
+            aug_cols["__d"] = Column(d, None)
+            if left_outer:
+                aug_attrs.append(Attribute("__cnt", _DT.INT32, False))
+                aug_cols["__cnt"] = Column(count.astype(jnp.int32), None)
+            aug = Table(lsub.schema.concat(TupleSchema(aug_attrs)), aug_cols,
+                        lt.num_rows, dict(lsub.dicts), cap_hint=lcap)
+            # --- gather + stitch ---
+            lgath = gather_table(aug, qidx, n_out)
+            bpos = out_pos.astype(jnp.int32) + lgath.columns["__d"].values
             if left_outer:
                 # unmatched lhs rows (count==0, eff==1) emit a NULL rhs row
-                has_match = jnp.take(count, qrow) > 0
+                has_match = lgath.columns["__cnt"].values > 0
             else:
                 # INNER: eff == count, so every covered output position has
                 # a real match
                 has_match = live_out
-            ridx = jnp.where(
-                has_match,
-                jnp.take(build_perm, jnp.clip(bpos, 0, rcap - 1)),
-                -1)
-            qidx = jnp.where(live_out, qrow, lcap)
-            ridx = jnp.where(live_out, ridx, -1)
-            n_out = jnp.minimum(total, out_cap)
-            # --- gather + stitch ---
-            lgath = gather_table(lt, qidx, n_out)
-            rgath = gather_table(rt, ridx, n_out, fill_invalid=left_outer)
+            # rhs rows come from a build-order pre-sort of the (small) rhs
+            # table: one rcap-index gather up front replaces the 8M-index
+            # build_perm resolution per output row
+            rsorted = gather_table(_subset(rt, [s for s, _ in rpairs]),
+                                   build_perm, rt.num_rows)
+            ridx = jnp.where(has_match & live_out, bpos, -1)
+            rgath = gather_table(rsorted, ridx, n_out,
+                                 fill_invalid=left_outer)
             cols = {}
             for src, dst in lpairs:
                 cols[dst] = lgath.columns[src]
