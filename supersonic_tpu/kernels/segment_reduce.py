@@ -115,3 +115,94 @@ def _call_kernel(v2, g2, n_pad, k_pad, mode, init, dtype, num_segments):
         interpret=jax.default_backend() == "cpu",
     )(v2, g2)
     return out.reshape(k_pad)[:num_segments]
+
+
+# ---------------------------------------------------------------------------
+# Fused multi-aggregation variant: one streaming pass over (ids, values...)
+# computes MANY segmented reductions at once.  The [rows x K] lane match is
+# the kernel's dominant compute; sharing it across all requested
+# reductions makes an N-aggregate group-by cost ~one pass instead of N
+# (reference analogue: Aggregator updates all ColumnAggregators per input
+# view in one sweep, aggregator.h:40-90).
+# ---------------------------------------------------------------------------
+
+def _multi_kernel(g_ref, *refs, k_pad: int, modes, inits):
+    nreq = len(modes)
+    v_refs = refs[:nreq]
+    o_refs = refs[nreq:]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(nreq):
+            o_refs[j][:] = jnp.full_like(o_refs[j], inits[j])
+
+    g = g_ref[:]
+    vs = [v_refs[j][:] for j in range(nreq)]
+    for kr in range(k_pad // LANES):
+        k_lane = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                  + kr * LANES)
+        match = g[:, :, None] == k_lane[None, :, :]   # [S, L, LANES]
+        for j in range(nreq):
+            v = vs[j]
+            neutral = jnp.full_like(v, inits[j])
+            sel = jnp.where(match, v[:, :, None], neutral[:, :, None])
+            if modes[j] == "sum":
+                contrib = jnp.sum(sel, axis=(0, 1), dtype=sel.dtype)
+                o_refs[j][kr, :] = o_refs[j][kr, :] + contrib
+            elif modes[j] == "min":
+                contrib = jnp.min(sel, axis=(0, 1))
+                o_refs[j][kr, :] = jnp.minimum(o_refs[j][kr, :], contrib)
+            else:
+                contrib = jnp.max(sel, axis=(0, 1))
+                o_refs[j][kr, :] = jnp.maximum(o_refs[j][kr, :], contrib)
+
+
+def segment_reduce_multi(requests, segment_ids, num_segments: int):
+    """Fused segmented reductions: ``requests`` is a list of
+    ``(values, mode)`` with mode in {sum,min,max}; returns one [K] array
+    per request, all computed in a single Pallas pass.  Out-of-range
+    segment ids are dropped.  All value dtypes must satisfy
+    ``supported_dtype``."""
+    n = segment_ids.shape[0]
+    k_pad = _round_up(max(num_segments, 1), LANES)
+    n_pad = _round_up(max(n, 1), TILE)
+    pad_rows = n_pad - n
+    modes, inits, v2s, dtypes = [], [], [], []
+    for values, mode in requests:
+        assert mode in ("sum", "min", "max")
+        dtype = values.dtype
+        floating = jnp.issubdtype(dtype, jnp.floating)
+        if mode == "sum":
+            init = 0.0 if floating else 0
+        elif mode == "min":
+            init = float("inf") if floating else int(jnp.iinfo(dtype).max)
+        else:
+            init = float("-inf") if floating else int(jnp.iinfo(dtype).min)
+        v = jnp.concatenate([values, jnp.full(pad_rows, init, dtype)]) \
+            if pad_rows else values
+        modes.append(mode)
+        inits.append(init)
+        dtypes.append(dtype)
+        v2s.append(v.reshape(n_pad // LANES, LANES))
+    gid = jnp.where((segment_ids >= 0) & (segment_ids < num_segments),
+                    segment_ids.astype(jnp.int32), k_pad)
+    g = jnp.concatenate([gid, jnp.full(pad_rows, k_pad, jnp.int32)]) \
+        if pad_rows else gid
+    g2 = g.reshape(n_pad // LANES, LANES)
+    with jax.enable_x64(False):
+        tile_spec = pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        acc_spec = pl.BlockSpec((k_pad // LANES, LANES), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            functools.partial(_multi_kernel, k_pad=k_pad,
+                              modes=tuple(modes), inits=tuple(inits)),
+            grid=(n_pad // TILE,),
+            in_specs=[tile_spec] * (1 + len(requests)),
+            out_specs=[acc_spec] * len(requests),
+            out_shape=[jax.ShapeDtypeStruct((k_pad // LANES, LANES), dt)
+                       for dt in dtypes],
+            interpret=jax.default_backend() == "cpu",
+        )(g2, *v2s)
+    return [o.reshape(k_pad)[:num_segments] for o in outs]

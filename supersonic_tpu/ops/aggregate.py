@@ -223,7 +223,7 @@ def _dense_grouped_aggregate(t: Table, name, key_attr, specs, schema_in,
     no compaction; O(rows) streaming + O(K) finalization.  This is the
     shape of the reference's own headline benchmark (1M rows GROUP BY 50
     string keys, benchmark/examples/operation_example.cc:24-40)."""
-    from ..kernels.segment_reduce import segment_reduce_small
+    from ..kernels.segment_reduce import segment_reduce_multi
 
     cap = t.capacity
     pos = jnp.arange(cap, dtype=jnp.int32)
@@ -239,9 +239,67 @@ def _dense_grouped_aggregate(t: Table, name, key_attr, specs, schema_in,
     live = keep & in_domain
     ids = jnp.where(live, gid64, -1).astype(jnp.int32)
 
-    count_all = segment_reduce_small(live.astype(jnp.int32), ids, K, "sum")
-    first_pos = segment_reduce_small(
-        jnp.where(live, pos, jnp.int32(2**31 - 1)), ids, K, "min")
+    # All segmented reductions go through ONE fused Pallas pass — the
+    # kernel's [rows x K] lane match dominates its cost and is shared
+    # across every requested aggregate (deduplicated by key).
+    _reqs: list = []
+    _memo: dict = {}
+
+    def _ask(key, arr, mode):
+        if key not in _memo:
+            _memo[key] = len(_reqs)
+            _reqs.append((arr, mode))
+        return _memo[key]
+
+    def _valid32_of(s):
+        c = t.columns[s.input]
+        valid = live if c.valid is None else (live & c.valid)
+        return valid, _ask(("valid", s.input, c.valid is None),
+                           valid.astype(jnp.int32), "sum")
+
+    _ask(("count_all",), live.astype(jnp.int32), "sum")
+    _ask(("first_pos",), jnp.where(live, pos, jnp.int32(2**31 - 1)),
+         "min")
+    for s in specs:
+        agg = s.aggregation
+        if agg == Aggregation.COUNT and s.input is None:
+            continue
+        c = t.columns[s.input]
+        if agg == Aggregation.COUNT:
+            _valid32_of(s)
+        elif agg == Aggregation.SUM:
+            valid, _ = _valid32_of(s)
+            acc_dt = (jnp.float32 if jnp.issubdtype(c.values.dtype,
+                                                    jnp.floating)
+                      else jnp.int32)
+            v = jnp.where(valid, c.values,
+                          jnp.zeros_like(c.values)).astype(acc_dt)
+            _ask(("sum", s.input), v, "sum")
+        elif agg in (Aggregation.MIN, Aggregation.MAX):
+            mode = "min" if agg == Aggregation.MIN else "max"
+            valid, _ = _valid32_of(s)
+            in_t = schema_in.lookup(s.input).type
+            code = monotone_code(c.values, in_t)
+            acc_dt = (jnp.float32 if jnp.issubdtype(code.dtype,
+                                                    jnp.floating)
+                      else jnp.int32)
+            init = (jnp.inf if mode == "min" else -jnp.inf) \
+                if acc_dt == jnp.float32 else \
+                (2**31 - 1 if mode == "min" else -(2**31))
+            v = jnp.where(valid, code.astype(acc_dt), acc_dt(init))
+            _ask((mode, s.input), v, mode)
+        elif agg in (Aggregation.FIRST, Aggregation.LAST):
+            mode = "min" if agg == Aggregation.FIRST else "max"
+            sentinel = 2**31 - 1 if mode == "min" else -(2**31)
+            _ask(("pos", mode),
+                 jnp.where(live, pos, jnp.int32(sentinel)), mode)
+    _results = segment_reduce_multi(_reqs, ids, K)
+
+    def _got(key):
+        return _results[_memo[key]]
+
+    count_all = _got(("count_all",))
+    first_pos = _got(("first_pos",))
     present = count_all > 0
     num_groups = jnp.sum(present.astype(jnp.int32))
     rctx.error_flags.append(
@@ -261,44 +319,26 @@ def _dense_grouped_aggregate(t: Table, name, key_attr, specs, schema_in,
             cols_k[s.output] = Column(count_all.astype(odt), None)
             continue
         c = t.columns[s.input]
-        valid = live if c.valid is None else (live & c.valid)
+        vkey = ("valid", s.input, c.valid is None)
         in_t = schema_in.lookup(s.input).type
         if agg == Aggregation.COUNT:
-            w = segment_reduce_small(valid.astype(jnp.int32), ids, K, "sum")
-            cols_k[s.output] = Column(w.astype(odt), None)
+            cols_k[s.output] = Column(_got(vkey).astype(odt), None)
         elif agg == Aggregation.SUM:
             # accumulate in the input's width like the reference
             # (aggregation_operators.h: SUM aggregates in the output type;
             # f32 rounding / i32 wrap match its sequential semantics up to
             # FP reduction order — documented divergence)
-            acc_dt = (jnp.float32 if jnp.issubdtype(c.values.dtype,
-                                                    jnp.floating)
-                      else jnp.int32)
-            v = jnp.where(valid, c.values, jnp.zeros_like(c.values)).astype(
-                acc_dt)
-            sv = segment_reduce_small(v, ids, K, "sum")
-            wc = segment_reduce_small(valid.astype(jnp.int32), ids, K,
-                                      "sum")
+            sv = _got(("sum", s.input))
+            wc = _got(vkey)
             cols_k[s.output] = Column(sv.astype(odt), wc > 0)
         elif agg in (Aggregation.MIN, Aggregation.MAX):
             mode = "min" if agg == Aggregation.MIN else "max"
-            code = monotone_code(c.values, in_t)
-            acc_dt = (jnp.float32 if jnp.issubdtype(code.dtype,
-                                                    jnp.floating)
-                      else jnp.int32)
-            init = (jnp.inf if mode == "min" else -jnp.inf) \
-                if acc_dt == jnp.float32 else \
-                (2**31 - 1 if mode == "min" else -(2**31))
-            v = jnp.where(valid, code.astype(acc_dt), acc_dt(init))
-            mv = segment_reduce_small(v, ids, K, mode)
-            wc = segment_reduce_small(valid.astype(jnp.int32), ids, K,
-                                      "sum")
+            mv = _got((mode, s.input))
+            wc = _got(vkey)
             cols_k[s.output] = Column(mv.astype(odt), wc > 0)
         elif agg in (Aggregation.FIRST, Aggregation.LAST):
             mode = "min" if agg == Aggregation.FIRST else "max"
-            sentinel = 2**31 - 1 if mode == "min" else -(2**31)
-            p = segment_reduce_small(
-                jnp.where(live, pos, jnp.int32(sentinel)), ids, K, mode)
+            p = _got(("pos", mode))
             safe = jnp.clip(p, 0, cap - 1)
             vals = jnp.take(c.values, safe)
             fvalid = present & (jnp.take(c.valid, safe)
