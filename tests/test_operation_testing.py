@@ -67,3 +67,60 @@ def test_aggregate_clusters_sweep():
           {"k": [1, 1, 2, 1], "v": [3, 1, 9, 4]})],
         [(1, 1, 3), (2, 9, 9), (1, 4, 4)],
     )
+
+
+def test_masked_join_under_sort_sweep():
+    # Sort over a UNIQUE join binds the join *masked* (uncompacted output
+    # + keep mask fused into the sort's pad key); dense INT keys take the
+    # fat-LUT path.  Sweep capacities to shake out padding bugs.
+    from supersonic_tpu import (HashJoin, JoinType, KeyUniqueness, ScanTable,
+                                Sort)
+    check_operation(
+        lambda lt, rt: Sort(
+            ["w", "fk"],
+            HashJoin(JoinType.INNER, ["fk"], ["pk"],
+                     ScanTable(lt), ScanTable(rt), KeyUniqueness.UNIQUE)),
+        [(TupleSchema.of(("fk", INT64),), {"fk": [2, 9, 1, None, 2]}),
+         (TupleSchema.of(("pk", INT64), ("w", INT64, True)),
+          {"pk": [1, 2, 3], "w": [10, 20, None]})],
+        [(1, 1, 10), (2, 2, 20), (2, 2, 20)],
+        ignore_row_order=False,
+    )
+
+
+def test_masked_left_outer_join_under_groupby_sweep():
+    from supersonic_tpu import (AggSpec, Aggregation, GroupAggregate,
+                                HashJoin, JoinType, KeyUniqueness, ScanTable)
+    check_operation(
+        lambda lt, rt: GroupAggregate(
+            ["w"], [AggSpec(Aggregation.COUNT, None, "n"),
+                    AggSpec(Aggregation.SUM, "x", "sx")],
+            HashJoin(JoinType.LEFT_OUTER, ["fk"], ["pk"],
+                     ScanTable(lt), ScanTable(rt), KeyUniqueness.UNIQUE)),
+        [(TupleSchema.of(("fk", INT64), ("x", INT64)),
+          {"fk": [1, 9, 2, 1], "x": [5, 6, 7, 8]}),
+         (TupleSchema.of(("pk", INT64), ("w", INT64)),
+          {"pk": [1, 2], "w": [10, 20]})],
+        [(10, 2, 13), (None, 1, 6), (20, 1, 7)],
+    )
+
+
+def test_filtered_masked_join_under_sort_sweep():
+    # Filter between Sort and the UNIQUE join: unwrap_filters folds the
+    # predicate into the join's keep mask.
+    from supersonic_tpu import (Filter, HashJoin, JoinType, KeyUniqueness,
+                                ScanTable, Sort, col)
+    check_operation(
+        lambda lt, rt: Sort(
+            ["x"],
+            Filter(col("x") > 5,
+                   HashJoin(JoinType.INNER, ["fk"], ["pk"],
+                            ScanTable(lt), ScanTable(rt),
+                            KeyUniqueness.UNIQUE))),
+        [(TupleSchema.of(("fk", INT64), ("x", INT64)),
+          {"fk": [1, 2, 1, 2], "x": [4, 6, 8, 3]}),
+         (TupleSchema.of(("pk", INT64), ("w", INT64)),
+          {"pk": [2, 1], "w": [20, 10]})],
+        [(2, 6, 2, 20), (1, 8, 1, 10)],
+        ignore_row_order=False,
+    )
