@@ -566,9 +566,13 @@ class HashJoin(Operation):
             # cummax — two cheap vectorized passes.
             out_pos = jnp.arange(out_cap, dtype=offsets.dtype)
             base = offsets - eff  # start offset per lhs row
-            scatter_pos = jnp.where(eff > 0, base, out_cap)
-            qrow = jnp.zeros(out_cap, dtype=jnp.int32).at[scatter_pos].max(
-                jnp.arange(lcap, dtype=jnp.int32), mode="drop")
+            # scatter at base for ALL rows — an eff==0 row shares its base
+            # with the next live row and has a smaller q, so .max still
+            # picks the live row; the genuinely sorted index stream lets
+            # XLA take its faster sorted-scatter path
+            qrow = jnp.zeros(out_cap, dtype=jnp.int32).at[base].max(
+                jnp.arange(lcap, dtype=jnp.int32), mode="drop",
+                indices_are_sorted=True)
             qrow = jax.lax.cummax(qrow)
             live_out = out_pos < jnp.minimum(total, out_cap)
             # output j of lhs row q maps to build slot lower[q] + (j -
