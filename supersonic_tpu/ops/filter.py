@@ -2,11 +2,11 @@
 
 Reference: cursor/core/filter.cc:65-230 — evaluate predicate (NULL counts
 as false, filter.cc:169-198), build a selection row-id list, gather
-surviving rows.  TPU redesign: the selection vector is produced by a
-stable compaction (cumsum prefix under the hood of ``jnp.nonzero`` with a
-static ``size``), and the gather is a dense ``jnp.take`` — no branchy row
-loop.  A Pallas two-pass kernel backs the same contract for the hot path
-(supersonic_tpu/kernels/compaction.py).
+surviving rows.  TPU redesign: survivors move via stable payload-sort
+compaction (``compact_by_mask``: tiled batched sorts + in-order stitch
+on large inputs), with ``compaction_indices`` as the selection-vector
+primitive for consumers that need explicit row ids — no branchy row
+loop.
 """
 from __future__ import annotations
 
@@ -39,15 +39,31 @@ def compaction_indices(mask: jnp.ndarray, out_capacity: int):
     return idx, count
 
 
+_TILE = 32768       # rows per compaction tile
+_TILED_MIN = 4 * _TILE  # below this, one global sort is cheaper
+
+
+def _fit(vals: jnp.ndarray, out_cap: int) -> jnp.ndarray:
+    n = vals.shape[0]
+    if out_cap < n:
+        return vals[:out_cap]
+    if out_cap > n:
+        return jnp.concatenate([vals, jnp.zeros(out_cap - n, vals.dtype)])
+    return vals
+
+
 def compact_by_mask(table: Table, mask: jnp.ndarray,
                     out_capacity: int | None = None) -> Table:
     """Move rows where mask is True into a dense prefix.
 
-    Implemented as ONE stable multi-operand sort with every column as a
-    payload operand: XLA's TPU sort moves all payloads in lockstep, which
-    measures ~2x faster than a selection-vector + per-column gather
-    (gather/scatter are the slowest primitives on TPU: ~54ms per 8M rows
-    vs ~25ms for a whole sort).
+    Payload *sorts*, not gathers: XLA's TPU sort moves all payloads in
+    lockstep and beats a selection-vector + per-column gather by ~2x
+    (gathers are the slowest primitive on TPU).  Large inputs use a
+    two-phase tiled variant — compact each tile independently with a
+    *batched* per-tile sort (bitonic depth (log T)^2 instead of
+    (log n)^2: ~2x cheaper at 8M rows), then stitch tiles with
+    overlapping dynamic-update-slice writes at each tile's running
+    offset, executed in order by a sequential fori_loop.
     """
     out_cap = out_capacity or table.capacity
     cap = table.capacity
@@ -55,7 +71,6 @@ def compact_by_mask(table: Table, mask: jnp.ndarray,
     if len(table.schema) == 0:
         return Table(table.schema, {}, count, dict(table.dicts),
                      cap_hint=out_cap)
-    key = jnp.where(mask, 0, 1).astype(jnp.int32)
     payload: list[jnp.ndarray] = []
     layout: list[tuple[str, bool]] = []  # (name, has_valid)
     for name in table.schema.names():
@@ -66,25 +81,52 @@ def compact_by_mask(table: Table, mask: jnp.ndarray,
             layout.append((name, True))
         else:
             layout.append((name, False))
-    res = jax.lax.sort([key] + payload, num_keys=1, is_stable=True)
+
+    if cap >= _TILED_MIN:
+        T = _TILE
+        n_pad = -(-cap // T) * T
+        pad = n_pad - cap
+        m = jnp.concatenate([mask, jnp.zeros(pad, jnp.bool_)]) if pad \
+            else mask
+        key = jnp.where(m, 0, 1).astype(jnp.int32).reshape(-1, T)
+        tiles = []
+        for p in payload:
+            pp = jnp.concatenate([p, jnp.zeros(pad, p.dtype)]) if pad else p
+            tiles.append(pp.reshape(-1, T))
+        res = jax.lax.sort([key] + tiles, dimension=1, num_keys=1,
+                           is_stable=True)
+        # pin int32: under x64 the sum/cumsum promote to int64, which
+        # lowers to an emulated u32-pair reduce-window that blows scoped
+        # VMEM (same trap as the join's expansion cumsum)
+        counts = jnp.sum(m.reshape(-1, T).astype(jnp.int32), axis=1,
+                         dtype=jnp.int32)
+        offs = jnp.cumsum(counts, dtype=jnp.int32) - counts
+        nt = n_pad // T
+        outs = [jnp.zeros(n_pad + T, p.dtype) for p in payload]
+
+        def body(t, outs):
+            o = offs[t]
+            new = []
+            for out, src in zip(outs, res[1:]):
+                row = jax.lax.dynamic_slice(src, (t, 0), (1, T))[0]
+                new.append(jax.lax.dynamic_update_slice(out, row, (o,)))
+            return tuple(new)
+
+        sorted_cols = list(jax.lax.fori_loop(0, nt, body, tuple(outs)))
+    else:
+        key = jnp.where(mask, 0, 1).astype(jnp.int32)
+        sorted_cols = list(jax.lax.sort([key] + payload, num_keys=1,
+                                        is_stable=True))[1:]
+
     cols: dict[str, Column] = {}
-    i = 1
+    i = 0
     for name, has_valid in layout:
-        vals = res[i]
+        vals = _fit(sorted_cols[i], out_cap)
         i += 1
         valid = None
         if has_valid:
-            valid = res[i]
+            valid = _fit(sorted_cols[i], out_cap)
             i += 1
-        if out_cap < cap:
-            vals = vals[:out_cap]
-            valid = valid[:out_cap] if valid is not None else None
-        elif out_cap > cap:
-            vals = jnp.concatenate(
-                [vals, jnp.zeros(out_cap - cap, vals.dtype)])
-            if valid is not None:
-                valid = jnp.concatenate(
-                    [valid, jnp.zeros(out_cap - cap, jnp.bool_)])
         cols[name] = Column(vals, valid)
     return Table(table.schema, cols, count, dict(table.dicts),
                  cap_hint=out_cap)

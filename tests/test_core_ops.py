@@ -94,3 +94,26 @@ def test_scan_with_selection():
     t = make_table()
     out = execute(ScanTableWithSelection(t, [4, 0, 2]))
     assert [r[0] for r in out.to_pylist()] == [5, 1, None]
+
+
+def test_filter_tiled_compaction_path():
+    # capacity above _TILED_MIN exercises the two-phase tiled compaction
+    # (batched per-tile sort + in-order stitched writes)
+    import numpy as np
+    from supersonic_tpu import (DataType, Filter, ScanTable, Table,
+                                TupleSchema, col, execute)
+    from supersonic_tpu.ops.filter import _TILED_MIN
+    n = _TILED_MIN + 12345  # non-multiple of the tile size
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 100, n).astype(np.int32)
+    x = rng.random(n).astype(np.float32)
+    t = Table.from_data(
+        TupleSchema.of(("v", DataType.INT32, False),
+                       ("x", DataType.FLOAT, False)),
+        {"v": v, "x": x})
+    out = execute(Filter(col("v") < 7, ScanTable(t)))
+    keep = v < 7
+    got = out.to_numpy()
+    assert int(out.num_rows) == int(keep.sum())
+    assert (got["v"] == v[keep]).all()
+    assert (got["x"] == x[keep]).all()
