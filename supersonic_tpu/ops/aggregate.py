@@ -253,8 +253,12 @@ def _dense_grouped_aggregate(t: Table, name, key_attr, specs, schema_in,
 
     def _valid32_of(s):
         c = t.columns[s.input]
-        valid = live if c.valid is None else (live & c.valid)
-        return valid, _ask(("valid", s.input, c.valid is None),
+        if c.valid is None:
+            # non-nullable input: its valid-count IS the live row count
+            return live, _ask(("count_all",), live.astype(jnp.int32),
+                              "sum")
+        valid = live & c.valid
+        return valid, _ask(("valid", s.input),
                            valid.astype(jnp.int32), "sum")
 
     _ask(("count_all",), live.astype(jnp.int32), "sum")
@@ -319,7 +323,7 @@ def _dense_grouped_aggregate(t: Table, name, key_attr, specs, schema_in,
             cols_k[s.output] = Column(count_all.astype(odt), None)
             continue
         c = t.columns[s.input]
-        vkey = ("valid", s.input, c.valid is None)
+        vkey = ("count_all",) if c.valid is None else ("valid", s.input)
         in_t = schema_in.lookup(s.input).type
         if agg == Aggregation.COUNT:
             cols_k[s.output] = Column(_got(vkey).astype(odt), None)
