@@ -266,17 +266,22 @@ class HashJoin(Operation):
         # string join keys: remap both sides into a merged dictionary so
         # codes are directly comparable
         remaps = []
+        key0_code_domain = None  # dense code domain of key 0 (STRING/ENUM)
         from ..types import DataType
         from ..dictionary import merge as dict_merge
-        for lk, rk in zip(lhs_keys, rhs_keys):
+        for i, (lk, rk) in enumerate(zip(lhs_keys, rhs_keys)):
             la = lb.schema.lookup(lk)
             if la.type in (DataType.STRING, DataType.BINARY):
                 dl, dr = lb.dicts[lk], rb.dicts[rk]
                 if dl is dr:
                     remaps.append(None)
+                    if i == 0:
+                        key0_code_domain = max(len(dl), 1)
                 else:
-                    _, ra_, rb_ = dict_merge(dl, dr)
+                    merged, ra_, rb_ = dict_merge(dl, dr)
                     remaps.append((jnp.asarray(ra_), jnp.asarray(rb_)))
+                    if i == 0:
+                        key0_code_domain = max(len(merged), 1)
             else:
                 remaps.append(None)
 
@@ -291,11 +296,24 @@ class HashJoin(Operation):
         # flag keeps the compiled program safe when re-run with different
         # leaf data of the same shapes.
         dense_info = None
-        if (self.allow_dense_lookup and len(rhs_keys) == 1
-                and remaps[0] is None):
+        dense_codes = False  # dense domain is the (remapped) key CODES
+        if self.allow_dense_lookup and len(rhs_keys) == 1:
             la = lb.schema.lookup(lhs_keys[0])
             ra = rb.schema.lookup(rhs_keys[0])
-            if (la.type.value in _DENSE_KEY_TYPES
+            if la.type in (DataType.STRING, DataType.BINARY):
+                # dictionary codes are dense [0, len(dict)) by
+                # construction — no planner stats, no runtime guard needed
+                if (key0_code_domain is not None
+                        and key0_code_domain <= _DENSE_RANGE_MAX):
+                    dense_info = (0, key0_code_domain)
+                    dense_codes = True
+            elif la.type == DataType.ENUM and ra.type == DataType.ENUM:
+                dom = max(len(la.enum.names), len(ra.enum.names), 1)
+                if dom <= _DENSE_RANGE_MAX:
+                    dense_info = (0, dom)
+                    dense_codes = True
+            elif (remaps[0] is None
+                    and la.type.value in _DENSE_KEY_TYPES
                     and ra.type.value in _DENSE_KEY_TYPES):
                 stats = rb.stats.get(rhs_keys[0])
                 if stats is not None:
@@ -332,12 +350,14 @@ class HashJoin(Operation):
                 # build-side-only sort (1 key operand vs the merge
                 # probe's joint sort of build+probe with side keys).
                 kmin, rng = dense_info
-                bvals = rt.columns[rhs_keys[0]].values
+                bvals = bcodes[0] if dense_codes \
+                    else rt.columns[rhs_keys[0]].values
                 bidx = bvals.astype(jnp.int64) - kmin
                 inb = ~binert & (bidx >= 0) & (bidx < rng)
-                rctx.error_flags.append((
-                    "join build keys exceed planned dense range",
-                    jnp.any(~binert & ~inb)))
+                if not dense_codes:  # code domains can't miss
+                    rctx.error_flags.append((
+                        "join build keys exceed planned dense range",
+                        jnp.any(~binert & ~inb)))
                 # dead rows scatter at index rng -> dropped from counts,
                 # and sort last (slot rng > all live slots)
                 bslot = jnp.where(inb, bidx, rng).astype(jnp.int32)
@@ -347,7 +367,8 @@ class HashJoin(Operation):
                 res = jax.lax.sort([bslot, rowid], num_keys=1,
                                    is_stable=True)
                 build_perm = res[-1]
-                pvals = lt.columns[lhs_keys[0]].values
+                pvals = pcodes[0] if dense_codes \
+                    else lt.columns[lhs_keys[0]].values
                 pidx = pvals.astype(jnp.int64) - kmin
                 pin = (pidx >= 0) & (pidx < rng) & ~pinert
                 pslot = jnp.clip(pidx, 0, rng - 1).astype(jnp.int32)
@@ -360,14 +381,17 @@ class HashJoin(Operation):
             elif dense_info is not None:
                 # --- direct-address probe (dense unique build keys) ---
                 kmin, rng = dense_info
-                bvals = rt.columns[rhs_keys[0]].values
+                bvals = bcodes[0] if dense_codes \
+                    else rt.columns[rhs_keys[0]].values
                 bidx = bvals.astype(jnp.int64) - kmin
                 inb = ~binert & (bidx >= 0) & (bidx < rng)
-                rctx.error_flags.append((
-                    "join build keys exceed planned dense range",
-                    jnp.any(~binert & ~inb)))
+                if not dense_codes:  # code domains can't miss
+                    rctx.error_flags.append((
+                        "join build keys exceed planned dense range",
+                        jnp.any(~binert & ~inb)))
                 scat = jnp.where(inb, bidx, rng).astype(jnp.int32)
-                pvals = lt.columns[lhs_keys[0]].values
+                pvals = pcodes[0] if dense_codes \
+                    else lt.columns[lhs_keys[0]].values
                 pidx = pvals.astype(jnp.int64) - kmin
                 pin = (pidx >= 0) & (pidx < rng) & ~pinert
                 pslot = jnp.clip(pidx, 0, rng - 1).astype(jnp.int32)

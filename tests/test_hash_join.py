@@ -239,3 +239,47 @@ def test_dense_csr_guard_flag_not_unique():
                 rt.num_rows, rt.dicts)
     out2, flags2 = jax.jit(run)([leaves[0], bad])
     assert np.asarray(flags2).any()
+
+
+@pytest.mark.parametrize("uniq", [KeyUniqueness.UNIQUE,
+                                  KeyUniqueness.NOT_UNIQUE])
+@pytest.mark.parametrize("jt", [JoinType.INNER, JoinType.LEFT_OUTER])
+def test_string_key_dense_codes_vs_merge(jt, uniq):
+    # dictionary codes are dense [0, len(dict)) -> string-key joins take
+    # the LUT/CSR path; must agree with the merge probe
+    import numpy as np
+    rng = np.random.default_rng(11)
+    words = [f"w{i:03d}" for i in range(40)]
+    lhs_s = [words[i] for i in rng.integers(0, 40, 120)]
+    rhs_idx = list(rng.permutation(40)[:25]) if uniq == KeyUniqueness.UNIQUE \
+        else list(rng.integers(0, 30, 50))
+    rhs_s = [words[i] for i in rhs_idx]
+    ls = TupleSchema.of(("s", STRING), ("x", INT64))
+    rs = TupleSchema.of(("s2", STRING), ("y", INT64))
+    lhs = Table.from_data(ls, {"s": lhs_s, "x": list(range(120))})
+    rhs = Table.from_data(rs, {"s2": rhs_s, "y": list(range(len(rhs_s)))})
+    outs = []
+    for allow_dense in (True, False):
+        out = execute(HashJoin(jt, ["s"], ["s2"], ScanTable(lhs),
+                               ScanTable(rhs), uniq, out_capacity=8192,
+                               allow_dense_lookup=allow_dense))
+        outs.append(out.to_pylist())
+    assert outs[0] == outs[1]
+    assert len(outs[0]) >= (120 if jt == JoinType.LEFT_OUTER else 1)
+
+
+def test_enum_key_dense_join():
+    from supersonic_tpu import EnumDefinition
+    ed = EnumDefinition(("red", "green", "blue"))
+    ls = TupleSchema.of(("c", DataType.ENUM, True, ed), ("x", INT64))
+    rs = TupleSchema.of(("c2", DataType.ENUM, True, ed), ("y", INT64))
+    lhs = Table.from_data(ls, {"c": ["red", "blue", None, "green"],
+                               "x": [1, 2, 3, 4]})
+    rhs = Table.from_data(rs, {"c2": ["blue", "red"], "y": [30, 10]})
+    out = execute(HashJoin(JoinType.LEFT_OUTER, ["c"], ["c2"],
+                           ScanTable(lhs), ScanTable(rhs),
+                           KeyUniqueness.UNIQUE,
+                           lhs_projector=Projector.named("c", "x"),
+                           rhs_projector=Projector.named("y")))
+    assert out.to_pylist() == [("red", 1, 10), ("blue", 2, 30),
+                               (None, 3, None), ("green", 4, None)]
