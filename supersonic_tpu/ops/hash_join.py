@@ -266,7 +266,7 @@ class HashJoin(Operation):
         # string join keys: remap both sides into a merged dictionary so
         # codes are directly comparable
         remaps = []
-        key0_code_domain = None  # dense code domain of key 0 (STRING/ENUM)
+        code_domains = []  # per-key dense code domain (STRING/BINARY)
         from ..types import DataType
         from ..dictionary import merge as dict_merge
         for i, (lk, rk) in enumerate(zip(lhs_keys, rhs_keys)):
@@ -275,54 +275,70 @@ class HashJoin(Operation):
                 dl, dr = lb.dicts[lk], rb.dicts[rk]
                 if dl is dr:
                     remaps.append(None)
-                    if i == 0:
-                        key0_code_domain = max(len(dl), 1)
+                    code_domains.append(max(len(dl), 1))
                 else:
                     merged, ra_, rb_ = dict_merge(dl, dr)
                     remaps.append((jnp.asarray(ra_), jnp.asarray(rb_)))
-                    if i == 0:
-                        key0_code_domain = max(len(merged), 1)
+                    code_domains.append(max(len(merged), 1))
             else:
                 remaps.append(None)
+                code_domains.append(None)
 
-        # Dense-build fast path (planner statistics): single integer key
-        # whose concrete build leaf spans a small value range.  UNIQUE rhs
-        # -> a direct-address LUT join (one scatter to build + one gather
-        # to probe); NOT_UNIQUE rhs -> a CSR layout (scatter-add counts +
-        # exclusive prefix-sum offsets over a build-side-only sort), so
-        # each probe reads its (lower, count) match range with two O(1)
-        # gathers.  Either way the joint build+probe sort and the back
-        # sort of the merge probe disappear.  A runtime range-guard error
-        # flag keeps the compiled program safe when re-run with different
-        # leaf data of the same shapes.
-        dense_info = None
-        dense_codes = False  # dense domain is the (remapped) key CODES
-        if self.allow_dense_lookup and len(rhs_keys) == 1:
-            la = lb.schema.lookup(lhs_keys[0])
-            ra = rb.schema.lookup(rhs_keys[0])
-            if la.type in (DataType.STRING, DataType.BINARY):
-                # dictionary codes are dense [0, len(dict)) by
-                # construction — no planner stats, no runtime guard needed
-                if (key0_code_domain is not None
-                        and key0_code_domain <= _DENSE_RANGE_MAX):
-                    dense_info = (0, key0_code_domain)
-                    dense_codes = True
-            elif la.type == DataType.ENUM and ra.type == DataType.ENUM:
-                dom = max(len(la.enum.names), len(ra.enum.names), 1)
-                if dom <= _DENSE_RANGE_MAX:
-                    dense_info = (0, dom)
-                    dense_codes = True
-            elif (remaps[0] is None
-                    and la.type.value in _DENSE_KEY_TYPES
-                    and ra.type.value in _DENSE_KEY_TYPES):
-                stats = rb.stats.get(rhs_keys[0])
-                if stats is not None:
+        # Dense-build fast path: keys whose composite value domain is
+        # small — integer keys with tight planner statistics, and
+        # STRING/BINARY/ENUM keys whose dictionary codes are dense by
+        # construction (multi-key: product of per-key ranges).  UNIQUE
+        # rhs -> a direct-address fat LUT holding the projected rhs
+        # columns (one scatter to build + one packed gather to probe);
+        # NOT_UNIQUE rhs -> a CSR layout (scatter-add counts + exclusive
+        # prefix-sum offsets over a build-side-only sort), so each probe
+        # reads its (lower, count) match range with one packed gather.
+        # Either way the joint build+probe sort and the back sort of the
+        # merge probe disappear.  A runtime range-guard error flag keeps
+        # the compiled program safe when stats-driven ranges go stale on
+        # re-run with different leaf data of the same shapes.
+        def _dense_dims():
+            """Per-key dense dimensions (kmin, range, use_codes) whose
+            composite slot = sum_i (v_i - kmin_i) * stride_i addresses a
+            LUT of size prod(range_i).  STRING/BINARY dictionary codes
+            and ENUM value maps are dense by construction; integer keys
+            need bind-time planner stats (runtime range-guarded)."""
+            dims, total, guarded = [], 1, False
+            for i, (lk, rk) in enumerate(zip(lhs_keys, rhs_keys)):
+                la = lb.schema.lookup(lk)
+                ra = rb.schema.lookup(rk)
+                if la.type in (DataType.STRING, DataType.BINARY):
+                    dims.append((0, code_domains[i], True))
+                elif la.type == DataType.ENUM and ra.type == DataType.ENUM:
+                    dom = max(len(la.enum.names), len(ra.enum.names), 1)
+                    dims.append((0, dom, True))
+                elif (remaps[i] is None
+                        and la.type.value in _DENSE_KEY_TYPES
+                        and ra.type.value in _DENSE_KEY_TYPES):
+                    stats = rb.stats.get(rk)
+                    if stats is None:
+                        return None
                     kmin, kmax = stats
                     rng = kmax - kmin + 1
-                    budget = min(max(4 * rb.capacity, 1 << 20),
-                                 _DENSE_RANGE_MAX)
-                    if 0 < rng <= budget:
-                        dense_info = (kmin, rng)
+                    if rng <= 0:
+                        return None
+                    dims.append((kmin, rng, False))
+                    guarded = True
+                else:
+                    return None
+                total *= dims[-1][1]
+                if total > _DENSE_RANGE_MAX:
+                    return None
+            if guarded:
+                # stats-driven ranges can be sparse: cap LUT size at a
+                # multiple of the build side
+                budget = min(max(4 * rb.capacity, 1 << 20),
+                             _DENSE_RANGE_MAX)
+                if total > budget:
+                    return None
+            return dims, total, guarded
+
+        dense_info = _dense_dims() if self.allow_dense_lookup else None
 
         def fn(rctx: RunContext) -> Table:
             lt = lb.run(rctx)
@@ -343,21 +359,36 @@ class HashJoin(Operation):
             binert = bnull | ~rt.row_mask()
             rowid = jnp.arange(rcap, dtype=jnp.int32)
             rfetch = None
+
+            def composite_slot(codes_list, table, key_names):
+                """int64 composite LUT slot + in-range mask over all
+                dense key dimensions (per-dim clip keeps the slot in
+                [0, total) even for out-of-range values)."""
+                dims, _total, _g = dense_info
+                idx, inr = None, None
+                for i, (kmin_i, rng_i, use_codes) in enumerate(dims):
+                    v = codes_list[i] if use_codes \
+                        else table.columns[key_names[i]].values
+                    dlt = v.astype(jnp.int64) - kmin_i
+                    ok = (dlt >= 0) & (dlt < rng_i)
+                    dc = jnp.clip(dlt, 0, rng_i - 1)
+                    idx = dc if idx is None else idx * rng_i + dc
+                    inr = ok if inr is None else (inr & ok)
+                return idx, inr
+
             if dense_info is not None and not unique:
                 # --- CSR probe (dense multi-match build keys) ---
                 # counts per key slot via one scatter-add; exclusive
                 # prefix sum gives each slot's start position in the
                 # build-side-only sort (1 key operand vs the merge
                 # probe's joint sort of build+probe with side keys).
-                kmin, rng = dense_info
-                bvals = bcodes[0] if dense_codes \
-                    else rt.columns[rhs_keys[0]].values
-                bidx = bvals.astype(jnp.int64) - kmin
-                inb = ~binert & (bidx >= 0) & (bidx < rng)
-                if not dense_codes:  # code domains can't miss
+                _dims, rng, guarded = dense_info
+                bidx, binr = composite_slot(bcodes, rt, rhs_keys)
+                inb = ~binert & binr
+                if guarded:  # pure code domains can't miss
                     rctx.error_flags.append((
                         "join build keys exceed planned dense range",
-                        jnp.any(~binert & ~inb)))
+                        jnp.any(~binert & ~binr)))
                 # dead rows scatter at index rng -> dropped from counts,
                 # and sort last (slot rng > all live slots)
                 bslot = jnp.where(inb, bidx, rng).astype(jnp.int32)
@@ -367,11 +398,9 @@ class HashJoin(Operation):
                 res = jax.lax.sort([bslot, rowid], num_keys=1,
                                    is_stable=True)
                 build_perm = res[-1]
-                pvals = pcodes[0] if dense_codes \
-                    else lt.columns[lhs_keys[0]].values
-                pidx = pvals.astype(jnp.int64) - kmin
-                pin = (pidx >= 0) & (pidx < rng) & ~pinert
-                pslot = jnp.clip(pidx, 0, rng - 1).astype(jnp.int32)
+                pidx, pinr = composite_slot(pcodes, lt, lhs_keys)
+                pin = pinr & ~pinert
+                pslot = pidx.astype(jnp.int32)
                 # one packed gather for (count, start) — TPU gathers are
                 # index-count-bound, two lanes cost the same as one
                 g_cnt, g_start = gather_arrays([counts, start.astype(
@@ -380,21 +409,17 @@ class HashJoin(Operation):
                 lower = jnp.where(pin, g_start, 0)
             elif dense_info is not None:
                 # --- direct-address probe (dense unique build keys) ---
-                kmin, rng = dense_info
-                bvals = bcodes[0] if dense_codes \
-                    else rt.columns[rhs_keys[0]].values
-                bidx = bvals.astype(jnp.int64) - kmin
-                inb = ~binert & (bidx >= 0) & (bidx < rng)
-                if not dense_codes:  # code domains can't miss
+                _dims, rng, guarded = dense_info
+                bidx, binr = composite_slot(bcodes, rt, rhs_keys)
+                inb = ~binert & binr
+                if guarded:  # pure code domains can't miss
                     rctx.error_flags.append((
                         "join build keys exceed planned dense range",
-                        jnp.any(~binert & ~inb)))
+                        jnp.any(~binert & ~binr)))
                 scat = jnp.where(inb, bidx, rng).astype(jnp.int32)
-                pvals = pcodes[0] if dense_codes \
-                    else lt.columns[lhs_keys[0]].values
-                pidx = pvals.astype(jnp.int64) - kmin
-                pin = (pidx >= 0) & (pidx < rng) & ~pinert
-                pslot = jnp.clip(pidx, 0, rng - 1).astype(jnp.int32)
+                pidx, pinr = composite_slot(pcodes, lt, lhs_keys)
+                pin = pinr & ~pinert
+                pslot = pidx.astype(jnp.int32)
                 rfetch, matched = _fat_lut_probe(
                     rt, [s for s, _ in rpairs], scat, pslot, pin, rng,
                     left_outer)

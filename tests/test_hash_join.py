@@ -283,3 +283,38 @@ def test_enum_key_dense_join():
                            rhs_projector=Projector.named("y")))
     assert out.to_pylist() == [("red", 1, 10), ("blue", 2, 30),
                                (None, 3, None), ("green", 4, None)]
+
+
+@pytest.mark.parametrize("uniq", [KeyUniqueness.UNIQUE,
+                                  KeyUniqueness.NOT_UNIQUE])
+def test_multi_key_mixed_dense_vs_merge(uniq):
+    # composite dense slot over (STRING dictionary codes x INT32 stats
+    # range) must agree with the merge probe
+    import numpy as np
+    rng = np.random.default_rng(23)
+    cities = ["ams", "ber", "cdg", "dub", "eze"]
+    if uniq == KeyUniqueness.UNIQUE:
+        pairs = [(c, d) for c in cities for d in range(7)]
+        rng.shuffle(pairs)
+        pairs = pairs[:20]
+    else:
+        pairs = [(cities[i], int(d)) for i, d in
+                 zip(rng.integers(0, 5, 30), rng.integers(0, 7, 30))]
+    ls = TupleSchema.of(("c", STRING), ("d", DataType.INT32), ("x", INT64))
+    rs = TupleSchema.of(("c2", STRING), ("d2", DataType.INT32), ("y", INT64))
+    lhs = Table.from_data(ls, {
+        "c": [cities[i] for i in rng.integers(0, 5, 80)],
+        "d": [int(v) for v in rng.integers(0, 9, 80)],
+        "x": list(range(80))})
+    rhs = Table.from_data(rs, {
+        "c2": [p[0] for p in pairs],
+        "d2": [p[1] for p in pairs],
+        "y": list(range(len(pairs)))})
+    outs = []
+    for allow_dense in (True, False):
+        out = execute(HashJoin(
+            JoinType.LEFT_OUTER, ["c", "d"], ["c2", "d2"],
+            ScanTable(lhs), ScanTable(rhs), uniq, out_capacity=2048,
+            allow_dense_lookup=allow_dense))
+        outs.append(out.to_pylist())
+    assert outs[0] == outs[1]
