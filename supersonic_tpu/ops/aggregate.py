@@ -170,35 +170,48 @@ def _pass_key(spec: AggSpec):
 _DENSE_DOMAIN_MAX = 2048  # segment_reduce_small MAX_SEGMENTS
 
 
-def _dense_domain(cb, name, key_attr, specs, schema_in, options):
-    """(kmin, K, stats_guarded) when the single group key has a statically
-    bounded integer domain small enough for the dense Pallas aggregation:
-    ENUM (value map), STRING/BINARY (dictionary size), or integer columns
-    with planner statistics.  None -> use the sort-based general path."""
-    if key_attr.nullable or options.max_unique_keys_in_result:
+def _dense_domain(cb, names, key_attrs, specs, schema_in, options):
+    """(dims, K, stats_guarded) when the group keys have a statically
+    bounded composite integer domain small enough for the dense Pallas
+    aggregation: per key ENUM (value map), STRING/BINARY (dictionary
+    size), or integer columns with planner statistics; the composite slot
+    is sum_i (v_i - kmin_i) * stride_i over prod(K_i) <= the kernel's
+    segment budget.  None -> use the sort-based general path.
+    ``dims`` is a list of (name, attr, kmin, K_i)."""
+    if options.max_unique_keys_in_result:
         return None
     if any(s.distinct for s in specs):
         return None
     guarded = False
-    if key_attr.type == DataType.ENUM:
-        dom = (0, max(len(key_attr.enum.names) - 1, 0))
-    elif key_attr.type in (DataType.STRING, DataType.BINARY):
-        d = cb.dicts.get(name)
-        if d is None:
+    dims = []
+    K = 1
+    for name, key_attr in zip(names, key_attrs):
+        if key_attr.nullable:
             return None
-        dom = (0, max(len(d) - 1, 0))
-    elif key_attr.type in (DataType.INT32, DataType.INT64, DataType.UINT32,
-                           DataType.DATE, DataType.DATETIME):
-        dom = cb.stats.get(name)
-        guarded = True  # leaf-derived bounds: re-runs need a range check
-        if dom is None:
+        if key_attr.type == DataType.ENUM:
+            dom = (0, max(len(key_attr.enum.names) - 1, 0))
+        elif key_attr.type in (DataType.STRING, DataType.BINARY):
+            d = cb.dicts.get(name)
+            if d is None:
+                return None
+            dom = (0, max(len(d) - 1, 0))
+        elif key_attr.type in (DataType.INT32, DataType.INT64,
+                               DataType.UINT32, DataType.DATE,
+                               DataType.DATETIME):
+            dom = cb.stats.get(name)
+            guarded = True  # leaf-derived bounds: re-runs need a check
+            if dom is None:
+                return None
+        else:
             return None
-    else:
-        return None
-    kmin, kmax = dom
-    K = kmax - kmin + 1
-    if not 0 < K <= _DENSE_DOMAIN_MAX:
-        return None
+        kmin, kmax = dom
+        K_i = kmax - kmin + 1
+        if K_i <= 0:
+            return None
+        dims.append((name, key_attr, kmin, K_i))
+        K *= K_i
+        if K > _DENSE_DOMAIN_MAX:
+            return None
     i32_ok = (DataType.FLOAT, DataType.INT32, DataType.UINT32,
               DataType.DATE, DataType.ENUM, DataType.STRING,
               DataType.BINARY, DataType.BOOL)
@@ -212,11 +225,11 @@ def _dense_domain(cb, name, key_attr, specs, schema_in, options):
         in_t = schema_in.lookup(s.input).type
         if in_t not in i32_ok:
             return None  # 64-bit values: kernel is f32/i32 only
-    return kmin, K, guarded
+    return dims, K, guarded
 
 
-def _dense_grouped_aggregate(t: Table, name, key_attr, specs, schema_in,
-                             out_dicts, out_schema, out_cap, kmin, K,
+def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
+                             out_dicts, out_schema, out_cap, K,
                              guarded, rctx: RunContext, keep=None):
     """Dense-domain group-by: per-group accumulators held in VMEM by the
     Pallas segmented-reduce kernel (kernels/segment_reduce.py) — no sort,
@@ -229,9 +242,16 @@ def _dense_grouped_aggregate(t: Table, name, key_attr, specs, schema_in,
     pos = jnp.arange(cap, dtype=jnp.int32)
     if keep is None:
         keep = t.row_mask()
-    kcol = t.columns[name]
-    gid64 = kcol.values.astype(jnp.int64) - kmin
-    in_domain = (gid64 >= 0) & (gid64 < K)
+    # composite slot over all key dimensions (per-dim clip keeps the
+    # slot in [0, K) even for out-of-range values)
+    gid64 = None
+    in_domain = None
+    for name, _attr, kmin, K_i in dims:
+        v = t.columns[name].values.astype(jnp.int64) - kmin
+        ok = (v >= 0) & (v < K_i)
+        vc = jnp.clip(v, 0, K_i - 1)
+        gid64 = vc if gid64 is None else gid64 * K_i + vc
+        in_domain = ok if in_domain is None else (in_domain & ok)
     if guarded:
         rctx.error_flags.append((
             "aggregate key exceeds planned dense domain",
@@ -310,10 +330,12 @@ def _dense_grouped_aggregate(t: Table, name, key_attr, specs, schema_in,
         ("aggregate result overflow", num_groups > out_cap))
 
     cols_k: dict[str, Column] = {}
-    # group key value for slot j is kmin + j by construction
-    key_vals = (jnp.arange(K, dtype=jnp.int64) + kmin).astype(
-        jnp_dtype(key_attr.type))
-    cols_k[name] = Column(key_vals, None)
+    # decode slot j back into each key dimension's value (mixed-radix)
+    rem = jnp.arange(K, dtype=jnp.int64)
+    for name, attr, kmin, K_i in reversed(dims):
+        cols_k[name] = Column(
+            ((rem % K_i) + kmin).astype(jnp_dtype(attr.type)), None)
+        rem = rem // K_i
 
     for s in specs:
         a = _resolve_output_attr(s, schema_in)
@@ -799,8 +821,8 @@ class GroupAggregate(Operation):
         schema_in = cb.schema
 
         dense = None
-        if len(names) == 1:
-            dense = _dense_domain(cb, names[0], key_attrs[0], specs,
+        if names:
+            dense = _dense_domain(cb, names, key_attrs, specs,
                                   cb.schema, opts)
 
         def fn(rctx: RunContext) -> Table:
@@ -814,10 +836,10 @@ class GroupAggregate(Operation):
                 pk = keep_mask(bound_preds, rctx, t)
                 keep = pk if keep is None else (keep & pk)
             if dense is not None:
-                kmin, K, guarded = dense
+                dims, K, guarded = dense
                 return _dense_grouped_aggregate(
-                    t, names[0], key_attrs[0], specs, schema_in, out_dicts,
-                    out_schema, out_cap, kmin, K, guarded, rctx, keep=keep)
+                    t, dims, specs, schema_in, out_dicts,
+                    out_schema, out_cap, K, guarded, rctx, keep=keep)
             if keep is not None:
                 live_count = jnp.sum(keep.astype(jnp.int32))
             return _grouped_aggregate(

@@ -257,3 +257,41 @@ def test_string_aggregation_dictionaries_propagate():
     out2 = execute(ScalarAggregate(
         [AggSpec(Aggregation.MAX, "s", "m")], ScanTable(t)))
     assert out2.to_pylist() == [("c",)]
+
+
+def test_multi_key_dense_matches_general():
+    # composite dense domain (STRING dict x small int stats range) must
+    # agree with the sort-based general path, including insertion order
+    import numpy as np
+    from supersonic_tpu import (AggSpec, Aggregation, DataType,
+                                GroupAggregate, ScanTable, Table,
+                                TupleSchema, execute)
+    rng = np.random.default_rng(9)
+    cities = ["ams", "ber", "cdg"]
+    n = 500
+    t = Table.from_data(
+        TupleSchema.of(("c", DataType.STRING, False),
+                       ("d", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"c": [cities[i] for i in rng.integers(0, 3, n)],
+         "d": [int(x) for x in rng.integers(10, 17, n)],
+         "v": rng.random(n).astype(np.float32)})
+    specs = [AggSpec(Aggregation.SUM, "v", "sv"),
+             AggSpec(Aggregation.COUNT, None, "ct"),
+             AggSpec(Aggregation.MIN, "v", "mn")]
+    dense = execute(GroupAggregate(["c", "d"], specs, ScanTable(t)))
+    from supersonic_tpu.ops import aggregate as agg_mod
+    saved = agg_mod._DENSE_DOMAIN_MAX
+    try:
+        agg_mod._DENSE_DOMAIN_MAX = 0  # force the general path
+        general = execute(GroupAggregate(["c", "d"], specs, ScanTable(t)))
+    finally:
+        agg_mod._DENSE_DOMAIN_MAX = saved
+    drows = dense.to_pylist()
+    grows = general.to_pylist()
+    assert len(drows) == len(grows)
+    for a, b in zip(drows, grows):
+        assert a[0] == b[0] and a[1] == b[1] and a[3] == b[3]
+        assert abs(a[2] - b[2]) < 1e-3 * max(1.0, abs(b[2]))
+        assert a[4] == b[4] if isinstance(a[4], str) else \
+            abs(a[4] - b[4]) < 1e-6
