@@ -218,6 +218,26 @@ class ExtendedSort(Operation):
                     name: jnp.take(lut, jnp.clip(t.columns[name].values, 0,
                                                  lut.shape[0] - 1))
                     for name, lut in luts.items()}
+            if (limit is not None and len(t.schema)
+                    and out_cap * 4 <= cb.capacity):
+                # top-K fast path: sort only (keys, rowid) and move the K
+                # winning rows with one small packed gather — every other
+                # payload row stays put (a full payload sort pays per
+                # column operand)
+                shadow = t
+                if override:
+                    cols = dict(t.columns)
+                    for name, vals in override.items():
+                        cols[name] = cols[name]._replace(values=vals)
+                    shadow = Table(t.schema, cols, t.num_rows, t.dicts,
+                                   cap_hint=t.capacity)
+                operands, num_keys = key_operands(
+                    shadow, order.names(), order.ascendings())
+                rowids = jnp.arange(t.capacity, dtype=jnp.int32)
+                res = jax.lax.sort(operands + [rowids],
+                                   num_keys=num_keys, is_stable=True)
+                perm = res[-1][:out_cap]
+                return gather_table(t, perm, jnp.minimum(t.num_rows, limit))
             sorted_t = sort_table(t, order, key_override=override)
             n = t.num_rows
             if limit is not None:

@@ -87,3 +87,23 @@ def test_sort_result_projector():
                        result_projector=Projector([("b", "bb")])))
     assert out.schema.names() == ("bb",)
     assert [r[0] for r in out.to_pylist()] == [3.0, -2.5, 0.0, None, 1.0]
+
+
+def test_extended_sort_limit_topk_path():
+    # limit << capacity takes the top-K (perm-sort + small gather) path;
+    # results must match the full sort, including NULL ordering and ties
+    import numpy as np
+    from supersonic_tpu import (DataType, ExtendedSort, ScanTable, SortKey,
+                                Table, TupleSchema, execute)
+    rng = np.random.default_rng(13)
+    n = 300
+    vals = [None if rng.random() < 0.15 else int(v)
+            for v in rng.integers(0, 40, n)]
+    t = Table.from_data(
+        TupleSchema.of(("a", DataType.INT64, True), ("tag", DataType.INT64)),
+        {"a": vals, "tag": list(range(n))})
+    got = execute(ExtendedSort([SortKey("a", ascending=False)], ScanTable(t),
+                               limit=7)).to_pylist()
+    full = execute(ExtendedSort([SortKey("a", ascending=False)],
+                                ScanTable(t))).to_pylist()
+    assert got == full[:7]
