@@ -329,6 +329,12 @@ class HashJoin(Operation):
                 total *= dims[-1][1]
                 if total > _DENSE_RANGE_MAX:
                     return None
+            if unique:
+                # fat-LUT memory: one u32 lane per projected rhs column
+                # (+flag +validity); cap total LUT bytes at ~256MB
+                lanes = 1 + 2 * max(len(rpairs), 1)
+                if total * lanes > 4 * _DENSE_RANGE_MAX:
+                    return None
             if guarded:
                 # stats-driven ranges can be sparse: cap LUT size at a
                 # multiple of the build side
