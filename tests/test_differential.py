@@ -102,3 +102,69 @@ def test_join_differential(seed, join_type):
     exp = ref.hash_join(lrows, rrows, 0, 0,
                         join_type == JoinType.LEFT_OUTER, rhs_width=2)
     assert got == exp
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("join_type", [JoinType.INNER, JoinType.LEFT_OUTER])
+@pytest.mark.parametrize("allow_dense", [True, False])
+def test_join_not_unique_differential(seed, join_type, allow_dense):
+    # duplicate build keys exercise the expansion (CSR dense or merge)
+    rng = np.random.default_rng(seed + 60)
+    lt, lrows = rand_table(rng, 35)
+    rs = TupleSchema.of(("pk", INT64, False), ("w", INT64))
+    rdata = {"pk": rng.integers(0, 8, 12).tolist(),
+             "w": rng.integers(0, 100, 12).tolist()}
+    rt = Table.from_data(rs, rdata)
+    rrows = rt.to_pylist()
+    got = execute(HashJoin(join_type, ["k"], ["pk"], ScanTable(lt),
+                           ScanTable(rt), KeyUniqueness.NOT_UNIQUE,
+                           out_capacity=1024,
+                           allow_dense_lookup=allow_dense)).to_pylist()
+    exp = ref.hash_join(lrows, rrows, 0, 0,
+                        join_type == JoinType.LEFT_OUTER, rhs_width=2)
+    assert got == exp
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_extended_sort_limit_differential(seed):
+    from supersonic_tpu import ExtendedSort
+    rng = np.random.default_rng(seed + 70)
+    t, rows = rand_table(rng, 70)
+    got = execute(ExtendedSort([("x", False), ("v", True)], ScanTable(t),
+                               limit=9)).to_pylist()
+    exp = ref.sort_rows(rows, [(2, False), (1, True)])[:9]
+    assert got == exp
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_dense_multikey_group_differential(seed):
+    # non-nullable small-domain keys take the composite dense Pallas path
+    rng = np.random.default_rng(seed + 80)
+    n = 90
+    schema = TupleSchema.of(("a", INT64, False), ("s", STRING, False),
+                            ("v", INT64), ("x", DOUBLE))
+    data = {
+        "a": rng.integers(0, 5, n).tolist(),
+        "s": [f"g{int(i)}" for i in rng.integers(0, 4, n)],
+        "v": [None if rng.random() < 0.2 else int(v)
+              for v in rng.integers(-30, 30, n)],
+        "x": np.round(rng.random(n) * 5, 3).tolist(),
+    }
+    t = Table.from_data(schema, data)
+    rows = t.to_pylist()
+    got = execute(GroupAggregate(
+        ["a", "s"],
+        [AggSpec(Aggregation.SUM, "v", "sv"),
+         AggSpec(Aggregation.MIN, "x", "mn"),
+         AggSpec(Aggregation.COUNT, None, "n")],
+        ScanTable(t))).to_pylist()
+    exp = ref.group_aggregate(rows, [0, 1],
+                              [("sum", 2), ("min", 3), ("count_star", None)])
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g[0] == e[0] and g[1] == e[1] and g[2] == e[2] \
+            and g[4] == e[4]
+        if e[3] is None:
+            assert g[3] is None
+        else:
+            assert g[3] == pytest.approx(e[3])
