@@ -140,6 +140,22 @@ def main(n=8_000_000, m=1_000_000):
                  rhs_projector=Projector.named("w"),
                  out_capacity=n),
         perturb_all(), n)
+    # wide build side: 6 projected rhs columns ride the fat LUT as packed
+    # lanes (packed gathers are index-count-bound)
+    wide = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       *[(f"w{i}", DataType.INT32, False)
+                         for i in range(6)]),
+        {"pk": np.arange(m, dtype=np.int32),
+         **{f"w{i}": rng.integers(0, 64, m).astype(np.int32)
+            for i in range(6)}})
+    results["join_wide"] = bench(
+        "join 8M x 1M (6 rhs cols)",
+        HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact),
+                 ScanTable(wide), KeyUniqueness.UNIQUE,
+                 lhs_projector=Projector.named("v"),
+                 rhs_projector=Projector.named(*[f"w{i}" for i in range(6)])),
+        perturb_all(), n)
     return results
 
 

@@ -318,3 +318,27 @@ def test_multi_key_mixed_dense_vs_merge(uniq):
             allow_dense_lookup=allow_dense))
         outs.append(out.to_pylist())
     assert outs[0] == outs[1]
+
+
+def test_fat_lut_mixed_width_payload_lanes():
+    # DOUBLE/INT64 rhs columns ride per-dtype LUT groups; BOOL widens to
+    # a u32 lane; nullable DOUBLE carries a validity lane
+    import numpy as np
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False)),
+        {"fk": np.array([2, 0, 5, 9], dtype=np.int32)})
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("d", DataType.DOUBLE, True),
+                       ("i", DataType.INT64, False),
+                       ("b", DataType.BOOL, False)),
+        {"pk": np.arange(8, dtype=np.int32),
+         "d": [0.5, None, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5],
+         "i": (np.arange(8) * 10).astype(np.int64),
+         "b": [True, False] * 4})
+    out = execute(HashJoin(JoinType.LEFT_OUTER, ["fk"], ["pk"],
+                           ScanTable(lhs), ScanTable(rhs),
+                           KeyUniqueness.UNIQUE))
+    assert out.to_pylist() == [
+        (2, 2, 2.5, 20, True), (0, 0, 0.5, 0, True),
+        (5, 5, 5.5, 50, False), (9, None, None, None, None)]
