@@ -446,10 +446,8 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
         raw_boundary = keep & (~prev_same | (pos == 0))
         run_id = jnp.cumsum(raw_boundary.astype(jnp.int32)) - 1
         sort_keys_base = None  # base pass unsorted
-        group_operands = [run_id]
     else:
         sort_keys_base = [pad] + codes
-        group_operands = codes
 
     passes: dict = {}
     for s in specs:
