@@ -295,3 +295,23 @@ def test_multi_key_dense_matches_general():
         assert abs(a[2] - b[2]) < 1e-3 * max(1.0, abs(b[2]))
         assert a[4] == b[4] if isinstance(a[4], str) else \
             abs(a[4] - b[4]) < 1e-6
+
+
+def test_best_effort_and_hybrid_api_parity():
+    # reference: BestEffortGroupAggregate (aggregate_groups.cc:989) may
+    # emit partially-aggregated chunks; under static HBM budgeting a
+    # single chunk is exact, so both variants must equal GroupAggregate.
+    from supersonic_tpu import (BestEffortGroupAggregate,
+                                HybridGroupAggregate, ScanTable, Table,
+                                TupleSchema, execute)
+    t = Table.from_data(
+        TupleSchema.of(("k", INT64), ("v", INT64)),
+        {"k": [1, 2, 1, 3, 2], "v": [10, 20, 30, None, 50]})
+    specs = [AggSpec(SUM, "v", "sv"), AggSpec(COUNT, "v", "cv")]
+    base = execute(GroupAggregate(["k"], specs, ScanTable(t))).to_pylist()
+    be = execute(BestEffortGroupAggregate(["k"], specs,
+                                          ScanTable(t))).to_pylist()
+    hy = execute(HybridGroupAggregate(["k"], specs,
+                                      ScanTable(t))).to_pylist()
+    assert base == be == hy
+    assert base == [(1, 40, 2), (2, 70, 2), (3, None, 0)]
