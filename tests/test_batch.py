@@ -85,3 +85,27 @@ def test_enum_column():
     out = execute(Filter(col("c").eq(Const(colors.code_of("red"),
                                            DT.INT32)), ScanTable(t)))
     assert out.to_pylist() == [("red", 2)]
+
+
+def test_gather_arrays_packs_dtype_groups():
+    # packed gather must be value-identical to per-array takes across
+    # 32-bit bitcast groups, 64-bit exact-dtype groups, and bools
+    import numpy as np
+    import jax.numpy as jnp
+    from supersonic_tpu.batch import gather_arrays
+    rng = np.random.default_rng(4)
+    n = 257
+    idx = jnp.asarray(rng.integers(0, n, 100).astype(np.int32))
+    arrays = [
+        jnp.asarray(rng.integers(-9, 9, n).astype(np.int32)),
+        jnp.asarray(rng.random(n).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 9, n).astype(np.uint32)),
+        jnp.asarray(rng.integers(-9, 9, n).astype(np.int64)),
+        jnp.asarray(rng.random(n)),            # f64
+        jnp.asarray(rng.random(n) < 0.5),      # bool
+        jnp.asarray(rng.random(n) < 0.5),      # bool (packs with above)
+    ]
+    got = gather_arrays(arrays, idx)
+    for a, g in zip(arrays, got):
+        assert g.dtype == a.dtype
+        assert (np.asarray(g) == np.asarray(a)[np.asarray(idx)]).all()
