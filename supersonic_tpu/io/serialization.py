@@ -124,6 +124,209 @@ def build_expression_from_json(text: str) -> Expression:
     return build_expression(json.loads(text))
 
 
+# ---------------------------------------------------------------------------
+# Protobuf wire format (reference: utils/proto/expressions.proto;
+# deserializer build_expression_from_proto.cc:754).  The generated module
+# expressions_pb2 is wire-compatible with the reference's
+# common.ExpressionDescription, so predicates serialized for the reference
+# engine deserialize here unchanged.
+# ---------------------------------------------------------------------------
+
+# user-registered CUSTOM_FUNCTION_CALL factories: name -> callable(*exprs).
+# (The reference leaves BuildFunctionCallFromProto unimplemented,
+# build_expression_from_proto.cc:731-735; a registry is strictly more.)
+_FUNCTIONS: dict[str, Any] = {}
+
+
+def register_function(name: str, factory) -> None:
+    """Register a CUSTOM_FUNCTION_CALL factory ``factory(*child_exprs)``."""
+    _FUNCTIONS[name] = factory
+
+
+_CONST_VALUE_FIELDS = {
+    "INT32": "int32_value", "INT64": "int64_value",
+    "UINT32": "uint32_value", "UINT64": "uint64_value",
+    "FLOAT": "float_value", "DOUBLE": "double_value",
+    "BOOL": "bool_value", "DATE": "date_value",
+    "DATETIME": "datetime_value", "BINARY": "binary_value",
+    "STRING": "string_value",
+}
+
+# OperationType names that differ from (or are missing in) the dict-form
+# _OPERATORS table above.  Values are factories over already-built children.
+_PROTO_EXTRA_OPS: dict[str, Any] = {
+    "DIVIDE": E.Divide, "CPP_DIVIDE": E.CppDivide, "MODULUS": E.Modulus,
+    "IFNULL": E.IfNull, "SQRT": E.Sqrt, "SQRT_QUIET": E.Sqrt,
+    "POWER_SIGNALING": E.PowSignaling, "POWER_NULLING": E.PowNulling,
+    "POWER_QUIET": E.PowQuiet,
+    "PI": lambda: E.ConstDouble(3.141592653589793),
+    "TOUPPER": E.ToUpper, "TOLOWER": E.ToLower, "REPLACE": E.StringReplace,
+    "COPY": E.Copy, "FORMAT": E.Format,
+    "YEAR_UTC": E.Year, "QUARTER_UTC": E.Quarter, "MONTH_UTC": E.Month,
+    "DAY_UTC": E.Day, "WEEKDAY_UTC": E.Weekday, "YEARDAY_UTC": E.YearDay,
+    "HOUR_UTC": E.Hour, "MINUTE_UTC": E.Minute,
+    "RANDOM_INT32": E.RandInt32, "SEQUENCE": E.Sequence,
+}
+
+# unimplemented in the reference deserializer as well
+# (build_expression_from_proto.cc: OperatorNotImplemented cases)
+_PROTO_UNIMPLEMENTED = frozenset({
+    "DATEDIFF", "DATETIMEDIFF", "ADD_WEEK", "ADD_YEAR",
+    "TRUNC_TO_SECOND", "TRUNC_TO_MINUTE", "TRUNC_TO_HOUR", "TRUNC_TO_DAY",
+    "TRUNC_TO_MONTH", "TRUNC_TO_QUARTER", "TRUNC_TO_YEAR",
+    "UNIMPLEMENTED_OPERATOR_0", "UNIMPLEMENTED_OPERATOR_1",
+    "UNIMPLEMENTED_OPERATOR_2", "UNIMPLEMENTED_OPERATOR_3",
+    "UNIMPLEMENTED_OPERATOR_4", "UNIMPLEMENTED_OPERATOR_5",
+})
+# implemented by the reference but host-side here (PARITY.md divergences)
+_PROTO_HOST_SIDE = {
+    "TOSTRING": "ops.host.to_string",
+    "DATE_FORMAT_LOCAL": "ops.host.DateFormat",
+    "DATE_FORMAT_UTC": "ops.host.DateFormat",
+}
+
+
+def _pb():
+    from . import expressions_pb2
+
+    return expressions_pb2
+
+
+def _const_from_proto(c) -> Expression:
+    pb = _pb()
+    tname = pb.DataType.Name(c.type)
+    if tname == "NULL_TYPE":
+        raise SerializationError("untyped NULL constant needs a type")
+    if tname == "DATA_TYPE":
+        raise SerializationError(
+            "bare DATA_TYPE constant outside CAST/PARSE_STRING")
+    field = _CONST_VALUE_FIELDS[tname]
+    t = DataType(tname)
+    if not c.HasField(field):
+        return E.Null(t)
+    v = getattr(c, field)
+    if tname == "BINARY":
+        v = bytes(v)
+    return E.Const(v, t)
+
+
+def _type_const_arg(arg, op_name: str) -> DataType:
+    """CAST/PARSE_STRING carry the target type as a leading
+    Constant{type: DATA_TYPE, data_type_value} argument."""
+    pb = _pb()
+    if (pb.ExpressionType.Name(arg.type) != "CONSTANT"
+            or pb.DataType.Name(arg.constant.type) != "DATA_TYPE"
+            or not arg.constant.HasField("data_type_value")):
+        raise SerializationError(
+            f"{op_name} needs a DATA_TYPE constant first argument")
+    return DataType(pb.DataType.Name(arg.constant.data_type_value))
+
+
+def _pattern_const_arg(arg, op_name: str) -> str:
+    pb = _pb()
+    if (pb.ExpressionType.Name(arg.type) != "CONSTANT"
+            or pb.DataType.Name(arg.constant.type) != "STRING"):
+        raise SerializationError(
+            f"{op_name} needs a constant STRING pattern argument")
+    return arg.constant.string_value
+
+
+def _operation_from_proto(op) -> Expression:
+    pb = _pb()
+    name = pb.OperationType.Name(op.type)
+    args = list(op.argument)
+    if name in _PROTO_UNIMPLEMENTED:
+        raise SerializationError(f"operator {name} is not implemented "
+                                 "(unimplemented in the reference too)")
+    if name in _PROTO_HOST_SIDE:
+        raise SerializationError(
+            f"operator {name} runs at host materialization here: use "
+            f"{_PROTO_HOST_SIDE[name]} (PARITY.md divergences)")
+    if name in ("CAST", "PARSE_STRING"):
+        if len(args) != 2:
+            raise SerializationError(f"{name} takes exactly 2 arguments")
+        t = _type_const_arg(args[0], name)
+        child = build_expression_from_proto(args[1])
+        if name == "CAST":
+            return E.CastTo(t, child)
+        # reference uses the nulling parser (bad strings -> NULL),
+        # build_expression_from_proto.cc:515
+        return E.ParseStringNulling(t, child)
+    if name in ("REGEXP_PARTIAL", "REGEXP_FULL", "REGEXP_EXTRACT"):
+        if len(args) != 2:
+            raise SerializationError(f"{name} takes exactly 2 arguments")
+        child = build_expression_from_proto(args[0])
+        pattern = _pattern_const_arg(args[1], name)
+        fac = {"REGEXP_PARTIAL": E.RegexpPartialMatch,
+               "REGEXP_FULL": E.RegexpFullMatch,
+               "REGEXP_EXTRACT": E.RegexpExtract}[name]
+        return fac(child, pattern)
+    if name == "REGEXP_REPLACE":
+        if len(args) != 3:
+            raise SerializationError("REGEXP_REPLACE takes 3 arguments")
+        child = build_expression_from_proto(args[0])
+        pattern = _pattern_const_arg(args[1], name)
+        sub = build_expression_from_proto(args[2])
+        return E.RegexpReplace(child, pattern, sub)
+    built = [build_expression_from_proto(a) for a in args]
+    fac = _PROTO_EXTRA_OPS.get(name) or _OPERATORS.get(name)
+    if fac is None:
+        raise SerializationError(f"unknown operator {name!r}")
+    return fac(*built)
+
+
+def build_expression_from_proto(desc) -> Expression:
+    """ExpressionDescription proto message -> Expression
+    (reference: BuildExpressionFromProto,
+    build_expression_from_proto.cc:754).  TUPLE descriptions return a
+    list of (possibly aliased) Expressions suitable for ``Compute``."""
+    pb = _pb()
+    kind = pb.ExpressionType.Name(desc.type)
+    if kind == "CONSTANT":
+        return _const_from_proto(desc.constant)
+    if kind == "VARIABLE":
+        return E.col(desc.variable.name)
+    if kind == "OPERATION":
+        return _operation_from_proto(desc.operation)
+    if kind == "CUSTOM_FUNCTION_CALL":
+        fname = desc.function_call.function_name
+        if fname not in _FUNCTIONS:
+            raise SerializationError(
+                f"custom function {fname!r} is not registered "
+                "(register_function)")
+        built = [build_expression_from_proto(a)
+                 for a in desc.function_call.argument]
+        return _FUNCTIONS[fname](*built)
+    if kind == "TUPLE":
+        out = []
+        for te in desc.tuple.expression:
+            e = build_expression_from_proto(te.expression)
+            aliases = list(te.alias)
+            if len(aliases) == 1:
+                e = E.Alias(aliases[0], e)
+            elif len(aliases) > 1:
+                raise SerializationError(
+                    "multi-alias tuple entries need multi-column "
+                    "expressions, which are single-column here")
+            out.append(e)
+        return out
+    if kind == "PATH":
+        nodes = list(desc.path.node)
+        if len(nodes) != 1:
+            raise SerializationError(
+                "nested column paths are not supported (flat schemas)")
+        return E.col(nodes[0])
+    raise SerializationError(f"unknown expression type {kind!r}")
+
+
+def build_expression_from_proto_bytes(data: bytes) -> Expression:
+    """Serialized ExpressionDescription bytes (the reference wire format)
+    -> Expression."""
+    msg = _pb().ExpressionDescription()
+    msg.ParseFromString(data)
+    return build_expression_from_proto(msg)
+
+
 def build_sort_order(desc: list):
     """[{"column": "a", "ascending": true, "case_sensitive": true}, ...]
     -> SortOrder (reference: ExtendedSortSpecification,

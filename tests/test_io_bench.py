@@ -203,3 +203,143 @@ def test_describe_plan():
     assert "sv DESC" in txt and "sv: DOUBLE?" in txt
     lines = txt.splitlines()
     assert lines[3].startswith("      ScanTable")
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire format (reference: utils/proto/expressions.proto +
+# build_expression_from_proto.cc)
+# ---------------------------------------------------------------------------
+
+def _pb():
+    from supersonic_tpu.io import expressions_pb2
+    return expressions_pb2
+
+
+def _var(name):
+    pb = _pb()
+    d = pb.ExpressionDescription(type=pb.VARIABLE)
+    d.variable.name = name
+    return d
+
+
+def _const_i64(v):
+    pb = _pb()
+    d = pb.ExpressionDescription(type=pb.CONSTANT)
+    d.constant.type = pb.INT64
+    d.constant.int64_value = v
+    return d
+
+
+def _op(op_type, *args):
+    pb = _pb()
+    d = pb.ExpressionDescription(type=pb.OPERATION)
+    d.operation.type = op_type
+    for a in args:
+        d.operation.argument.add().CopyFrom(a)
+    return d
+
+
+def test_proto_expression_roundtrip_wire_bytes():
+    # build (a + 5) * a as a proto, serialize, rebuild from BYTES — the
+    # reference's wire contract end to end
+    pb = _pb()
+    from supersonic_tpu.io import build_expression_from_proto_bytes
+    desc = _op(pb.MULTIPLY, _op(pb.ADD, _var("a"), _const_i64(5)), _var("a"))
+    expr = build_expression_from_proto_bytes(desc.SerializeToString())
+    out = execute(Compute(expr, ScanTable(make_table())))
+    assert [r[0] for r in out.to_pylist()] == [6, None, 24]
+
+
+def test_proto_expression_cast_and_null():
+    pb = _pb()
+    from supersonic_tpu.io import build_expression_from_proto
+    # CAST(DOUBLE, a): leading DATA_TYPE constant argument
+    tc = pb.ExpressionDescription(type=pb.CONSTANT)
+    tc.constant.type = pb.DATA_TYPE
+    tc.constant.data_type_value = pb.DOUBLE
+    desc = _op(pb.CAST, tc, _var("a"))
+    expr = build_expression_from_proto(desc)
+    out = execute(Compute(expr, ScanTable(make_table())))
+    assert [r[0] for r in out.to_pylist()] == [1.0, None, 3.0]
+    # typed NULL: constant with no value field set
+    nd = pb.ExpressionDescription(type=pb.CONSTANT)
+    nd.constant.type = pb.INT64
+    nexpr = build_expression_from_proto(nd)
+    out2 = execute(Compute(nexpr, ScanTable(make_table())))
+    assert [r[0] for r in out2.to_pylist()] == [None, None, None]
+
+
+def test_proto_expression_case_if_in():
+    pb = _pb()
+    from supersonic_tpu.io import build_expression_from_proto
+    # CASE a WHEN 1 THEN 10 ELSE 99  (proto arg order: sel, else, when, then)
+    desc = _op(pb.CASE, _var("a"), _const_i64(99), _const_i64(1),
+               _const_i64(10))
+    out = execute(Compute(build_expression_from_proto(desc),
+                          ScanTable(make_table())))
+    assert [r[0] for r in out.to_pylist()] == [10, 99, 99]
+    # a IN (1, 3)
+    desc2 = _op(pb.IN, _var("a"), _const_i64(1), _const_i64(3))
+    out2 = execute(Compute(build_expression_from_proto(desc2),
+                           ScanTable(make_table())))
+    assert [r[0] for r in out2.to_pylist()] == [True, None, True]
+
+
+def test_proto_expression_regexp_and_tuple():
+    pb = _pb()
+    from supersonic_tpu.io import build_expression_from_proto
+    pat = pb.ExpressionDescription(type=pb.CONSTANT)
+    pat.constant.type = pb.STRING
+    pat.constant.string_value = "y+"
+    desc = _op(pb.REGEXP_PARTIAL, _var("s"), pat)
+    out = execute(Compute(build_expression_from_proto(desc),
+                          ScanTable(make_table())))
+    assert [r[0] for r in out.to_pylist()] == [False, None, True]
+    # TUPLE of two aliased expressions -> list for Compute
+    td = pb.ExpressionDescription(type=pb.TUPLE)
+    e1 = td.tuple.expression.add()
+    e1.expression.CopyFrom(_op(pb.ADD, _var("a"), _const_i64(1)))
+    e1.alias.append("a1")
+    e2 = td.tuple.expression.add()
+    e2.expression.CopyFrom(_var("s"))
+    e2.alias.append("s2")
+    exprs = build_expression_from_proto(td)
+    out2 = execute(Compute(exprs, ScanTable(make_table())))
+    assert list(out2.schema.names()) == ["a1", "s2"]
+    assert out2.to_pylist() == [(2, "x"), (None, None), (4, "yy")]
+
+
+def test_proto_expression_errors_and_custom_function():
+    pb = _pb()
+    import pytest as _pytest
+    from supersonic_tpu.io import (SerializationError,
+                                   build_expression_from_proto,
+                                   register_function)
+    with _pytest.raises(SerializationError):  # unimplemented in ref too
+        build_expression_from_proto(_op(pb.DATEDIFF, _var("a"), _var("a")))
+    with _pytest.raises(SerializationError):  # host-side divergence
+        build_expression_from_proto(_op(pb.TOSTRING, _var("a")))
+    fd = pb.ExpressionDescription(type=pb.CUSTOM_FUNCTION_CALL)
+    fd.function_call.function_name = "double_it"
+    fd.function_call.argument.add().CopyFrom(_var("a"))
+    with _pytest.raises(SerializationError):
+        build_expression_from_proto(fd)
+    from supersonic_tpu import exprs as E
+    register_function("double_it", lambda e: E.Multiply(e, E.ConstInt64(2)))
+    out = execute(Compute(build_expression_from_proto(fd),
+                          ScanTable(make_table())))
+    assert [r[0] for r in out.to_pylist()] == [2, None, 6]
+
+
+def test_proto_path_and_pi():
+    pb = _pb()
+    from supersonic_tpu.io import build_expression_from_proto
+    d = pb.ExpressionDescription(type=pb.PATH)
+    d.path.node.append("b")
+    out = execute(Compute(build_expression_from_proto(d),
+                          ScanTable(make_table())))
+    assert [r[0] for r in out.to_pylist()] == [1.5, 2.5, None]
+    pi = _op(pb.PI)
+    out2 = execute(Compute(build_expression_from_proto(pi),
+                           ScanTable(make_table())))
+    assert abs(out2.to_pylist()[0][0] - 3.141592653589793) < 1e-12
