@@ -132,19 +132,61 @@ def _normalize_spec(specification) -> AggregationSpecification:
 
 
 def _acc_dtype(values_dtype):
-    """Cumsum accumulation dtype.
-
-    Floats accumulate in f64 (the run-diff subtraction is then exact at
-    input scale).  Integers accumulate in i64 on CPU; on TPU a 64-bit
-    cumsum lowers to an emulated reduce-window that overflows scoped VMEM,
-    so integer sums accumulate in f64 there (exact up to 2^53 — documented
-    divergence from the reference's wrapping int64 for extreme sums).
-    """
-    if jnp.issubdtype(jnp.dtype(values_dtype), jnp.floating):
-        return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    if jax.default_backend() == "cpu" and jax.config.jax_enable_x64:
-        return jnp.int64
+    """Cumsum accumulation dtype for FLOAT/DOUBLE sums: f64, so the
+    run-diff subtraction is exact at input scale.  (Integer sums take the
+    exact limb path below instead.)"""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+_LIMB_BITS = 22
+_LIMB_COUNT = 3  # 3 x 22 = 66 bits cover the 64-bit two's complement
+
+
+def _sum_limbs(vals: jnp.ndarray, weight: jnp.ndarray) -> list[jnp.ndarray]:
+    """Exact wrapping integer SUM, part 1: per-limb f64 cumsums.
+
+    The reference accumulates SUM in the output type with C++ wrap
+    (aggregation_operators.h:58+).  A 64-bit cumsum lowers to an emulated
+    reduce-window that overflows TPU scoped VMEM, and one f64 cumsum is
+    only exact to 2^53; instead each value splits into three 22-bit limbs
+    whose f64 limb-cumsums stay exact up to 2^31 rows.  The wrapped
+    64-bit total is rebuilt per group by ``_sum_limbs_combine`` with
+    emulated integer arithmetic on the small extracted arrays.
+    """
+    unsigned = vals.dtype == jnp.dtype(jnp.uint64)
+    v64 = vals.astype(jnp.uint64 if unsigned else jnp.int64)
+    # Emulated 64-bit shift/mask/downcast chains SIGSEGV this TPU's AOT
+    # compiler inside the aggregate program; the one reliable way to the
+    # 32-bit words is a bitcast to u32 pairs, after which everything is
+    # exact f64 arithmetic (words < 2^32 << 2^53).
+    words = jax.lax.bitcast_convert_type(v64, jnp.uint32)
+    lo_u = words[..., 0].astype(jnp.float64)   # low 32 bits
+    hi_u = words[..., 1].astype(jnp.float64)   # high 32 bits
+    limbs = [
+        lo_u % float(1 << 22),                                # bits 0..21
+        jnp.floor(lo_u / (1 << 22))
+        + (hi_u % (1 << 12)) * float(1 << 10),                # bits 22..43
+        jnp.floor(hi_u / (1 << 12)),                          # bits 44..63
+    ]
+    return [jnp.cumsum(jnp.where(weight, limb, 0.0)) for limb in limbs]
+
+
+def _sum_limbs_combine(limb_diffs: list[jnp.ndarray], odt) -> jnp.ndarray:
+    """Exact wrapping integer SUM, part 2: recombine per-group limb sums
+    (exact f64 integers) mod 2^64, then truncate to the output width —
+    modular arithmetic makes this equal to the reference's sequential
+    wrap in the output type."""
+    unsigned = jnp.dtype(odt) == jnp.dtype(jnp.uint64)
+    idt = jnp.uint64 if unsigned else jnp.int64
+    # optimization_barrier + constant multiply (not <<): fusing the
+    # emulated 64-bit ops into the surrounding extraction SIGSEGVs this
+    # TPU's AOT compiler; isolated, they lower fine
+    limb_diffs = jax.lax.optimization_barrier(tuple(limb_diffs))
+    total = None
+    for j, d in enumerate(limb_diffs):
+        term = d.astype(idt) * idt(1 << (j * _LIMB_BITS))
+        total = term if total is None else total + term
+    return total.astype(odt)
 
 
 def _diff(x: jnp.ndarray) -> jnp.ndarray:
@@ -225,6 +267,14 @@ def _dense_domain(cb, names, key_attrs, specs, schema_in, options):
         in_t = schema_in.lookup(s.input).type
         if in_t not in i32_ok:
             return None  # 64-bit values: kernel is f32/i32 only
+        if s.aggregation == Aggregation.SUM:
+            out_t = _resolve_output_attr(s, schema_in).type
+            if jnp.dtype(jnp_dtype(out_t)).itemsize == 8:
+                # SUM aggregates in the output type (reference
+                # aggregation_operators.h): a 64-bit output needs the
+                # exact limb path of the sort-based aggregate, not the
+                # kernel's i32/f32 accumulators
+                return None
     return dims, K, guarded
 
 
@@ -593,17 +643,33 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                 wcs = jnp.cumsum(weight.astype(jnp.int32))
                 end_cols[f"w_{oname}"] = Column(wcs, None)
                 if agg == Aggregation.SUM:
-                    acc = _acc_dtype(vals.dtype)
-                    cs = jnp.cumsum(jnp.where(
-                        weight, vals, jnp.zeros_like(vals)).astype(acc))
-                    end_cols[f"s_{oname}"] = Column(cs, None)
+                    if (jnp.issubdtype(vals.dtype, jnp.integer)
+                            and jnp.issubdtype(jnp.dtype(odt), jnp.integer)):
+                        # exact wrapping integer SUM via limb cumsums
+                        for j, cs in enumerate(_sum_limbs(vals, weight)):
+                            end_cols[f"s{j}_{oname}"] = Column(cs, None)
 
-                    def fin_sum(e, st, o=oname, odt=odt):
-                        nv = _diff(e[f"w_{o}"].values)
-                        sv = _diff(e[f"s_{o}"].values).astype(odt)
-                        return Column(sv, nv > 0)
+                        def fin_sum_int(e, st, o=oname, odt=odt):
+                            nv = _diff(e[f"w_{o}"].values)
+                            sv = _sum_limbs_combine(
+                                [_diff(e[f"s{j}_{o}"].values)
+                                 for j in range(_LIMB_COUNT)], odt)
+                            return Column(sv, nv > 0)
 
-                    finalize.append((oname, a, fin_sum))
+                        finalize.append((oname, a, fin_sum_int))
+                    else:
+                        acc = _acc_dtype(vals.dtype)
+                        cs = jnp.cumsum(jnp.where(
+                            weight, vals,
+                            jnp.zeros_like(vals)).astype(acc))
+                        end_cols[f"s_{oname}"] = Column(cs, None)
+
+                        def fin_sum(e, st, o=oname, odt=odt):
+                            nv = _diff(e[f"w_{o}"].values)
+                            sv = _diff(e[f"s_{o}"].values).astype(odt)
+                            return Column(sv, nv > 0)
+
+                        finalize.append((oname, a, fin_sum))
                 else:
                     finalize.append((oname, a, lambda e, st, o=oname,
                                      odt=odt: Column(

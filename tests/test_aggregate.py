@@ -315,3 +315,73 @@ def test_best_effort_and_hybrid_api_parity():
                                       ScanTable(t))).to_pylist()
     assert base == be == hy
     assert base == [(1, 40, 2), (2, 70, 2), (3, None, 0)]
+
+
+def test_int64_sum_exact_beyond_2_53():
+    # exact wrapping integer SUM (reference: SUM accumulates in the output
+    # type, aggregation_operators.h); the old f64 accumulation lost
+    # low bits past 2^53 — the limb path must not
+    big = (1 << 60) + 7
+    t = Table.from_data(
+        TupleSchema.of(("k", INT64), ("v", INT64)),
+        {"k": [1, 1, 1, 2], "v": [big, big, 13, -5]})
+    out = execute(GroupAggregate(["k"], [AggSpec(SUM, "v", "s")],
+                                 ScanTable(t)))
+    assert out.to_pylist() == [(1, ((2 * big + 13) + 2**63) % 2**64 - 2**63),
+                               (2, -5)]
+
+
+def test_int64_sum_wraps_like_cpp():
+    # int64 overflow wraps mod 2^64 (two's complement), as C++ does
+    m = (1 << 62) + 12345
+    t = Table.from_data(
+        TupleSchema.of(("k", INT64), ("v", INT64)),
+        {"k": [1, 1, 1, 1], "v": [m, m, m, m]})
+    out = execute(GroupAggregate(["k"], [AggSpec(SUM, "v", "s")],
+                                 ScanTable(t)))
+    w = (4 * m) % (1 << 64)
+    if w >= 1 << 63:
+        w -= 1 << 64
+    assert out.to_pylist() == [(1, w)]
+
+
+def test_uint64_sum_wraps():
+    from supersonic_tpu import DataType
+    u = (1 << 63) + 99
+    t = Table.from_data(
+        TupleSchema.of(("k", INT64), ("v", DataType.UINT64)),
+        {"k": [1, 1], "v": [u, u]})
+    out = execute(GroupAggregate(["k"], [AggSpec(SUM, "v", "s")],
+                                 ScanTable(t)))
+    assert out.to_pylist() == [(1, (2 * u) % (1 << 64))]
+
+
+def test_int32_sum_wraps_mod_2_32():
+    from supersonic_tpu import DataType
+    v = 2**31 - 1
+    t = Table.from_data(
+        TupleSchema.of(("k", INT64), ("v", DataType.INT32)),
+        {"k": [1, 1, 1], "v": [v, v, 2]})
+    out = execute(GroupAggregate(["k"], [AggSpec(SUM, "v", "s")],
+                                 ScanTable(t)))
+    w = (2 * v + 2) % (1 << 32)
+    if w >= 1 << 31:
+        w -= 1 << 32
+    assert out.to_pylist() == [(1, w)]
+
+
+def test_int32_sum_with_int64_output_no_wrap():
+    # explicit 64-bit output accumulates wide (and must kick the dense
+    # Pallas path out in favor of the exact limb path)
+    from supersonic_tpu import DataType
+    import numpy as np
+    n = 5000
+    t = Table.from_data(
+        TupleSchema.of(("k", DataType.INT32, False),
+                       ("v", DataType.INT32, False)),
+        {"k": np.zeros(n, np.int32),
+         "v": np.full(n, 2**30, np.int32)})
+    out = execute(GroupAggregate(
+        ["k"], [AggSpec(SUM, "v", "s", output_type=DataType.INT64)],
+        ScanTable(t)))
+    assert out.to_pylist() == [(0, n * 2**30)]
