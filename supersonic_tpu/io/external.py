@@ -32,6 +32,33 @@ from . import file_io
 MERGE_CHUNK_ROWS = file_io.MAX_CHUNK_ROWS
 
 
+def _host_code_lanes(vals: np.ndarray, valid: Optional[np.ndarray],
+                     type_: DataType, asc: bool) -> list[np.ndarray]:
+    """Monotone uint64 code lanes for one sort key on host numpy —
+    ascending u64 lexicographic order over the lanes == the device sort's
+    comparator (ops/keys.py): NULL == NULL, NULL first ascending / last
+    descending, -0.0 == +0.0, NaN last in ascending total order."""
+    one63 = np.uint64(1 << 63)
+    if type_ in (DataType.FLOAT, DataType.DOUBLE):
+        f = vals.astype(np.float64, copy=True)
+        f[f == 0] = 0.0  # -0.0 -> +0.0
+        bits = f.view(np.uint64)
+        code = np.where(bits >> np.uint64(63) == 1, ~bits, bits | one63)
+    elif type_ == DataType.UINT64:
+        code = vals.astype(np.uint64)
+    else:  # signed ints, uint32/bool widen, date/datetime, dict/enum codes
+        code = vals.astype(np.int64).view(np.uint64) ^ one63
+    lanes: list[np.ndarray] = []
+    if valid is not None:
+        code = np.where(valid, code, np.uint64(0))
+        rank = (valid if asc else ~valid).astype(np.uint64)
+        lanes.append(rank)
+    if not asc:
+        code = ~code
+    lanes.append(code)
+    return lanes
+
+
 class _Rev:
     """Order-reversing comparison wrapper for DESC keys."""
 
@@ -156,9 +183,13 @@ class ExternalSorter:
                               for i, n in enumerate(names)})
 
     def result(self, capacity: Optional[int] = None) -> Table:
-        """Fully-merged single Table (must fit in memory)."""
-        from ..batch import concat_tables
-
+        """Fully-merged single Table (must fit in memory).  Uses the
+        native C++ k-way heap merge over monotone row codes when the
+        library is built (reference: the final Merge of sort.cc:366-392
+        is likewise native); falls back to the streaming python merge."""
+        t = self._native_result(capacity)
+        if t is not None:
+            return t
         chunks = list(self.result_chunks())
         if not chunks:
             return Table.empty(self.schema)
@@ -172,6 +203,91 @@ class ExternalSorter:
             for n in names:
                 merged[n].extend(list(cols[n]))
         return Table.from_data(self.schema, merged, capacity=capacity)
+
+    def _native_result(self, capacity: Optional[int]) -> Optional[Table]:
+        from .. import dictionary as dict_mod
+        from .. import native
+
+        if not native.available() or not self._runs:
+            return None
+        last = self._buffer_table()
+        self._buffer, self._buffered = [], 0
+        runs = [file_io.load(p) for p in self._runs]
+        if last is not None:
+            runs.append(sort_table(last, self.order))
+        counts = [int(t.num_rows) for t in runs]
+        starts = np.zeros(len(runs) + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        total = int(starts[-1])
+        if total == 0:
+            return Table.empty(self.schema)
+        # unify dictionary space per STRING/BINARY column across runs
+        # (each run file carries its own dictionary)
+        remapped: dict[str, list[np.ndarray]] = {}
+        merged_dicts: dict[str, dict_mod.Dictionary] = {}
+        for attr in self.schema:
+            if attr.type not in (DataType.STRING, DataType.BINARY):
+                continue
+            per_run = [np.asarray(t.columns[attr.name].values)[:c]
+                       for t, c in zip(runs, counts)]
+            merged = runs[0].dicts[attr.name]
+            remaps: list[Optional[np.ndarray]] = [None]  # None == identity
+            for t in runs[1:]:
+                merged, r_old, r_new = dict_mod.merge(merged,
+                                                      t.dicts[attr.name])
+                r_old = np.asarray(r_old)
+                remaps = [r_old if r is None else r_old[r] for r in remaps]
+                remaps.append(np.asarray(r_new))
+            codes = []
+            for arr, r in zip(per_run, remaps):
+                codes.append(arr if r is None else
+                             r[np.clip(arr, 0, len(r) - 1)])
+            remapped[attr.name] = codes
+            merged_dicts[attr.name] = merged
+        # monotone u64 code lanes per sort key (NULL rank + value code;
+        # same semantics as ops/keys.py: NULL first asc / last desc)
+        lanes: list[np.ndarray] = []
+        for k in self.order.keys:
+            attr = self.schema.lookup(k.name)
+            if attr.name in remapped:
+                vals = np.concatenate(remapped[attr.name])
+            else:
+                vals = np.concatenate(
+                    [np.asarray(t.columns[attr.name].values)[:c]
+                     for t, c in zip(runs, counts)])
+            valid = None
+            if attr.nullable:
+                valid = np.concatenate(
+                    [np.ones(c, bool)
+                     if t.columns[attr.name].valid is None
+                     else np.asarray(t.columns[attr.name].valid)[:c]
+                     for t, c in zip(runs, counts)])
+            lanes.extend(_host_code_lanes(vals, valid, attr.type,
+                                          k.ascending))
+        order = native.kway_merge(np.column_stack(lanes), starts)
+        if order is None:
+            return None
+        values: dict[str, np.ndarray] = {}
+        valids: dict[str, Optional[np.ndarray]] = {}
+        for attr in self.schema:
+            if attr.name in remapped:
+                vals = np.concatenate(remapped[attr.name])
+            else:
+                vals = np.concatenate(
+                    [np.asarray(t.columns[attr.name].values)[:c]
+                     for t, c in zip(runs, counts)])
+            values[attr.name] = vals[order]
+            if attr.nullable:
+                valid = np.concatenate(
+                    [np.ones(c, bool)
+                     if t.columns[attr.name].valid is None
+                     else np.asarray(t.columns[attr.name].valid)[:c]
+                     for t, c in zip(runs, counts)])
+                valids[attr.name] = valid[order]
+            else:
+                valids[attr.name] = None
+        return Table.from_arrays(self.schema, values, valids, total,
+                                 dicts=merged_dicts, capacity=capacity)
 
     def close(self) -> None:
         for p in self._runs:

@@ -106,3 +106,32 @@ def gather_blob_bytes(dict_blob: bytes, dict_offsets: np.ndarray,
         codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         valid_ptr, n, out)
     return out.raw[:total]
+
+
+def kway_merge(codes: np.ndarray, starts: np.ndarray):
+    """Merge k sorted runs by row codes: ``codes`` is [n_total, m] uint64
+    (ascending lexicographic == output order), ``starts`` is int64[k+1]
+    run offsets.  Returns int64[n_total] global row ids in merged order,
+    or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_kway_ready"):
+        lib.kway_merge_u64.restype = None
+        lib.kway_merge_u64.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64)]
+        lib._kway_ready = True
+    codes = np.ascontiguousarray(codes, dtype=np.uint64)
+    if codes.ndim == 1:
+        codes = codes[:, None]
+    n, m = codes.shape
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    lib.kway_merge_u64(
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), m,
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(starts) - 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out

@@ -132,4 +132,74 @@ void gather_blob(const char* dict_bytes, const int64_t* dict_offsets,
   }
 }
 
+// K-way merge of sorted runs by precomputed monotone row codes
+// (reference: the external sort's final Merge, sort.cc:366-392, a k-way
+// heap over row iterators via BoundMergeUnionAll).
+//
+// codes: n_total x m row-major uint64 lanes; ascending lexicographic
+// order over a row's lanes == the desired output order (the caller folds
+// DESC direction and NULL ranks into the lanes).  starts: k+1 offsets
+// delimiting the k sorted runs inside the n_total rows.  out: n_total
+// global row ids in merged order.  Stable across runs (ties emit the
+// lower run first), matching the device merge's determinism contract
+// (merge_union_all.cc:30-39).
+void kway_merge_u64(const uint64_t* codes, int64_t m, const int64_t* starts,
+                    int64_t k, int64_t* out) {
+  struct Head {
+    const uint64_t* key;  // current row's code lanes
+    int64_t row;          // global row id
+    int64_t end;          // run end (exclusive)
+    int32_t run;          // run ordinal (tiebreak -> stable)
+  };
+  auto less = [m](const Head& a, const Head& b) {
+    for (int64_t j = 0; j < m; ++j) {
+      if (a.key[j] != b.key[j]) return a.key[j] < b.key[j];
+    }
+    return a.run < b.run;
+  };
+  // binary min-heap (manual: std::priority_queue is a max-heap and
+  // copies comparators around; this keeps it tight)
+  std::vector<Head> heap;
+  heap.reserve(static_cast<size_t>(k));
+  auto sift_up = [&](size_t i) {
+    while (i > 0) {
+      size_t p = (i - 1) / 2;
+      if (!less(heap[i], heap[p])) break;
+      std::swap(heap[i], heap[p]);
+      i = p;
+    }
+  };
+  auto sift_down = [&](size_t i) {
+    size_t n = heap.size();
+    for (;;) {
+      size_t l = 2 * i + 1, r = l + 1, best = i;
+      if (l < n && less(heap[l], heap[best])) best = l;
+      if (r < n && less(heap[r], heap[best])) best = r;
+      if (best == i) break;
+      std::swap(heap[i], heap[best]);
+      i = best;
+    }
+  };
+  for (int64_t run = 0; run < k; ++run) {
+    if (starts[run] < starts[run + 1]) {
+      heap.push_back(Head{codes + starts[run] * m, starts[run],
+                          starts[run + 1], static_cast<int32_t>(run)});
+      sift_up(heap.size() - 1);
+    }
+  }
+  int64_t pos = 0;
+  while (!heap.empty()) {
+    Head& h = heap[0];
+    out[pos++] = h.row;
+    if (++h.row < h.end) {
+      h.key += m;
+      sift_down(0);
+    } else {
+      heap[0] = heap.back();
+      heap.pop_back();
+      if (!heap.empty()) sift_down(0);
+    }
+  }
+}
+
 }  // extern "C"

@@ -85,3 +85,54 @@ def test_external_sort_null_ordering():
     got = external_sort([t], ORDER, memory_limit_rows=2)
     ks = [r[0] for r in got.to_pylist()]
     assert ks == [None, None, 1, 2, 3]  # NULL first ascending
+
+
+def test_native_merge_matches_streaming_merge():
+    # result() takes the native C++ k-way code merge; result_chunks() is
+    # the streaming python heap — both must produce identical rows
+    from supersonic_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    tables = make_tables(400, 5, seed=11)
+    s1 = ExternalSorter(SCHEMA, ORDER, memory_limit_rows=300)
+    s2 = ExternalSorter(SCHEMA, ORDER, memory_limit_rows=300)
+    for t in tables:
+        s1.write(t)
+        s2.write(t)
+    native_rows = s1.result().to_pylist()
+    stream_rows = [r for c in s2.result_chunks() for r in c.to_pylist()]
+    s1.close(); s2.close()
+    assert native_rows == stream_rows
+    assert native_rows == reference_sorted_rows(tables)
+
+
+def test_native_merge_float_desc_and_uint64():
+    from supersonic_tpu import native
+    if not native.available():
+        pytest.skip("native library unavailable")
+    schema = TupleSchema.of(("f", DataType.DOUBLE, True),
+                            ("u", DataType.UINT64, False))
+    rng = np.random.default_rng(5)
+    tabs = []
+    for _ in range(3):
+        f = [None if rng.random() < 0.1 else float(x) - 0.5
+             for x in rng.random(200)]
+        # include -0.0 and huge uint64s
+        f[0] = -0.0
+        u = [int(x) + (1 << 63) if i % 3 == 0 else int(x)
+             for i, x in enumerate(rng.integers(0, 1000, 200))]
+        tabs.append(Table.from_data(schema, {"f": f, "u": u}))
+    order = [SortKey("f", ascending=False), SortKey("u", ascending=True)]
+    s = ExternalSorter(schema, order, memory_limit_rows=150)
+    for t in tabs:
+        s.write(t)
+    got = s.result().to_pylist()
+    s.close()
+    big = {"f": [], "u": []}
+    for t in tabs:
+        cols = t.to_numpy()
+        for n in big:
+            big[n].extend(list(cols[n]))
+    whole = Table.from_data(schema, big)
+    want = execute(Sort(order, ScanTable(whole))).to_pylist()
+    assert got == want
