@@ -126,7 +126,7 @@ def _call_kernel(v2, g2, n_pad, k_pad, mode, init, dtype, num_segments):
 # view in one sweep, aggregator.h:40-90).
 # ---------------------------------------------------------------------------
 
-def _multi_kernel(g_ref, *refs, k_pad: int, modes, inits):
+def _multi_kernel(g_ref, *refs, k_pad: int, modes, inits, dots):
     nreq = len(modes)
     v_refs = refs[:nreq]
     o_refs = refs[nreq:]
@@ -139,39 +139,73 @@ def _multi_kernel(g_ref, *refs, k_pad: int, modes, inits):
 
     g = g_ref[:]
     vs = [v_refs[j][:] for j in range(nreq)]
-    for kr in range(k_pad // LANES):
-        k_lane = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-                  + kr * LANES)
-        match = g[:, :, None] == k_lane[None, :, :]   # [S, L, LANES]
-        for j in range(nreq):
-            v = vs[j]
-            neutral = jnp.full_like(v, inits[j])
-            sel = jnp.where(match, v[:, :, None], neutral[:, :, None])
-            if modes[j] == "sum":
-                contrib = jnp.sum(sel, axis=(0, 1), dtype=sel.dtype)
-                o_refs[j][kr, :] = o_refs[j][kr, :] + contrib
-            elif modes[j] == "min":
-                contrib = jnp.min(sel, axis=(0, 1))
-                o_refs[j][kr, :] = jnp.minimum(o_refs[j][kr, :], contrib)
-            else:
-                contrib = jnp.max(sel, axis=(0, 1))
-                o_refs[j][kr, :] = jnp.maximum(o_refs[j][kr, :], contrib)
+    dot_reqs = [j for j in range(nreq) if dots[j]]
+    if dot_reqs:
+        # f32 sums ride the MXU: per sublane, one-hot [L, K] built once
+        # and shared across requests; each request adds one [1,L]@[L,K]
+        # dot.  ~1.5x the lane-match path, and extra sum requests are
+        # nearly free (the one-hot build dominates).
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, k_pad), 1)
+        accs = {j: jnp.zeros((1, k_pad), jnp.float32) for j in dot_reqs}
+        for s in range(SUBLANES):
+            oh = (g[s, :][:, None] == k_iota).astype(jnp.float32)
+            for j in dot_reqs:
+                accs[j] = accs[j] + jax.lax.dot_general(
+                    vs[j][s:s + 1, :], oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        for j in dot_reqs:
+            o_refs[j][:] = o_refs[j][:] + accs[j]
+    match_reqs = [j for j in range(nreq) if not dots[j]]
+    if match_reqs:
+        for kr in range(k_pad // LANES):
+            k_lane = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                      + kr * LANES)
+            match = g[:, :, None] == k_lane[None, :, :]   # [S, L, LANES]
+            for j in match_reqs:
+                v = vs[j]
+                neutral = jnp.full_like(v, inits[j])
+                sel = jnp.where(match, v[:, :, None], neutral[:, :, None])
+                if modes[j] == "sum":
+                    contrib = jnp.sum(sel, axis=(0, 1), dtype=sel.dtype)
+                    o_refs[j][kr, :] = o_refs[j][kr, :] + contrib
+                elif modes[j] == "min":
+                    contrib = jnp.min(sel, axis=(0, 1))
+                    o_refs[j][kr, :] = jnp.minimum(o_refs[j][kr, :], contrib)
+                else:
+                    contrib = jnp.max(sel, axis=(0, 1))
+                    o_refs[j][kr, :] = jnp.maximum(o_refs[j][kr, :], contrib)
 
 
 def segment_reduce_multi(requests, segment_ids, num_segments: int):
     """Fused segmented reductions: ``requests`` is a list of
-    ``(values, mode)`` with mode in {sum,min,max}; returns one [K] array
-    per request, all computed in a single Pallas pass.  Out-of-range
-    segment ids are dropped.  All value dtypes must satisfy
-    ``supported_dtype``."""
+    ``(values, mode)`` with mode in {sum,min,max,count}; returns one [K]
+    array per request, all computed in a single Pallas pass.
+    Out-of-range segment ids are dropped.  All value dtypes must satisfy
+    ``supported_dtype``.
+
+    mode "count" declares the values 0/1 indicators (int32) — together
+    with f32 sums it takes the MXU one-hot-dot path (exact: counts stay
+    below 2^24); i32 value sums and min/max stay on the exact lane-match
+    path."""
     n = segment_ids.shape[0]
     k_pad = _round_up(max(num_segments, 1), LANES)
     n_pad = _round_up(max(n, 1), TILE)
     pad_rows = n_pad - n
-    modes, inits, v2s, dtypes = [], [], [], []
+    count_exact = n_pad < (1 << 24)  # f32 holds exact integers to 2^24
+    modes, inits, v2s, dots, out_dtypes = [], [], [], [], []
     for values, mode in requests:
-        assert mode in ("sum", "min", "max")
+        assert mode in ("sum", "min", "max", "count")
         dtype = values.dtype
+        out_dtypes.append(dtype)
+        if mode == "count":
+            mode = "sum"
+            dot = count_exact
+            if dot:
+                values = values.astype(jnp.float32)
+                dtype = jnp.dtype(jnp.float32)
+        else:
+            dot = (mode == "sum"
+                   and dtype == jnp.dtype(jnp.float32))
         floating = jnp.issubdtype(dtype, jnp.floating)
         if mode == "sum":
             init = 0.0 if floating else 0
@@ -183,7 +217,7 @@ def segment_reduce_multi(requests, segment_ids, num_segments: int):
             if pad_rows else values
         modes.append(mode)
         inits.append(init)
-        dtypes.append(dtype)
+        dots.append(dot)
         v2s.append(v.reshape(n_pad // LANES, LANES))
     gid = jnp.where((segment_ids >= 0) & (segment_ids < num_segments),
                     segment_ids.astype(jnp.int32), k_pad)
@@ -195,14 +229,23 @@ def segment_reduce_multi(requests, segment_ids, num_segments: int):
                                  memory_space=pltpu.VMEM)
         acc_spec = pl.BlockSpec((k_pad // LANES, LANES), lambda i: (0, 0),
                                 memory_space=pltpu.VMEM)
+        dot_spec = pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
             functools.partial(_multi_kernel, k_pad=k_pad,
-                              modes=tuple(modes), inits=tuple(inits)),
+                              modes=tuple(modes), inits=tuple(inits),
+                              dots=tuple(dots)),
             grid=(n_pad // TILE,),
             in_specs=[tile_spec] * (1 + len(requests)),
-            out_specs=[acc_spec] * len(requests),
-            out_shape=[jax.ShapeDtypeStruct((k_pad // LANES, LANES), dt)
-                       for dt in dtypes],
+            out_specs=[dot_spec if d else acc_spec for d in dots],
+            out_shape=[jax.ShapeDtypeStruct(
+                (1, k_pad) if d else (k_pad // LANES, LANES),
+                v.dtype) for d, v in zip(dots, v2s)],
             interpret=jax.default_backend() == "cpu",
         )(g2, *v2s)
-    return [o.reshape(k_pad)[:num_segments] for o in outs]
+    res = []
+    for o, odt in zip(outs, out_dtypes):
+        flat = o.reshape(k_pad)[:num_segments]
+        res.append(flat if flat.dtype == odt
+                   else jnp.round(flat).astype(odt))
+    return res

@@ -326,12 +326,12 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
         if c.valid is None:
             # non-nullable input: its valid-count IS the live row count
             return live, _ask(("count_all",), live.astype(jnp.int32),
-                              "sum")
+                              "count")
         valid = live & c.valid
         return valid, _ask(("valid", s.input),
-                           valid.astype(jnp.int32), "sum")
+                           valid.astype(jnp.int32), "count")
 
-    _ask(("count_all",), live.astype(jnp.int32), "sum")
+    _ask(("count_all",), live.astype(jnp.int32), "count")
     _ask(("first_pos",), jnp.where(live, pos, jnp.int32(2**31 - 1)),
          "min")
     for s in specs:
