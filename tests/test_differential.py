@@ -168,3 +168,34 @@ def test_dense_multikey_group_differential(seed):
             assert g[3] is None
         else:
             assert g[3] == pytest.approx(e[3])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_int64_sum_differential_extreme_magnitudes(seed):
+    # the exact limb SUM path vs python bignum arithmetic with C++ wrap
+    rng = np.random.default_rng(seed + 400)
+    n = 200
+    ks = rng.integers(0, 5, n).tolist()
+    vs = [None if rng.random() < 0.1 else
+          int(rng.integers(-(2**62), 2**62))
+          for _ in range(n)]
+    schema = TupleSchema.of(("k", INT64, False), ("v", INT64))
+    t = Table.from_data(schema, {"k": ks, "v": vs})
+    got = execute(GroupAggregate(
+        ["k"], [AggSpec(Aggregation.SUM, "v", "sv")],
+        ScanTable(t))).to_pylist()
+
+    def wrap(x):
+        x %= 1 << 64
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    exp = {}
+    order = []
+    for k, v in zip(ks, vs):
+        if k not in exp:
+            exp[k] = None
+            order.append(k)
+        if v is not None:
+            exp[k] = v if exp[k] is None else exp[k] + v
+    want = [(k, None if exp[k] is None else wrap(exp[k])) for k in order]
+    assert got == want
