@@ -52,36 +52,20 @@ def _fit(vals: jnp.ndarray, out_cap: int) -> jnp.ndarray:
     return vals
 
 
-def compact_by_mask(table: Table, mask: jnp.ndarray,
-                    out_capacity: int | None = None) -> Table:
-    """Move rows where mask is True into a dense prefix.
+def compact_arrays(payload: list[jnp.ndarray], mask: jnp.ndarray,
+                   out_cap: int) -> list[jnp.ndarray]:
+    """Stable-compact rows where ``mask`` is True to a dense prefix of
+    each payload array (raw-array engine behind ``compact_by_mask``).
 
     Payload *sorts*, not gathers: XLA's TPU sort moves all payloads in
-    lockstep and beats a selection-vector + per-column gather by ~2x
-    (gathers are the slowest primitive on TPU).  Large inputs use a
-    two-phase tiled variant — compact each tile independently with a
-    *batched* per-tile sort (bitonic depth (log T)^2 instead of
-    (log n)^2: ~2x cheaper at 8M rows), then stitch tiles with
-    overlapping dynamic-update-slice writes at each tile's running
-    offset, executed in order by a sequential fori_loop.
+    lockstep and beats a selection-vector + per-column gather by ~2x.
+    Large inputs use a two-phase tiled variant — compact each tile
+    independently with a *batched* per-tile sort (bitonic depth
+    (log T)^2 instead of (log n)^2: ~2x cheaper at 8M rows), then
+    stitch tiles with overlapping dynamic-update-slice writes at each
+    tile's running offset, executed in order by a sequential fori_loop.
     """
-    out_cap = out_capacity or table.capacity
-    cap = table.capacity
-    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), out_cap)
-    if len(table.schema) == 0:
-        return Table(table.schema, {}, count, dict(table.dicts),
-                     cap_hint=out_cap)
-    payload: list[jnp.ndarray] = []
-    layout: list[tuple[str, bool]] = []  # (name, has_valid)
-    for name in table.schema.names():
-        c = table.columns[name]
-        payload.append(c.values)
-        if c.valid is not None:
-            payload.append(c.valid)
-            layout.append((name, True))
-        else:
-            layout.append((name, False))
-
+    cap = mask.shape[0]
     if cap >= _TILED_MIN:
         T = _TILE
         n_pad = -(-cap // T) * T
@@ -117,15 +101,38 @@ def compact_by_mask(table: Table, mask: jnp.ndarray,
         key = jnp.where(mask, 0, 1).astype(jnp.int32)
         sorted_cols = list(jax.lax.sort([key] + payload, num_keys=1,
                                         is_stable=True))[1:]
+    return [_fit(c, out_cap) for c in sorted_cols]
 
+
+def compact_by_mask(table: Table, mask: jnp.ndarray,
+                    out_capacity: int | None = None) -> Table:
+    """Move rows where mask is True into a dense prefix (see
+    ``compact_arrays`` for the sort-based engine)."""
+    out_cap = out_capacity or table.capacity
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), out_cap)
+    if len(table.schema) == 0:
+        return Table(table.schema, {}, count, dict(table.dicts),
+                     cap_hint=out_cap)
+    payload: list[jnp.ndarray] = []
+    layout: list[tuple[str, bool]] = []  # (name, has_valid)
+    for name in table.schema.names():
+        c = table.columns[name]
+        payload.append(c.values)
+        if c.valid is not None:
+            payload.append(c.valid)
+            layout.append((name, True))
+        else:
+            layout.append((name, False))
+
+    sorted_cols = compact_arrays(payload, mask, out_cap)
     cols: dict[str, Column] = {}
     i = 0
     for name, has_valid in layout:
-        vals = _fit(sorted_cols[i], out_cap)
+        vals = sorted_cols[i]
         i += 1
         valid = None
         if has_valid:
-            valid = _fit(sorted_cols[i], out_cap)
+            valid = sorted_cols[i]
             i += 1
         cols[name] = Column(vals, valid)
     return Table(table.schema, cols, count, dict(table.dicts),

@@ -105,18 +105,30 @@ _DENSE_RANGE_MAX = 1 << 24  # 64MB int32 LUT ceiling
 
 def _fat_lut_probe(rt: Table, srcs, scat, pslot, pin, rng: int,
                    nullable_out: bool):
-    """Dense UNIQUE join via a *fat* LUT: scatter a match flag plus every
-    projected rhs column (and its validity) into per-dtype-group lookup
-    tables indexed by key slot, then probe each group with ONE gather.
-    The separate rhs row gather of the rowid-LUT design disappears — TPU
-    gathers are index-count-bound, so extra lanes ride along ~free.
+    """Dense UNIQUE join via a *fat* LUT: a match flag plus every
+    projected rhs column (and its validity) land in per-dtype-group
+    lookup tables indexed by key slot, then each group probes with ONE
+    gather.  The separate rhs row gather of the rowid-LUT design
+    disappears — TPU gathers are index-count-bound, so extra lanes ride
+    along ~free.
+
+    LUT construction is sort-based, NOT a scatter (scatters cost
+    ~45ms/M rows on this TPU while sorts and gathers run at ~3-7ms):
+    build rows (slot*2) and one domain marker per slot (slot*2+1) sort
+    together on that single folded key; a marker's immediate
+    predecessor is its slot's build row iff one exists, so a roll+
+    compare carries the lanes onto the markers, and one tiled
+    compaction of the marker rows yields the dense [rng] tables in
+    slot order.
 
     Returns ({src: Column at probe capacity}, matched).  Fetched values
     are arbitrary where ``matched`` is False; with ``nullable_out``
     (LEFT_OUTER) validity is already masked to matched.
     """
-    u32_tags: list = [("flag", None)]
-    u32_arrs = [jnp.ones(scat.shape[0], jnp.uint32)]
+    from .filter import compact_arrays
+    rcap = scat.shape[0]
+    u32_tags: list = []
+    u32_arrs: list = []
     other: dict = {}
     for src in dict.fromkeys(srcs):
         col = rt.columns[src]
@@ -134,19 +146,45 @@ def _fat_lut_probe(rt: Table, srcs, scat, pslot, pin, rng: int,
         if col.valid is not None:
             u32_tags.append(("valid", src))
             u32_arrs.append(col.valid.astype(jnp.uint32))
+    all_tags = list(u32_tags)
+    all_arrs = list(u32_arrs)
+    group_slices = [("u32", 0, len(u32_arrs))]
+    for dt, (tags, arrs) in other.items():
+        group_slices.append((dt, len(all_arrs), len(all_arrs) + len(arrs)))
+        all_tags.extend(tags)
+        all_arrs.extend(arrs)
+    # folded stream key: build row for slot p -> 2p, marker -> 2p+1,
+    # dead/out-of-range build rows -> 2*rng (sort after every marker)
+    slot2 = jnp.concatenate([
+        scat.astype(jnp.int32) * 2,
+        jnp.arange(rng, dtype=jnp.int32) * 2 + 1])
+    stream = [jnp.concatenate([a, jnp.zeros(rng, a.dtype)])
+              for a in all_arrs]
+    res = jax.lax.sort([slot2] + stream, num_keys=1, is_stable=True)
+    s_slot2, s_lanes = res[0], list(res[1:])
+    pos = jnp.arange(rcap + rng)
+    prev_slot2 = jnp.roll(s_slot2, 1)
+    # marker's predecessor is its build row iff prev == slot2 - 1
+    has_build = (prev_slot2 == s_slot2 - 1) & (pos > 0)
+    is_marker = (s_slot2 % 2) == 1
+    carried = [jnp.where(has_build, jnp.roll(lane, 1),
+                         jnp.zeros_like(lane)) for lane in s_lanes]
+    carried.append(has_build)  # match flag rides the compaction
+    luts = compact_arrays(carried, is_marker, rng)
+    matched_lut = luts[-1]
     fetched = {}
-    lut = jnp.zeros((rng, len(u32_arrs)), jnp.uint32).at[scat].set(
-        jnp.stack(u32_arrs, axis=1), mode="drop")
-    g = jnp.take(lut, pslot, axis=0)
-    for j, tag in enumerate(u32_tags):
-        fetched[tag] = g[:, j]
-    for tags_arrs in other.values():
-        tags, arrs = tags_arrs
-        lut2 = jnp.zeros((rng, len(arrs)), arrs[0].dtype).at[scat].set(
-            jnp.stack(arrs, axis=1), mode="drop")
-        g2 = jnp.take(lut2, pslot, axis=0)
-        for j, tag in enumerate(tags):
-            fetched[tag] = g2[:, j]
+    for gname, lo, hi in group_slices:
+        lanes = luts[lo:hi]
+        if gname == "u32":
+            lanes = lanes + [matched_lut.astype(jnp.uint32)]
+        if not lanes:
+            continue
+        packed = jnp.stack(lanes, axis=1)
+        g = jnp.take(packed, pslot, axis=0)
+        for j, tag in enumerate(all_tags[lo:hi]):
+            fetched[tag] = g[:, j]
+        if gname == "u32":
+            fetched[("flag", None)] = g[:, len(lanes) - 1]
     matched = pin & (fetched[("flag", None)] > 0)
     out = {}
     for src in dict.fromkeys(srcs):
