@@ -288,7 +288,21 @@ def gather_arrays(arrays: Sequence[jnp.ndarray],
         else:
             groups.setdefault(str(a.dtype), []).append(i)
     out: list = [None] * len(arrays)
+    # small-source fast path: XLA gathers are element-serial (~6ns/index)
+    # regardless of source size; sources that fit a few VMEM tiles route
+    # through the Pallas lane-gather kernel instead (~8x at 8M indices)
+    from .kernels import lut_gather as _lg
+    use_kernel = (jax.default_backend() != "cpu"
+                  and arrays and arrays[0].shape[0] <= _lg.MAX_ENTRIES
+                  and safe_indices.shape[0] >= 4 * _lg.TILE)
     for key, idxs in groups.items():
+        if key == "u32" and use_kernel:
+            luts = [jax.lax.bitcast_convert_type(arrays[i], jnp.uint32)
+                    for i in idxs]
+            gs = _lg.lut_gather(luts, safe_indices, arrays[idxs[0]].shape[0])
+            for g, i in zip(gs, idxs):
+                out[i] = jax.lax.bitcast_convert_type(g, arrays[i].dtype)
+            continue
         if len(idxs) == 1:
             i = idxs[0]
             out[i] = jnp.take(arrays[i], safe_indices, axis=0)

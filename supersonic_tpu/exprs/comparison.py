@@ -16,6 +16,7 @@ from ..schema import Attribute
 from ..types import DataType, common_numeric_type, is_numeric, jnp_dtype
 from .base import (BoundExpression, EvalContext, Expression, ExprValue,
                    expr_name, merge_valid, wrap)
+from ..kernels.lut_gather import take_small
 
 
 def _comparable_pair(lb: BoundExpression, rb: BoundExpression):
@@ -40,8 +41,8 @@ def _comparable_pair(lb: BoundExpression, rb: BoundExpression):
 
         def get(ctx):
             lv, rv = lb.evaluate(ctx), rb.evaluate(ctx)
-            a = jnp.take(ra_j, jnp.clip(lv.values, 0, ra_j.shape[0] - 1))
-            b = jnp.take(rb_j, jnp.clip(rv.values, 0, rb_j.shape[0] - 1))
+            a = take_small(ra_j, lv.values)
+            b = take_small(rb_j, rv.values)
             return a, b, merge_valid(lv.valid, rv.valid)
         return get
     # ENUM compares as its int32 code space (against ENUM or integers)

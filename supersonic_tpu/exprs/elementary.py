@@ -16,6 +16,7 @@ from ..types import (DataType, TypeError_, common_numeric_type, is_numeric,
                      jnp_dtype)
 from .base import (BoundExpression, EvalContext, Expression, ExprValue,
                    merge_valid, wrap)
+from ..kernels.lut_gather import take_small
 
 
 def unify_branches(bounds: Sequence[BoundExpression]):
@@ -37,7 +38,7 @@ def unify_branches(bounds: Sequence[BoundExpression]):
         convs = []
         for r in remaps:
             rj = jnp.asarray(r if r.size else np.zeros(1, np.int32))
-            convs.append(lambda v, rj=rj: jnp.take(rj, jnp.clip(v, 0, rj.shape[0] - 1)))
+            convs.append(lambda v, rj=rj: take_small(rj, v))
         return types[0], convs, merged
     if len(set(types)) == 1:
         return types[0], [lambda v: v for _ in bounds], None
@@ -247,9 +248,8 @@ class _ParseString(Expression):
 
         def fn(ctx: EvalContext) -> ExprValue:
             v = cb.evaluate(ctx)
-            codes = jnp.clip(v.values, 0, vals_lut.shape[0] - 1)
-            parsed = jnp.take(vals_lut, codes)
-            ok = jnp.take(ok_lut, codes)
+            parsed = take_small(vals_lut, v.values)
+            ok = take_small(ok_lut, v.values)
             if not nulling:
                 bad = ~ok if v.valid is None else (~ok & v.valid)
                 ctx.flag_error("string parse failure", bad)

@@ -25,6 +25,7 @@ from ..types import DataType, TypeError_
 from .base import (BoundExpression, EvalContext, Expression, ExprValue,
                    merge_valid, wrap)
 from .terminal import Const
+from ..kernels.lut_gather import take_small
 
 
 def _require_string(b: BoundExpression, op: str) -> Dictionary:
@@ -52,7 +53,7 @@ def _dict_transform_expr(op_name: str, fn: Callable[[str], str]):
 
             def g(ctx: EvalContext) -> ExprValue:
                 v = cb.evaluate(ctx)
-                codes = jnp.take(lut, jnp.clip(v.values, 0, lut.shape[0] - 1))
+                codes = take_small(lut, v.values)
                 return ExprValue(codes, v.valid)
 
             return BoundExpression(
@@ -86,7 +87,7 @@ def _property_expr(op_name: str, fn: Callable, out_type: DataType, np_dtype):
 
             def g(ctx: EvalContext) -> ExprValue:
                 v = cb.evaluate(ctx)
-                out = jnp.take(lut, jnp.clip(v.values, 0, lut.shape[0] - 1))
+                out = take_small(lut, v.values)
                 return ExprValue(out, v.valid)
 
             return BoundExpression(
@@ -254,8 +255,7 @@ class Concat(Expression):
 
                     def ev(ctx, b=b, lut=lut):
                         v = b.evaluate(ctx)
-                        c = jnp.take(lut, jnp.clip(v.values, 0,
-                                                   lut.shape[0] - 1))
+                        c = take_small(lut, v.values)
                         return c, v.valid
 
                     state_dict, state_eval = nd, ev

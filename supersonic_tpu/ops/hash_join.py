@@ -30,6 +30,7 @@ from ..schema import Attribute, SchemaError, TupleSchema
 from .base import BindContext, BoundOperation, Operation, RunContext
 from .keys import monotone_code
 from .project import Projector
+from ..kernels.lut_gather import take_small
 
 
 class JoinType(enum.Enum):
@@ -173,11 +174,24 @@ def _fat_lut_probe(rt: Table, srcs, scat, pslot, pin, rng: int,
     luts = compact_arrays(carried, is_marker, rng)
     matched_lut = luts[-1]
     fetched = {}
+    from ..kernels import lut_gather as _lg
+    use_kernel = (rng <= _lg.MAX_ENTRIES
+                  and pslot.shape[0] >= 4 * _lg.TILE
+                  and jax.default_backend() != "cpu")
     for gname, lo, hi in group_slices:
         lanes = luts[lo:hi]
         if gname == "u32":
             lanes = lanes + [matched_lut.astype(jnp.uint32)]
         if not lanes:
+            continue
+        if gname == "u32" and use_kernel:
+            # small dense domain: the probe rides the Pallas lane-gather
+            # kernel (XLA gathers are element-serial regardless of
+            # source size)
+            gs = _lg.lut_gather(lanes, pslot, rng)
+            for g1, tag in zip(gs, all_tags[lo:hi]):
+                fetched[tag] = g1
+            fetched[("flag", None)] = gs[len(lanes) - 1]
             continue
         packed = jnp.stack(lanes, axis=1)
         g = jnp.take(packed, pslot, axis=0)
@@ -394,10 +408,8 @@ class HashJoin(Operation):
             for i, rm in enumerate(remaps):
                 if rm is not None:
                     ra_, rb_ = rm
-                    pcodes[i] = jnp.take(ra_, jnp.clip(pcodes[i], 0,
-                                                       ra_.shape[0] - 1))
-                    bcodes[i] = jnp.take(rb_, jnp.clip(bcodes[i], 0,
-                                                       rb_.shape[0] - 1))
+                    pcodes[i] = take_small(ra_, pcodes[i])
+                    bcodes[i] = take_small(rb_, bcodes[i])
             rcap, lcap = rt.capacity, lt.capacity
             pinert = pnull | ~lkeep
             binert = bnull | ~rt.row_mask()

@@ -18,6 +18,7 @@ from ..batch import Column, Table, gather_table
 from ..dictionary import merge as dict_merge
 from ..schema import Attribute, SchemaError, TupleSchema
 from ..types import DataType
+from ..kernels.lut_gather import take_small
 from .base import BindContext, BoundOperation, Operation, RunContext
 from .keys import key_operands
 from .sort import SortOrder
@@ -72,10 +73,8 @@ class MergeUnionAll(Operation):
                 cols = dict(t.columns)
                 for name, lut in remaps[i].items():
                     c = cols[name]
-                    cols[name] = Column(
-                        jnp.take(lut, jnp.clip(c.values, 0,
-                                               lut.shape[0] - 1)),
-                        c.valid)
+                    cols[name] = Column(take_small(lut, c.values),
+                                        c.valid)
                 patched.append(Table(out_schema, cols, t.num_rows,
                                      out_dicts, cap_hint=t.capacity))
             # concatenate columns + child index + local rowid

@@ -26,6 +26,7 @@ from ..schema import SchemaError
 from ..types import DataType
 from .base import BindContext, BoundOperation, Operation, RunContext
 from .keys import key_operands
+from ..kernels.lut_gather import take_small
 
 
 @dataclass(frozen=True)
@@ -215,8 +216,7 @@ class ExtendedSort(Operation):
             override = None
             if luts:
                 override = {
-                    name: jnp.take(lut, jnp.clip(t.columns[name].values, 0,
-                                                 lut.shape[0] - 1))
+                    name: take_small(lut, t.columns[name].values)
                     for name, lut in luts.items()}
             if (limit is not None and len(t.schema)
                     and out_cap * 4 <= cb.capacity):
