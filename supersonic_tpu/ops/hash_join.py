@@ -434,10 +434,16 @@ class HashJoin(Operation):
 
             if dense_info is not None and not unique:
                 # --- CSR probe (dense multi-match build keys) ---
-                # counts per key slot via one scatter-add; exclusive
-                # prefix sum gives each slot's start position in the
-                # build-side-only sort (1 key operand vs the merge
-                # probe's joint sort of build+probe with side keys).
+                # The per-slot histogram comes from the same sort-based
+                # marker stream as the fat LUT (scatter-add costs
+                # ~45ms/M rows on this TPU): build rows (slot*2) sort
+                # against one marker per slot (slot*2+1) on the folded
+                # key; a marker's stream position i_p = p + B(p) where
+                # B(p) = live build rows with slot <= p, so compacting
+                # the markers' (position - slot) yields the CSR end
+                # offsets, and compacting the non-markers' rowids IS the
+                # build-order permutation — one sort feeds both.
+                from .filter import compact_arrays
                 _dims, rng, guarded = dense_info
                 bidx, binr = composite_slot(bcodes, rt, rhs_keys)
                 inb = ~binert & binr
@@ -445,15 +451,23 @@ class HashJoin(Operation):
                     rctx.error_flags.append((
                         "join build keys exceed planned dense range",
                         jnp.any(~binert & ~binr)))
-                # dead rows scatter at index rng -> dropped from counts,
-                # and sort last (slot rng > all live slots)
+                # dead rows take slot rng -> 2*rng: after every marker
                 bslot = jnp.where(inb, bidx, rng).astype(jnp.int32)
-                counts = jnp.zeros(rng, jnp.int32).at[bslot].add(
-                    1, mode="drop")
-                start = jnp.cumsum(counts) - counts
-                res = jax.lax.sort([bslot, rowid], num_keys=1,
-                                   is_stable=True)
-                build_perm = res[-1]
+                slot2 = jnp.concatenate([
+                    bslot * 2, jnp.arange(rng, dtype=jnp.int32) * 2 + 1])
+                pay = jnp.concatenate([rowid,
+                                       jnp.zeros(rng, jnp.int32)])
+                sres = jax.lax.sort([slot2, pay], num_keys=1,
+                                    is_stable=True)
+                s_slot2, s_pay = sres
+                is_marker = (s_slot2 % 2) == 1
+                pos_s = jnp.arange(rcap + rng, dtype=jnp.int32)
+                b_upto = pos_s - (s_slot2 // 2)   # B(p) at markers
+                end_ = compact_arrays([b_upto], is_marker, rng)[0]
+                start = jnp.where(jnp.arange(rng) > 0,
+                                  jnp.roll(end_, 1), 0)
+                counts = end_ - start
+                build_perm = compact_arrays([s_pay], ~is_marker, rcap)[0]
                 pidx, pinr = composite_slot(pcodes, lt, lhs_keys)
                 pin = pinr & ~pinert
                 pslot = pidx.astype(jnp.int32)
