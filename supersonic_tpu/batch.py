@@ -292,11 +292,11 @@ def gather_arrays(arrays: Sequence[jnp.ndarray],
     # regardless of source size; sources that fit a few VMEM tiles route
     # through the Pallas lane-gather kernel instead (~8x at 8M indices)
     from .kernels import lut_gather as _lg
-    use_kernel = (jax.default_backend() != "cpu"
-                  and arrays and arrays[0].shape[0] <= _lg.MAX_ENTRIES
-                  and safe_indices.shape[0] >= 4 * _lg.TILE)
+    on_tpu = jax.default_backend() != "cpu"
     for key, idxs in groups.items():
-        if key == "u32" and use_kernel:
+        if (key == "u32" and on_tpu and arrays
+                and _lg.profitable(arrays[idxs[0]].shape[0], len(idxs),
+                                   safe_indices.shape[0])):
             luts = [jax.lax.bitcast_convert_type(arrays[i], jnp.uint32)
                     for i in idxs]
             gs = _lg.lut_gather(luts, safe_indices, arrays[idxs[0]].shape[0])
@@ -305,7 +305,16 @@ def gather_arrays(arrays: Sequence[jnp.ndarray],
             continue
         if len(idxs) == 1:
             i = idxs[0]
-            out[i] = jnp.take(arrays[i], safe_indices, axis=0)
+            a = arrays[i]
+            if (key == "u32" and on_tpu
+                    and safe_indices.shape[0] >= (1 << 20)):
+                # a 1-lane XLA gather costs ~53ms/8M indices but a 2-lane
+                # packed one only ~42ms (measured: 8-byte loads amortize
+                # the per-index cost) — duplicate the lane and drop it
+                packed = jnp.stack([a, a], axis=1)
+                out[i] = jnp.take(packed, safe_indices, axis=0)[:, 0]
+            else:
+                out[i] = jnp.take(a, safe_indices, axis=0)
             continue
         if key == "u32":
             packed = jnp.stack(

@@ -28,7 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 SUBLANES = 64
 LANES = 128
 TILE = SUBLANES * LANES
-MAX_ENTRIES = 8192  # beyond this the block loop stops paying off
+MAX_ENTRIES = 65536  # hard cap on LUT length routed through the kernel
+# The block loop costs ~30µs per 128-entry block per lane (8M indices,
+# measured: 4.2/8.5/17ms at 16k/32k/64k x 1 lane); the XLA fallback
+# gather is flat ~40ms for 1-8 packed lanes.  The kernel pays off while
+# blocks x lanes stays under this budget (512 -> ~17ms, a 2.4x win;
+# larger unrolls hit the 16MB scoped-VMEM ceiling).
+BLOCK_LANE_BUDGET = 512
 
 
 def _round_up(x: int, m: int) -> int:
@@ -39,21 +45,39 @@ def supported_dtype(dtype) -> bool:
     return jnp.dtype(dtype).itemsize == 4
 
 
+def profitable(num_entries: int, nlanes: int, n_idx: int) -> bool:
+    """Whether the kernel beats the XLA gather for this shape."""
+    kb = _round_up(max(num_entries, 1), LANES) // LANES
+    return (num_entries <= MAX_ENTRIES
+            and kb * max(nlanes, 1) <= BLOCK_LANE_BUDGET
+            and n_idx >= 4 * TILE)
+
+
 def _kernel(idx_ref, *refs, kb: int, nlanes: int):
     luts = refs[:nlanes]          # each [kb, LANES]
     outs = refs[nlanes:]          # each [SUBLANES, LANES]
     idx = idx_ref[:]
     hi = idx // LANES
     lo = jnp.where((lo_ := idx % LANES) < 0, 0, lo_)
-    for j in range(nlanes):
-        outs[j][:] = jnp.zeros_like(outs[j])
-    for b in range(kb):
+
+    def step(b, accs):
         mask = hi == b
+        new = []
         for j in range(nlanes):
             row = luts[j][b, :]
             row_b = jnp.broadcast_to(row[None, :], idx.shape)
             g = jnp.take_along_axis(row_b, lo, axis=1)
-            outs[j][:] = jnp.where(mask, g, outs[j][:])
+            new.append(jnp.where(mask, g, accs[j]))
+        return tuple(new)
+
+    accs = tuple(jnp.zeros(idx.shape, lut.dtype) for lut in luts)
+    # full static unroll: a fori_loop variant measured 3.5x slower per
+    # block (dynamic sublane reads + carry traffic); BLOCK_LANE_BUDGET
+    # bounds the unroll size
+    for b in range(kb):
+        accs = step(b, accs)
+    for j in range(nlanes):
+        outs[j][:] = accs[j]
 
 
 def lut_gather(luts, idx: jnp.ndarray, num_entries: int):
@@ -101,8 +125,7 @@ def take_small(src: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     kernel when profitable (TPU backend, small 32-bit source, enough
     indices to amortize the pallas_call), else the XLA gather."""
     if (src.ndim == 1 and idx.ndim == 1
-            and src.shape[0] <= MAX_ENTRIES
-            and idx.shape[0] >= 4 * TILE
+            and profitable(src.shape[0], 1, idx.shape[0])
             and supported_dtype(src.dtype)
             and jax.default_backend() != "cpu"):
         return lut_gather([src], idx, src.shape[0])[0]

@@ -51,6 +51,11 @@ class BoundOperation:
     fn: Callable[[RunContext], Table]
     capacity: int  # static output capacity
     stats: dict[str, tuple[int, int]] = field(default_factory=dict)
+    # columns whose value IS the row position plus stats[name][0] (dense
+    # ascending primary keys, the reference's row-id join precondition —
+    # rowid_merge_join.h:24-40).  Joins against such a key skip index
+    # construction and probe the table directly (runtime-guarded).
+    rowid: set = field(default_factory=set)
 
     def run(self, ctx: RunContext) -> Table:
         return self.fn(ctx)

@@ -175,8 +175,8 @@ def _fat_lut_probe(rt: Table, srcs, scat, pslot, pin, rng: int,
     matched_lut = luts[-1]
     fetched = {}
     from ..kernels import lut_gather as _lg
-    use_kernel = (rng <= _lg.MAX_ENTRIES
-                  and pslot.shape[0] >= 4 * _lg.TILE
+    nlanes_u32 = len(u32_arrs) + 1  # + match flag
+    use_kernel = (_lg.profitable(rng, nlanes_u32, pslot.shape[0])
                   and jax.default_backend() != "cpu")
     for gname, lo, hi in group_slices:
         lanes = luts[lo:hi]
@@ -398,6 +398,23 @@ class HashJoin(Operation):
 
         dense_info = _dense_dims() if self.allow_dense_lookup else None
 
+        # Rowid-direct probe: UNIQUE single-key join whose rhs key IS the
+        # row position plus a constant (dense ascending primary key — the
+        # reference's row-id join precondition, rowid_merge_join.h:24-40,
+        # and the overwhelmingly common dimension-table shape).  The probe
+        # indexes the rhs table directly: no LUT construction sort, no
+        # scatter, no index at all — one packed gather.  Runtime-guarded
+        # like every stats-driven choice.
+        rowid_kmin = None
+        if (self.allow_dense_lookup and unique and len(lhs_keys) == 1
+                and remaps[0] is None
+                and rhs_keys[0] in rb.rowid
+                and lb.schema.lookup(lhs_keys[0]).type.value
+                in _DENSE_KEY_TYPES
+                and rb.schema.lookup(rhs_keys[0]).type.value
+                in _DENSE_KEY_TYPES):
+            rowid_kmin = rb.stats[rhs_keys[0]][0]
+
         def fn(rctx: RunContext) -> Table:
             lt = lb.run(rctx)
             rt = rb.run(rctx)
@@ -432,7 +449,37 @@ class HashJoin(Operation):
                     inr = ok if inr is None else (inr & ok)
                 return idx, inr
 
-            if dense_info is not None and not unique:
+            if rowid_kmin is not None:
+                # --- rowid-direct probe (rhs key == row position + kmin):
+                # no index of any kind; one packed gather of the projected
+                # rhs columns at (probe key - kmin) ---
+                rk_col = rt.columns[rhs_keys[0]]
+                expect = jnp.arange(rcap, dtype=jnp.int64) + rowid_kmin
+                bad = rk_col.values.astype(jnp.int64) != expect
+                if rk_col.valid is not None:
+                    bad = bad | ~rk_col.valid
+                rctx.error_flags.append((
+                    "join rhs key is not the planned row-id sequence",
+                    jnp.any(rt.row_mask() & bad)))
+                pv = (lt.columns[lhs_keys[0]].values.astype(jnp.int64)
+                      - rowid_kmin)
+                matched = ~pinert & (pv >= 0) & (pv < rt.num_rows)
+                # gather at the CLIPPED key index, not a matched-masked
+                # one: the index then depends only on the probe keys (not
+                # on filter predicates), so repeated executions over new
+                # measure data reuse it — and validity is masked after
+                pidx = jnp.clip(pv, 0, rcap - 1).astype(jnp.int32)
+                rg = gather_table(_subset(rt, [s for s, _ in rpairs]),
+                                  pidx, lt.num_rows)
+                rfetch = {}
+                for src in dict.fromkeys(s for s, _ in rpairs):
+                    c = rg.columns[src]
+                    valid = c.valid
+                    if left_outer:
+                        valid = matched if valid is None \
+                            else (valid & matched)
+                    rfetch[src] = Column(c.values, valid)
+            elif dense_info is not None and not unique:
                 # --- CSR probe (dense multi-match build keys) ---
                 # The per-slot histogram comes from the same sort-based
                 # marker stream as the fat LUT (scatter-add costs
@@ -556,7 +603,7 @@ class HashJoin(Operation):
                 # LEFT_OUTER keeps lhs columns zero-copy; INNER moves the
                 # surviving rows with one payload-sort compaction (gathers
                 # are the most expensive primitive on TPU).
-                if dense_info is None:
+                if rfetch is None:
                     count = jnp.minimum(count, 1)
                     matched = (count > 0) & lkeep
                     # gather rhs rows through a build-order pre-sort of the

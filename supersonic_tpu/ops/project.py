@@ -77,4 +77,7 @@ class Project(Operation):
 
         stats = {dst: cb.stats[src] for src, dst in pairs
                  if src in cb.stats}
-        return BoundOperation(schema, dicts, fn, cb.capacity, stats=stats)
+        # zero-copy projection preserves row positions -> rowid-ness survives
+        rowid = {dst for src, dst in pairs if src in cb.rowid}
+        return BoundOperation(schema, dicts, fn, cb.capacity, stats=stats,
+                              rowid=rowid)

@@ -28,8 +28,9 @@ class ScanTable(Operation):
         def fn(rctx: RunContext) -> Table:
             return rctx.leaf_tables[idx]
 
-        return BoundOperation(schema, dicts, fn, cap,
-                              stats=table_stats(self.table))
+        stats = table_stats(self.table)
+        return BoundOperation(schema, dicts, fn, cap, stats=stats,
+                              rowid=table_rowid_cols(self.table, stats))
 
 
 def table_stats(table: Table) -> dict:
@@ -62,6 +63,33 @@ def table_stats(table: Table) -> dict:
             vals = vals[mask]
         stats[a.name] = (int(vals.min()), int(vals.max()))
     return stats
+
+
+def table_rowid_cols(table: Table, stats: dict) -> set:
+    """Columns whose live values are exactly ``min + row position`` — dense
+    ascending primary keys (the reference's row-id join precondition,
+    rowid_merge_join.h:24-40).  Detected at ingest like the (min, max)
+    stats; joins use it to probe the table directly with no index build
+    (runtime range-guarded, like every stats-driven plan choice)."""
+    import numpy as np
+
+    rowid: set = set()
+    try:
+        n = int(table.num_rows)
+    except TypeError:
+        return rowid
+    for name, (mn, mx) in stats.items():
+        if mx - mn + 1 != n:
+            continue  # range can't be a permutation of n rows, let alone id
+        c = table.columns[name]
+        if c.valid is not None:
+            mask = np.asarray(c.valid)[:n]
+            if not mask.all():
+                continue
+        vals = np.asarray(c.values)[:n]
+        if np.array_equal(vals, np.arange(mn, mn + n, dtype=vals.dtype)):
+            rowid.add(name)
+    return rowid
 
 
 class ScanTableWithSelection(Operation):

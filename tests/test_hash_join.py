@@ -332,13 +332,119 @@ def test_fat_lut_mixed_width_payload_lanes():
                        ("d", DataType.DOUBLE, True),
                        ("i", DataType.INT64, False),
                        ("b", DataType.BOOL, False)),
-        {"pk": np.arange(8, dtype=np.int32),
-         "d": [0.5, None, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5],
-         "i": (np.arange(8) * 10).astype(np.int64),
-         "b": [True, False] * 4})
+        # reversed pk order defeats rowid-direct detection so the fat-LUT
+        # path (not the direct-index probe) is what's under test here
+        {"pk": np.arange(8, dtype=np.int32)[::-1].copy(),
+         "d": [0.5, None, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5][::-1],
+         "i": (np.arange(8) * 10).astype(np.int64)[::-1].copy(),
+         "b": ([True, False] * 4)[::-1]})
     out = execute(HashJoin(JoinType.LEFT_OUTER, ["fk"], ["pk"],
                            ScanTable(lhs), ScanTable(rhs),
                            KeyUniqueness.UNIQUE))
     assert out.to_pylist() == [
         (2, 2, 2.5, 20, True), (0, 0, 0.5, 0, True),
         (5, 5, 5.5, 50, False), (9, None, None, None, None)]
+
+
+# --- rowid-direct probe (rhs key == row position + kmin) --------------------
+
+def _rowid_tables(kmin=100):
+    import numpy as np
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT64, True),
+                       ("lv", DataType.DOUBLE, False)),
+        {"fk": [kmin + 2, None, kmin - 1, kmin + 5, kmin + 9, kmin],
+         "lv": [0.1, 0.2, 0.3, 0.4, 0.5, 0.6]})
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT64, False),
+                       ("rv", DataType.INT32, False)),
+        {"pk": np.arange(kmin, kmin + 6, dtype=np.int64),
+         "rv": np.arange(6, dtype=np.int32) * 10})
+    return lhs, rhs
+
+
+def test_rowid_direct_selected():
+    from supersonic_tpu.ops.base import bind_plan
+    lhs, rhs = _rowid_tables()
+    bound, _ = bind_plan(ScanTable(rhs))
+    assert "pk" in bound.rowid
+
+
+@pytest.mark.parametrize("jt", [JoinType.INNER, JoinType.LEFT_OUTER])
+def test_rowid_direct_matches_merge(jt):
+    # kmin+9 is out of range, kmin-1 below range, None key never matches
+    lhs, rhs = _rowid_tables()
+    outs = []
+    for allow_dense in (True, False):
+        out = execute(HashJoin(jt, ["fk"], ["pk"], ScanTable(lhs),
+                               ScanTable(rhs), KeyUniqueness.UNIQUE,
+                               allow_dense_lookup=allow_dense))
+        outs.append(out.to_pylist())
+    assert outs[0] == outs[1]
+    if jt == JoinType.INNER:
+        assert outs[0] == [(102, 0.1, 102, 20), (105, 0.4, 105, 50),
+                           (100, 0.6, 100, 0)]
+
+
+def test_rowid_direct_guard_flags_on_rerun():
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from supersonic_tpu.batch import Column
+    from supersonic_tpu.ops.base import compile_plan
+
+    lhs, rhs = _rowid_tables()
+    plan = HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(lhs),
+                    ScanTable(rhs), KeyUniqueness.UNIQUE)
+    run, bound, leaves = compile_plan(plan)
+    out, flags = jax.jit(run)(leaves)
+    assert not np.asarray(flags).any()
+    # same compiled program, rhs keys no longer the row-id sequence ->
+    # the rowid guard must trip
+    rt = leaves[1]
+    perm = jnp.asarray(np.array([101, 100, 102, 103, 104, 105],
+                                dtype=np.int64))
+    bad = Table(rt.schema,
+                {**rt.columns, "pk": Column(perm, rt.columns["pk"].valid)},
+                rt.num_rows, rt.dicts)
+    _, flags2 = jax.jit(run)([leaves[0], bad])
+    assert np.asarray(flags2).any()
+
+
+def test_rowid_direct_under_group_aggregate():
+    # masked bind: the rowid join's output feeds a dense group-by
+    import numpy as np
+    from supersonic_tpu import (AggSpec, Aggregation, GroupAggregate,
+                                GroupAggregateOptions)
+    rng = np.random.default_rng(0)
+    n, d = 5000, 64
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.DOUBLE, False)),
+        {"fk": rng.integers(0, d, n).astype(np.int32),
+         "v": rng.random(n)})
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("g", DataType.INT32, False)),
+        {"pk": np.arange(d, dtype=np.int32),
+         "g": rng.integers(0, 8, d).astype(np.int32)})
+    plan = GroupAggregate(
+        ["g"], [AggSpec(Aggregation.SUM, "v", "sv"),
+                AggSpec(Aggregation.COUNT, None, "c")],
+        HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(lhs),
+                 ScanTable(rhs), KeyUniqueness.UNIQUE,
+                 lhs_projector=Projector.named("v"),
+                 rhs_projector=Projector.named("g")),
+        GroupAggregateOptions(estimated_result_row_count=8))
+    got = dict((r[0], (round(r[1], 6), r[2])) for r in
+               execute(plan).to_pylist())
+    g_of = np.asarray(rhs.columns["g"].values)[:d]
+    fk = np.asarray(lhs.columns["v"].values)  # noqa: F841
+    fkv = np.asarray(lhs.columns["fk"].values)[:n]
+    vv = np.asarray(lhs.columns["v"].values)[:n]
+    want = {}
+    for k in range(8):
+        m = g_of[fkv] == k
+        if m.any():
+            want[k] = (round(float(vv[m].sum()), 6), int(m.sum()))
+    assert got == want
