@@ -1,0 +1,129 @@
+"""Variants of the dense segmented-reduce kernel, measured on chip."""
+import functools
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.experimental import pallas as pl  # noqa: E402
+from jax.experimental.pallas import tpu as pltpu  # noqa: E402
+
+SUBLANES = 64
+LANES = 128
+TILE = SUBLANES * LANES
+N = 8_000_000
+K = 64
+ITERS = 8
+
+
+def timed(label, fn, *args):
+    def chained(*args):
+        def body(c, _):
+            return fn(c, *args).astype(jnp.float32) * 1e-30, None
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
+        return c
+    jrun = jax.jit(chained)
+    np.asarray(jrun(*args))
+    noop = jax.jit(lambda x: x + 1)
+    np.asarray(noop(jnp.float32(0)))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        np.asarray(noop(jnp.float32(0)))
+    rpc = (time.perf_counter() - t0) / 3
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jrun(*args))
+        best = min(best, time.perf_counter() - t0)
+    print(f"{label:55s} {(best - rpc)/ITERS*1e3:8.2f} ms")
+
+
+def kernel_batched(g_ref, v1_ref, v2_ref, o1_ref, o2_ref, *, k_pad):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o1_ref[:] = jnp.zeros_like(o1_ref)
+        o2_ref[:] = jnp.zeros_like(o2_ref)
+
+    g = g_ref[:]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k_pad), 2)
+    oh = (g[:, :, None] == k_iota).astype(jnp.float32)  # [S, L, K]
+    for vref, oref in ((v1_ref, o1_ref), (v2_ref, o2_ref)):
+        v = vref[:][:, None, :]                           # [S, 1, L]
+        prod = jax.lax.dot_general(
+            v, oh, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)           # [S, 1, K]
+        oref[:] = oref[:] + jnp.sum(prod[:, 0, :], axis=0,
+                                    keepdims=True)
+
+
+def kernel_fullcontract(g_ref, v1_ref, v2_ref, o1_ref, o2_ref, *, k_pad):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o1_ref[:] = jnp.zeros_like(o1_ref)
+        o2_ref[:] = jnp.zeros_like(o2_ref)
+
+    g = g_ref[:]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, k_pad), 2)
+    oh = (g[:, :, None] == k_iota).astype(jnp.float32)  # [S, L, K]
+    for vref, oref in ((v1_ref, o1_ref), (v2_ref, o2_ref)):
+        v = vref[:]                                      # [S, L]
+        s = jax.lax.dot_general(
+            v[None, :, :], oh[None, :, :, :].reshape(1, SUBLANES, LANES,
+                                                     k_pad),
+            (((1, 2), (1, 2)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [1, K]
+        oref[:] = oref[:] + s
+
+
+def run_variant(label, kernel, g2, v2a, v2b, k_pad):
+    f = pl.pallas_call(
+        functools.partial(kernel, k_pad=k_pad),
+        grid=(g2.shape[0] // SUBLANES,),
+        in_specs=[pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((1, k_pad), jnp.float32)] * 2,
+    )
+
+    def fn(c, g2, v2a, v2b):
+        o1, o2 = f(g2, v2a + c, v2b)
+        return o1.sum() + o2.sum()
+
+    timed(label, fn, g2, v2a, v2b)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    k_pad = 128
+    g = jnp.asarray(rng.integers(0, K, N).astype(np.int32))
+    v = jnp.asarray(rng.random(N, np.float32))
+    ones = jnp.ones(N, jnp.float32)
+    g2 = g.reshape(-1, LANES)
+    v2 = v.reshape(-1, LANES)
+    o2 = ones.reshape(-1, LANES)
+
+    from supersonic_tpu.kernels.segment_reduce import segment_reduce_multi
+
+    def current(c, g, v):
+        r = segment_reduce_multi([(v + c, "sum"),
+                                  ((v * 0 + 1).astype(jnp.int32), "count")],
+                                 g, K)
+        return r[0].sum() + r[1].sum().astype(jnp.float32)
+
+    timed("current segment_reduce_multi (sum f32 + count)", current, g, v)
+    run_variant("batched dot over sublanes (2 f32 sums)",
+                kernel_batched, g2, v2, o2, k_pad)
+    run_variant("full-tile contraction dot (2 f32 sums)",
+                kernel_fullcontract, g2, v2, o2, k_pad)
+
+
+if __name__ == "__main__":
+    main()
