@@ -1,1 +1,485 @@
-int main(){return 0;}
+// golden_dump: runs a fixed query set through the REAL reference engine
+// (google/supersonic built from /root/reference) on deterministic seeded
+// inputs, and dumps both the inputs and the query outputs via FileSink
+// (cursor/infrastructure/file_io.cc:194) in the reference's binary columnar
+// wire format.  tests/test_golden.py reads these files back with
+// supersonic_tpu/io/file_io.py::read_reference_file, runs the same plans
+// through the TPU engine, and asserts row-for-row equality — the
+// bit-exactness correctness loop against the actual C++ engine (not a
+// Python model of it).
+//
+// Query set: the guide queries (test/guide/{primer,group_sort,join}.cc)
+// and the benchmark example workloads
+// (supersonic/benchmark/examples/operation_example.cc:24-90), at sizes
+// scaled to cross several 8192-row FileSink chunks.
+//
+// Usage: golden_dump <output_dir>    (writes *.dat + manifest on stdout)
+//
+// Manifest format, one line per file:
+//   in  <case> <index> <filename> <rows> <name:TYPE:N|Y,...>
+//   out <case> <filename> <rows> <name:TYPE:N|Y,...>
+#include <cstdio>
+#include <cstdlib>
+#include <limits>
+#include <memory>
+#include <random>
+#include <string>
+#include <vector>
+
+#include "supersonic/supersonic.h"
+#include "supersonic/cursor/core/merge_union_all.h"
+#include "supersonic/cursor/core/scan_view.h"
+#include "supersonic/cursor/infrastructure/file_io.h"
+#include "supersonic/cursor/infrastructure/table.h"
+#include "supersonic/cursor/infrastructure/writer.h"
+#include "supersonic/utils/file.h"
+#include "supersonic/utils/exception/failureor.h"
+
+using namespace supersonic;  // NOLINT
+
+namespace {
+
+std::string g_outdir;
+
+const char* TypeName(DataType t) {
+  switch (t) {
+    case INT32: return "INT32";
+    case INT64: return "INT64";
+    case UINT32: return "UINT32";
+    case UINT64: return "UINT64";
+    case FLOAT: return "FLOAT";
+    case DOUBLE: return "DOUBLE";
+    case BOOL: return "BOOL";
+    case DATE: return "DATE";
+    case DATETIME: return "DATETIME";
+    case STRING: return "STRING";
+    case BINARY: return "BINARY";
+    case ENUM: return "ENUM";
+    default: return "?";
+  }
+}
+
+std::string SchemaSpec(const TupleSchema& schema) {
+  std::string spec;
+  for (int i = 0; i < schema.attribute_count(); ++i) {
+    const Attribute& a = schema.attribute(i);
+    if (i) spec += ",";
+    spec += a.name();
+    spec += ":";
+    spec += TypeName(a.type());
+    spec += a.is_nullable() ? ":Y" : ":N";
+  }
+  return spec;
+}
+
+void DumpView(const View& view, const std::string& filename) {
+  File* f = File::OpenOrDie(g_outdir + "/" + filename, "w");
+  std::unique_ptr<Sink> sink(FileOutput(f, TAKE_OWNERSHIP));
+  SucceedOrDie(sink->Write(view));
+  SucceedOrDie(sink->Finalize());
+}
+
+void DumpInput(const char* case_name, int index, const Table& table) {
+  char filename[256];
+  snprintf(filename, sizeof(filename), "%s_in%d.dat", case_name, index);
+  DumpView(table.view(), filename);
+  printf("in %s %d %s %llu %s\n", case_name, index, filename,
+         (unsigned long long)table.view().row_count(),
+         SchemaSpec(table.schema()).c_str());
+}
+
+void RunAndDump(const char* case_name, Operation* op) {
+  std::unique_ptr<Operation> owned(op);
+  owned->SetBufferAllocator(HeapBufferAllocator::Get(), false);
+  std::unique_ptr<Cursor> cursor(SucceedOrDie(owned->CreateCursor()));
+  char filename[256];
+  snprintf(filename, sizeof(filename), "%s_out.dat", case_name);
+  File* f = File::OpenOrDie(g_outdir + "/" + filename, "w");
+  std::unique_ptr<Sink> sink(FileOutput(f, TAKE_OWNERSHIP));
+  Writer writer(cursor.release());
+  rowcount_t rows = SucceedOrDie(writer.WriteAll(sink.get()));
+  SucceedOrDie(sink->Finalize());
+  printf("out %s %s %llu %s\n", case_name, filename,
+         (unsigned long long)rows,
+         SchemaSpec(writer.schema()).c_str());
+  fflush(stdout);
+}
+
+BufferAllocator* Alloc() { return HeapBufferAllocator::Get(); }
+
+// ---------------------------------------------------------------------------
+// Cases.  Every case builds its own seeded inputs, dumps them, then dumps
+// the reference engine's output for a plan over those inputs.
+
+// primer.cc:256-313: GROUP BY int32 key, SUM(double).
+void CasePrimerSum() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("key", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("data", DOUBLE, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(101);
+  std::uniform_int_distribution<int32> key_d(0, 96);
+  std::uniform_real_distribution<double> val_d(-4.0, 4.0);
+  for (int i = 0; i < 10000; ++i)
+    w.AddRow().Int32(key_d(rng)).Double(val_d(rng));
+  w.CheckSuccess();
+  DumpInput("primer_sum", 0, table);
+
+  AggregationSpecification* spec = new AggregationSpecification();
+  spec->AddAggregation(SUM, "data", "data_sums");
+  RunAndDump("primer_sum",
+             GroupAggregate(ProjectNamedAttribute("key"), spec, NULL,
+                            ScanView(table.view())));
+}
+
+// group_sort.cc employees: multi-aggregate group-by over a STRING key with
+// a nullable INT32 input (COUNT counts non-NULL, column_aggregator.cc:198+).
+void CaseGuideAgg() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("department", STRING, NOT_NULLABLE));
+  schema.add_attribute(Attribute("age", INT32, NULLABLE));
+  schema.add_attribute(Attribute("salary", INT32, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(202);
+  std::uniform_int_distribution<int> dept_d(0, 6);
+  std::uniform_int_distribution<int32> age_d(18, 65);
+  std::uniform_int_distribution<int32> sal_d(1000, 20000);
+  std::uniform_real_distribution<double> null_d(0.0, 1.0);
+  const char* depts[7] = {"sales", "eng", "hr", "ops", "legal", "mkt", "it"};
+  for (int i = 0; i < 12000; ++i) {
+    w.AddRow().String(depts[dept_d(rng)]);
+    if (null_d(rng) < 0.1) w.Null(); else w.Int32(age_d(rng));
+    w.Int32(sal_d(rng));
+  }
+  w.CheckSuccess();
+  DumpInput("guide_agg", 0, table);
+
+  AggregationSpecification* spec = new AggregationSpecification();
+  spec->AddAggregation(SUM, "salary", "salary_sum");
+  spec->AddAggregation(MIN, "age", "age_min");
+  spec->AddAggregation(MAX, "age", "age_max");
+  spec->AddAggregation(COUNT, "age", "age_cnt");
+  RunAndDump("guide_agg",
+             GroupAggregate(ProjectNamedAttribute("department"), spec, NULL,
+                            ScanView(table.view())));
+}
+
+// group_sort.cc sorting: ORDER BY grade DESC, id ASC (deterministic order).
+void CaseGuideSort() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("id", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("grade", DOUBLE, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(303);
+  std::uniform_int_distribution<int32> grade_d(2, 12);  // ties on purpose
+  for (int i = 0; i < 9000; ++i)
+    w.AddRow().Int32(i).Double(grade_d(rng) / 2.0);
+  w.CheckSuccess();
+  DumpInput("guide_sort", 0, table);
+
+  SortOrder* order = new SortOrder();
+  order->OrderByNamedAttribute("grade", DESCENDING);
+  order->OrderByNamedAttribute("id", ASCENDING);
+  RunAndDump("guide_sort",
+             Sort(order, ProjectAllAttributes(),
+                  std::numeric_limits<size_t>::max(),
+                  ScanView(table.view())));
+}
+
+// join.cc books x authors: INNER UNIQUE hash join on a NULLABLE int32 FK
+// (NULL keys never match, hash_join.cc:67-76) with DATE and BOOL columns.
+void CaseGuideJoin() {
+  TupleSchema authors;
+  authors.add_attribute(Attribute("author_id", INT32, NOT_NULLABLE));
+  authors.add_attribute(Attribute("name", STRING, NOT_NULLABLE));
+  authors.add_attribute(Attribute("nobel", BOOL, NOT_NULLABLE));
+  Table author_table(authors, Alloc());
+  {
+    TableRowWriter w(&author_table);
+    std::mt19937 rng(404);
+    std::uniform_int_distribution<int> coin(0, 1);
+    for (int i = 0; i < 200; ++i) {
+      char name[64];
+      snprintf(name, sizeof(name), "author_%03d", i);
+      w.AddRow().Int32(i).String(name).Bool(coin(rng) == 1);
+    }
+    w.CheckSuccess();
+  }
+  DumpInput("guide_join", 0, author_table);
+
+  TupleSchema books;
+  books.add_attribute(Attribute("book_id", INT32, NOT_NULLABLE));
+  books.add_attribute(Attribute("author_id_ref", INT32, NULLABLE));
+  books.add_attribute(Attribute("title", STRING, NOT_NULLABLE));
+  books.add_attribute(Attribute("date_published", DATE, NULLABLE));
+  Table book_table(books, Alloc());
+  {
+    TableRowWriter w(&book_table);
+    std::mt19937 rng(505);
+    std::uniform_int_distribution<int32> fk_d(0, 299);  // some dangle
+    std::uniform_int_distribution<int32> date_d(0, 20000);
+    std::uniform_real_distribution<double> null_d(0.0, 1.0);
+    for (int i = 0; i < 15000; ++i) {
+      w.AddRow().Int32(i);
+      if (null_d(rng) < 0.05) w.Null(); else w.Int32(fk_d(rng));
+      char title[64];
+      snprintf(title, sizeof(title), "title_%05d", i);
+      w.String(title);
+      if (null_d(rng) < 0.1) w.Null(); else w.Date(date_d(rng));
+    }
+    w.CheckSuccess();
+  }
+  DumpInput("guide_join", 1, book_table);
+
+  CompoundMultiSourceProjector* projector =
+      new CompoundMultiSourceProjector();
+  projector->add(0, ProjectNamedAttribute("book_id"));
+  projector->add(0, ProjectNamedAttribute("title"));
+  projector->add(0, ProjectNamedAttribute("date_published"));
+  projector->add(1, ProjectNamedAttribute("name"));
+  projector->add(1, ProjectNamedAttribute("nobel"));
+  RunAndDump("guide_join",
+             new HashJoinOperation(
+                 INNER, ProjectNamedAttribute("author_id_ref"),
+                 ProjectNamedAttribute("author_id"), projector, UNIQUE,
+                 ScanView(book_table.view()),
+                 ScanView(author_table.view())));
+}
+
+// operation_example.cc:46-59: 50 STRING group keys, MAX(int32).
+Table* BuildBenchGroupInput() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("col0", STRING, NOT_NULLABLE));
+  schema.add_attribute(Attribute("col1", INT32, NOT_NULLABLE));
+  Table* table = new Table(schema, Alloc());
+  TableRowWriter w(table);
+  std::mt19937 rng(606);
+  for (int i = 0; i < 20000; ++i) {
+    char key[64];
+    snprintf(key, sizeof(key), "test_string_%d", i % 50);
+    w.AddRow().String(key).Int32((int32)rng());
+  }
+  w.CheckSuccess();
+  return table;
+}
+
+Operation* BenchGroupOp(const Table& table) {
+  AggregationSpecification* spec = new AggregationSpecification();
+  spec->AddAggregation(MAX, "col1", "col1_maxes");
+  return GroupAggregate(ProjectNamedAttribute("col0"), spec, NULL,
+                        ScanView(table.view()));
+}
+
+void CaseBenchGroup() {
+  std::unique_ptr<Table> table(BuildBenchGroupInput());
+  DumpInput("bench_group", 0, *table);
+  RunAndDump("bench_group", BenchGroupOp(*table));
+}
+
+// operation_example.cc:61-71: Compute col0 * (sin(col2) + exp(col1)) —
+// value ranges bounded so exp() stays finite (semantics, not overflow).
+void CaseBenchCompute() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("col0", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("col1", INT64, NOT_NULLABLE));
+  schema.add_attribute(Attribute("col2", DOUBLE, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(707);
+  std::uniform_int_distribution<int32> i32_d(-1000, 1000);
+  std::uniform_int_distribution<int64> i64_d(-8, 8);
+  std::uniform_real_distribution<double> d_d(0.0, 1.0);
+  for (int i = 0; i < 20000; ++i)
+    w.AddRow().Int32(i32_d(rng)).Int64(i64_d(rng)).Double(d_d(rng));
+  w.CheckSuccess();
+  DumpInput("bench_compute", 0, table);
+
+  RunAndDump("bench_compute",
+             Compute(Multiply(AttributeAt(0),
+                              Plus(Sin(AttributeAt(2)),
+                                   Exp(AttributeAt(1)))),
+                     ScanView(table.view())));
+}
+
+// operation_example.cc:73-91: 2-key sort (INT32 ASC, STRING DESC); col0 has
+// ties (small domain) broken deterministically by the distinct col1 strings.
+Table* BuildBenchSortInput(int rows, int seed) {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("col0", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("col1", STRING, NOT_NULLABLE));
+  Table* table = new Table(schema, Alloc());
+  TableRowWriter w(table);
+  std::mt19937 rng(seed);
+  std::uniform_int_distribution<int32> key_d(0, 999);
+  for (int i = 0; i < rows; ++i) {
+    char s[64];
+    snprintf(s, sizeof(s), "test_string_%d", i);
+    w.AddRow().Int32(key_d(rng)).String(s);
+  }
+  w.CheckSuccess();
+  return table;
+}
+
+SortOrder* BenchSortOrder() {
+  SortOrder* order = new SortOrder();
+  order->OrderByNamedAttribute("col0", ASCENDING);
+  order->OrderByNamedAttribute("col1", DESCENDING);
+  return order;
+}
+
+Operation* BenchSortOp(const Table& table) {
+  return Sort(BenchSortOrder(), ProjectAllAttributes(),
+              std::numeric_limits<size_t>::max(), ScanView(table.view()));
+}
+
+void CaseBenchSort() {
+  std::unique_ptr<Table> table(BuildBenchSortInput(20000, 808));
+  DumpInput("bench_sort", 0, *table);
+  RunAndDump("bench_sort", BenchSortOp(*table));
+}
+
+// operation_example.cc:93-97: merge-union of two sorted inputs.
+void CaseBenchMerge() {
+  std::unique_ptr<Table> t0(BuildBenchSortInput(20000, 909));
+  std::unique_ptr<Table> t1(BuildBenchSortInput(35000, 910));
+  DumpInput("bench_merge", 0, *t0);
+  DumpInput("bench_merge", 1, *t1);
+  std::vector<Operation*> children;
+  children.push_back(BenchSortOp(*t0));
+  children.push_back(BenchSortOp(*t1));
+  RunAndDump("bench_merge", MergeUnionAll(BenchSortOrder(), children));
+}
+
+// operation_example.cc:99-116: LEFT_OUTER UNIQUE join on STRING keys of the
+// sort output (20000 distinct keys) against the group output (50 keys) —
+// most probe rows get NULL-padded rhs columns.
+void CaseBenchJoin() {
+  std::unique_ptr<Table> lhs_in(BuildBenchSortInput(20000, 1111));
+  std::unique_ptr<Table> rhs_in(BuildBenchGroupInput());
+  DumpInput("bench_join", 0, *lhs_in);
+  DumpInput("bench_join", 1, *rhs_in);
+
+  CompoundMultiSourceProjector* projector =
+      new CompoundMultiSourceProjector();
+  projector->add(0, ProjectAllAttributes("L."));
+  projector->add(1, ProjectAllAttributes("R."));
+  RunAndDump("bench_join",
+             new HashJoinOperation(
+                 LEFT_OUTER, ProjectAttributeAt(1), ProjectAttributeAt(0),
+                 projector, UNIQUE,
+                 BenchSortOp(*lhs_in), BenchGroupOp(*rhs_in)));
+}
+
+// primer.cc example 1 territory: Filter over a mixed schema incl. a
+// nullable predicate column (NULL counts as false, filter.cc:169-198).
+void CaseFilter() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("a", INT32, NULLABLE));
+  schema.add_attribute(Attribute("b", DOUBLE, NOT_NULLABLE));
+  schema.add_attribute(Attribute("s", STRING, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(1212);
+  std::uniform_int_distribution<int32> a_d(0, 100);
+  std::uniform_real_distribution<double> b_d(0.0, 1.0);
+  std::uniform_real_distribution<double> null_d(0.0, 1.0);
+  for (int i = 0; i < 15000; ++i) {
+    w.AddRow();
+    if (null_d(rng) < 0.1) w.Null(); else w.Int32(a_d(rng));
+    w.Double(b_d(rng));
+    char s[32];
+    snprintf(s, sizeof(s), "s%d", i % 17);
+    w.String(s);
+  }
+  w.CheckSuccess();
+  DumpInput("filter_null", 0, table);
+
+  // Predicate over the NULLABLE column: NULL -> row dropped.
+  RunAndDump("filter_null",
+             Filter(Greater(NamedAttribute("a"), ConstInt32(50)),
+                    ProjectAllAttributes(), ScanView(table.view())));
+}
+
+// ScalarAggregate over an empty input: exactly one output row
+// (SUM = NULL, COUNT = 0) — aggregate_scalar.cc:17.
+void CaseScalarEmpty() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("x", DOUBLE, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  DumpInput("scalar_empty", 0, table);
+
+  AggregationSpecification* spec = new AggregationSpecification();
+  spec->AddAggregation(SUM, "x", "x_sum");
+  spec->AddAggregation(COUNT, "x", "x_cnt");
+  RunAndDump("scalar_empty", ScalarAggregate(spec, ScanView(table.view())));
+}
+
+// Expression semantics sweep evaluated by the real engine: null algebra,
+// IF/IFNULL/ISNULL, integer + nulling division, string length/case, and
+// date extraction over DATE (elementary/string/date expression families).
+void CaseExprMix() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("a", INT32, NULLABLE));
+  schema.add_attribute(Attribute("b", DOUBLE, NOT_NULLABLE));
+  schema.add_attribute(Attribute("s", STRING, NOT_NULLABLE));
+  schema.add_attribute(Attribute("d", DATE, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(1313);
+  std::uniform_int_distribution<int32> a_d(-50, 50);
+  std::uniform_real_distribution<double> b_d(-2.0, 2.0);
+  std::uniform_int_distribution<int32> date_d(0, 25000);
+  std::uniform_real_distribution<double> null_d(0.0, 1.0);
+  const char* words[5] = {"Alpha", "beta", "GAMMA_x", "", "delta delta"};
+  for (int i = 0; i < 10000; ++i) {
+    w.AddRow();
+    if (null_d(rng) < 0.15) w.Null(); else w.Int32(a_d(rng));
+    w.Double(b_d(rng));
+    w.String(words[i % 5]);
+    w.Date(date_d(rng));
+  }
+  w.CheckSuccess();
+  DumpInput("expr_mix", 0, table);
+
+  CompoundExpression* expr = new CompoundExpression();
+  expr->AddAs("plus7", Plus(NamedAttribute("a"), ConstInt32(7)));
+  expr->AddAs("isnull", IsNull(NamedAttribute("a")));
+  expr->AddAs("ifnull", IfNull(NamedAttribute("a"), ConstInt32(-99)));
+  expr->AddAs("ifgt", If(Greater(NamedAttribute("b"), ConstDouble(0.0)),
+                         NamedAttribute("a"), ConstInt32(-1)));
+  expr->AddAs("ndiv", DivideNulling(NamedAttribute("a"),
+                                    Modulus(NamedAttribute("a"),
+                                            ConstInt32(5))));
+  expr->AddAs("slen", Length(NamedAttribute("s")));
+  expr->AddAs("supper", ToUpper(NamedAttribute("s")));
+  expr->AddAs("year", Year(NamedAttribute("d")));
+  expr->AddAs("month", Month(NamedAttribute("d")));
+  expr->AddAs("day", Day(NamedAttribute("d")));
+  RunAndDump("expr_mix", Compute(expr, ScanView(table.view())));
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  if (argc != 2) {
+    fprintf(stderr, "usage: golden_dump <output_dir>\n");
+    return 1;
+  }
+  g_outdir = argv[1];
+  CasePrimerSum();
+  CaseGuideAgg();
+  CaseGuideSort();
+  CaseGuideJoin();
+  CaseBenchGroup();
+  CaseBenchCompute();
+  CaseBenchSort();
+  CaseBenchMerge();
+  CaseBenchJoin();
+  CaseFilter();
+  CaseScalarEmpty();
+  CaseExprMix();
+  return 0;
+}

@@ -19,6 +19,16 @@ cat > gen/config.h <<'EOF'
 #define SHIM_AUTOCONF_CONFIG_H_
 #endif
 EOF
+# autoconf AX_PREFIX_CONFIG_H output (configure.ac:23); a stub is enough —
+# the only macro consulted with a default is SUPERSONIC_FORCE_FAILURE_CHECK
+# (failureor.h:44-48), which defaults itself when undefined.
+mkdir -p gen/supersonic
+cat > gen/supersonic/supersonic-config.h <<'EOF'
+// autoconf prefix-config stub (configure.ac:23)
+#ifndef SHIM_SUPERSONIC_CONFIG_H_
+#define SHIM_SUPERSONIC_CONFIG_H_
+#endif
+EOF
 protos=(
   supersonic/proto/supersonic.proto
   supersonic/proto/specification.proto

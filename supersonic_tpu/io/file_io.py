@@ -266,6 +266,135 @@ def iter_chunks(path: str):
             yield Table.from_arrays(schema, values, valids, count, dicts)
 
 
+# --- Reference-engine wire format (headerless) -----------------------------
+#
+# The reference's FileSink/FileInput (file_io.cc:194,319) exchange schemas
+# out of band: a file is just chunks until EOF, each chunk being
+#   uint64 row_count
+#   per column:
+#     [nullable] row_count bytes of is_null byte-bools (1 = NULL;
+#                the byte-bool representation is the compiled-in choice,
+#                bit_pointers.h:514-533)
+#     fixed-width: row_count * sizeof(type) raw native-endian bytes
+#     var-length:  row_count uint64 lengths (0 for NULL/empty), then the
+#                  concatenated bytes of all non-null non-empty values
+# These readers/writers interoperate with files produced/consumed by the
+# actual C++ engine (refbuild/golden_dump.cc) — the transport for the
+# bit-exactness golden tests (tests/test_golden.py).
+
+_FIXED_SIZES = {
+    DataType.INT32: 4, DataType.UINT32: 4, DataType.FLOAT: 4,
+    DataType.DATE: 4, DataType.INT64: 8, DataType.UINT64: 8,
+    DataType.DOUBLE: 8, DataType.DATETIME: 8, DataType.BOOL: 1,
+}
+
+
+def read_reference_file(schema: TupleSchema, path: str,
+                        capacity: int | None = None) -> Table:
+    """Read a file written by the reference engine's FileSink
+    (file_io.cc:194) given its out-of-band schema."""
+    val_chunks: dict[str, list] = {a.name: [] for a in schema}
+    valid_chunks: dict[str, list] = {a.name: [] for a in schema}
+    len_chunks: dict[str, list] = {a.name: [] for a in schema}
+    total = 0
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(8)
+            if len(raw) < 8:
+                break
+            (count,) = struct.unpack("<Q", raw)
+            total += count
+            for a in schema:
+                if a.nullable:
+                    is_null = np.frombuffer(f.read(count), dtype=np.uint8)
+                    valid = is_null == 0
+                else:
+                    valid = np.ones(count, dtype=bool)
+                valid_chunks[a.name].append(valid)
+                if a.type in (DataType.STRING, DataType.BINARY):
+                    lengths = np.frombuffer(f.read(8 * count),
+                                            dtype=np.uint64)
+                    blob = f.read(int(lengths.sum()))
+                    val_chunks[a.name].append(blob)
+                    len_chunks[a.name].append(lengths)
+                else:
+                    size = _FIXED_SIZES[a.type]
+                    dtype = physical_dtype(a.type)
+                    data = f.read(size * count)
+                    if a.type == DataType.BOOL:
+                        vals = np.frombuffer(data, dtype=np.uint8) != 0
+                    else:
+                        vals = np.frombuffer(data, dtype=dtype)
+                    val_chunks[a.name].append(vals)
+    values: dict[str, np.ndarray] = {}
+    valids: dict[str, np.ndarray] = {}
+    dicts: dict[str, Dictionary] = {}
+    for a in schema:
+        valid = (np.concatenate(valid_chunks[a.name])
+                 if valid_chunks[a.name] else np.zeros(0, dtype=bool))
+        if a.type in (DataType.STRING, DataType.BINARY):
+            lengths = (np.concatenate(len_chunks[a.name])
+                       if len_chunks[a.name] else np.zeros(0, np.uint64))
+            codes, d = _decode_strings(
+                val_chunks[a.name], lengths, valid,
+                a.type == DataType.BINARY)
+            values[a.name] = codes
+            dicts[a.name] = d
+        else:
+            values[a.name] = (np.concatenate(val_chunks[a.name])
+                              if val_chunks[a.name]
+                              else np.zeros(0, physical_dtype(a.type)))
+        valids[a.name] = valid
+    return Table.from_arrays(schema, values, valids, total, dicts,
+                             capacity=capacity)
+
+
+def write_reference_file(table: Table, path: str) -> None:
+    """Write a Table in the reference engine's FileSink wire format so the
+    C++ FileInputCursor (file_io.cc:319) can read it (schema passed out of
+    band, as the reference requires)."""
+    n = int(table.num_rows)
+    with open(path, "wb") as f:
+        for start in range(0, n, MAX_CHUNK_ROWS):
+            count = min(MAX_CHUNK_ROWS, n - start)
+            f.write(struct.pack("<Q", count))
+            for a in table.schema:
+                c = table.columns[a.name]
+                vals = np.asarray(c.values)[start:start + count]
+                valid = (np.ones(count, dtype=bool) if c.valid is None
+                         else np.asarray(c.valid)[start:start + count])
+                if a.nullable:
+                    f.write((~valid).astype(np.uint8).tobytes())
+                if a.type in (DataType.STRING, DataType.BINARY):
+                    blob, offsets, dlens = _dict_blob(
+                        table.dicts[a.name], a.type == DataType.BINARY)
+                    codes = np.clip(vals.astype(np.int64), 0,
+                                    max(len(dlens) - 1, 0))
+                    lengths = (dlens[codes] if len(dlens) else
+                               np.zeros(count, dtype=np.int64))
+                    lengths = np.where(valid, lengths, 0)
+                    f.write(lengths.astype(np.uint64).tobytes())
+                    total_b = int(lengths.sum())
+                    out = native.gather_blob_bytes(
+                        blob, offsets, codes.astype(np.int32), valid,
+                        total_b)
+                    if out is None:
+                        parts = []
+                        for i in range(count):
+                            if valid[i] and lengths[i]:
+                                c0 = int(codes[i])
+                                parts.append(blob[offsets[c0]:offsets[c0 + 1]])
+                        out = b"".join(parts)
+                    f.write(out)
+                elif a.type == DataType.BOOL:
+                    v = np.where(valid, vals, False)
+                    f.write(v.astype(np.uint8).tobytes())
+                else:
+                    if a.nullable:
+                        vals = np.where(valid, vals, np.zeros(1, vals.dtype))
+                    f.write(np.ascontiguousarray(vals).tobytes())
+
+
 def save(path: str, table: Table) -> None:
     with open(path, "wb") as f:
         write_table(f, table)

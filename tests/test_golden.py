@@ -1,0 +1,293 @@
+"""Golden bit-exactness tests against the REAL reference engine.
+
+`refbuild/bin/golden_dump` (the actual google/supersonic C++ engine built
+from /root/reference) runs a fixed query set on deterministic seeded
+inputs and dumps both inputs and outputs in the reference's own FileSink
+wire format (file_io.cc:194).  The generated files are committed under
+tests/golden/.  Here each case reads the inputs back through
+`io.file_io.read_reference_file`, runs the SAME plan through the TPU
+engine, and asserts row-for-row equality with the C++ engine's output:
+
+  * INT/UINT/BOOL/DATE/STRING columns and NULL masks: bit-exact.
+  * FLOAT/DOUBLE columns: exact for order-insensitive ops (MIN/MAX/sort/
+    filter), tiny-ULP tolerance where accumulation order (SUM) or libm
+    (sin/exp) legitimately differs — the only documented divergences.
+
+Regenerate with:  refbuild/bin/golden_dump tests/golden > tests/golden/manifest.txt
+"""
+from __future__ import annotations
+
+import math
+import pathlib
+
+import numpy as np
+import pytest
+
+from supersonic_tpu import (AggSpec, Aggregation, Compute, ConstInt32, Day,
+                            DataType, DivideNulling, Exp, Filter, Greater,
+                            GroupAggregate, HashJoin, If, IfNull, IsNull,
+                            JoinType, KeyUniqueness, Length, MergeUnionAll,
+                            Modulus, Month, Multiply, Plus, Projector,
+                            ScalarAggregate, ScanTable, Sin, Sort, SortKey,
+                            ToUpper, TupleSchema, Year, col, execute)
+from supersonic_tpu.io.file_io import read_reference_file
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+pytestmark = pytest.mark.skipif(
+    not (GOLDEN / "manifest.txt").exists(),
+    reason="golden files not generated (run refbuild/bin/golden_dump)")
+
+SUM, MIN, MAX, COUNT = (Aggregation.SUM, Aggregation.MIN, Aggregation.MAX,
+                        Aggregation.COUNT)
+
+
+def _parse_schema(spec: str) -> TupleSchema:
+    attrs = []
+    for part in spec.split(","):
+        name, typ, nul = part.rsplit(":", 2)
+        attrs.append((name, DataType(typ), nul == "Y"))
+    return TupleSchema.of(*attrs)
+
+
+def _manifest():
+    cases: dict[str, dict] = {}
+    for line in (GOLDEN / "manifest.txt").read_text().splitlines():
+        fields = line.split(" ")
+        if fields[0] == "in":
+            _, case, idx, fname, rows = fields[:5]
+            spec = " ".join(fields[5:])
+            cases.setdefault(case, {"in": []})["in"].append(
+                (fname, int(rows), _parse_schema(spec)))
+        elif fields[0] == "out":
+            _, case, fname, rows = fields[:4]
+            spec = " ".join(fields[4:])
+            cases.setdefault(case, {"in": []})["out"] = (
+                fname, int(rows), _parse_schema(spec))
+    return cases
+
+
+MANIFEST = _manifest() if (GOLDEN / "manifest.txt").exists() else {}
+
+
+def _inputs(case: str) -> list:
+    return [read_reference_file(schema, str(GOLDEN / fname))
+            for fname, _rows, schema in MANIFEST[case]["in"]]
+
+
+def _golden_out(case: str):
+    fname, rows, schema = MANIFEST[case]["out"]
+    t = read_reference_file(schema, str(GOLDEN / fname))
+    assert int(t.num_rows) == rows
+    return t
+
+
+def _host_columns(table):
+    """-> (values dict col->np array decoded to python-comparable form,
+    valid dict col->bool array)."""
+    n = int(table.num_rows)
+    vals, valids = {}, {}
+    for a in table.schema:
+        c = table.columns[a.name]
+        v = np.asarray(c.values)[:n]
+        ok = (np.ones(n, dtype=bool) if c.valid is None
+              else np.asarray(c.valid)[:n])
+        if a.type in (DataType.STRING, DataType.BINARY):
+            d = table.dicts[a.name]
+            payloads = np.array(list(d.values) + [""], dtype=object)
+            codes = np.clip(v.astype(np.int64), 0, len(d.values))
+            v = payloads[np.where(ok, codes, len(d.values))]
+        vals[a.name] = v
+        valids[a.name] = ok
+    return vals, valids
+
+
+def assert_tables_match(actual, golden, sort_by: list[int] | None = None,
+                        float_rtol: float = 0.0):
+    """Column-positional comparison (names may differ across engines).
+
+    sort_by: indices of exactly-typed columns forming a unique row key —
+    both outputs are canonically ordered by them before comparison (used
+    for hash-based ops whose row order is engine-defined).  None = ordered
+    comparison.  float_rtol > 0 allows that relative error on FLOAT/DOUBLE
+    values (summation-order / libm divergence); 0 = bit-exact floats.
+    """
+    a_names = actual.schema.names()
+    g_names = golden.schema.names()
+    assert len(a_names) == len(g_names), (a_names, g_names)
+    assert int(actual.num_rows) == int(golden.num_rows)
+    a_vals, a_ok = _host_columns(actual)
+    g_vals, g_ok = _host_columns(golden)
+    # type parity (FLOAT vs DOUBLE etc. must match the reference exactly)
+    for an, gn in zip(actual.schema, golden.schema):
+        assert an.type == gn.type, \
+            f"column {an.name}: {an.type} != reference {gn.type}"
+        assert an.nullable == gn.nullable, \
+            f"column {an.name}: nullable {an.nullable} != {gn.nullable}"
+
+    if sort_by is not None:
+        def perm(vals, ok, names):
+            keys = []
+            for i in reversed(sort_by):
+                v = vals[names[i]]
+                assert ok[names[i]].all(), "sort_by column has NULLs"
+                keys.append(v)
+            return np.lexsort(keys)
+        ap = perm(a_vals, a_ok, a_names)
+        gp = perm(g_vals, g_ok, g_names)
+    else:
+        ap = gp = np.arange(int(actual.num_rows))
+
+    for i, (an, gn) in enumerate(zip(a_names, g_names)):
+        av, gv = a_vals[an][ap], g_vals[gn][gp]
+        am, gm = a_ok[an][ap], g_ok[gn][gp]
+        np.testing.assert_array_equal(
+            am, gm, err_msg=f"null mask mismatch in column {i} ({gn})")
+        av, gv = av[am], gv[gm]
+        is_float = actual.schema.attribute(i).type in (DataType.FLOAT, DataType.DOUBLE)
+        if is_float and float_rtol > 0.0:
+            np.testing.assert_allclose(
+                av.astype(np.float64), gv.astype(np.float64),
+                rtol=float_rtol, atol=0.0,
+                err_msg=f"value mismatch in column {i} ({gn})")
+        else:
+            np.testing.assert_array_equal(
+                av, gv, err_msg=f"value mismatch in column {i} ({gn})")
+
+
+# --- the cases (plans mirror refbuild/golden_dump.cc) ----------------------
+
+def test_golden_primer_sum():
+    (t,) = _inputs("primer_sum")
+    out = execute(GroupAggregate(
+        ["key"], [AggSpec(SUM, "data", "data_sums")], ScanTable(t)))
+    # DOUBLE SUM: accumulation order differs (tile-parallel vs row-serial).
+    assert_tables_match(out, _golden_out("primer_sum"), sort_by=[0],
+                        float_rtol=1e-12)
+
+
+def test_golden_guide_agg():
+    (t,) = _inputs("guide_agg")
+    out = execute(GroupAggregate(
+        ["department"],
+        [AggSpec(SUM, "salary", "salary_sum"),
+         AggSpec(MIN, "age", "age_min"),
+         AggSpec(MAX, "age", "age_max"),
+         AggSpec(COUNT, "age", "age_cnt")],
+        ScanTable(t)))
+    # INT32 SUM wraps exactly; MIN/MAX/COUNT exact -> fully bit-exact.
+    assert_tables_match(out, _golden_out("guide_agg"), sort_by=[0])
+
+
+def test_golden_guide_sort():
+    (t,) = _inputs("guide_sort")
+    out = execute(Sort([SortKey("grade", ascending=False),
+                        SortKey("id", ascending=True)], ScanTable(t)))
+    assert_tables_match(out, _golden_out("guide_sort"))
+
+
+def test_golden_guide_join():
+    authors, books = _inputs("guide_join")
+    out = execute(HashJoin(
+        JoinType.INNER, ["author_id_ref"], ["author_id"],
+        ScanTable(books), ScanTable(authors), KeyUniqueness.UNIQUE,
+        lhs_projector=Projector.named("book_id", "title", "date_published"),
+        rhs_projector=Projector.named("name", "nobel")))
+    assert_tables_match(out, _golden_out("guide_join"), sort_by=[0])
+
+
+def test_golden_bench_group():
+    (t,) = _inputs("bench_group")
+    out = execute(GroupAggregate(
+        ["col0"], [AggSpec(MAX, "col1", "col1_maxes")], ScanTable(t)))
+    assert_tables_match(out, _golden_out("bench_group"), sort_by=[0])
+
+
+def test_golden_bench_compute():
+    (t,) = _inputs("bench_compute")
+    out = execute(Compute(
+        (col("col0") * (Sin(col("col2")) + Exp(col("col1")))).as_("expr"),
+        ScanTable(t)))
+    # libm sin/exp vs XLA implementations differ in final ULPs.
+    assert_tables_match(out, _golden_out("bench_compute"), float_rtol=1e-13)
+
+
+def _bench_sort_keys():
+    return [SortKey("col0", ascending=True), SortKey("col1", ascending=False)]
+
+
+def test_golden_bench_sort():
+    (t,) = _inputs("bench_sort")
+    out = execute(Sort(_bench_sort_keys(), ScanTable(t)))
+    assert_tables_match(out, _golden_out("bench_sort"))
+
+
+def test_golden_bench_merge():
+    t0, t1 = _inputs("bench_merge")
+    out = execute(MergeUnionAll(
+        _bench_sort_keys(),
+        [Sort(_bench_sort_keys(), ScanTable(t0)),
+         Sort(_bench_sort_keys(), ScanTable(t1))]))
+    assert_tables_match(out, _golden_out("bench_merge"))
+
+
+def test_golden_bench_join():
+    lhs_in, rhs_in = _inputs("bench_join")
+    lhs = Sort(_bench_sort_keys(), ScanTable(lhs_in))
+    rhs = GroupAggregate(
+        ["col0"], [AggSpec(MAX, "col1", "col1_maxes")], ScanTable(rhs_in))
+    out = execute(HashJoin(
+        JoinType.LEFT_OUTER, ["col1"], ["col0"], lhs, rhs,
+        KeyUniqueness.UNIQUE,
+        lhs_projector=Projector([("col0", "L.col0"), ("col1", "L.col1")]),
+        rhs_projector=Projector([("col0", "R.col0"),
+                                 ("col1_maxes", "R.col1_maxes")])))
+    # L.col1 is a unique STRING key -> canonical order on it.
+    assert_tables_match(out, _golden_out("bench_join"), sort_by=[1])
+
+
+def test_golden_filter_null():
+    (t,) = _inputs("filter_null")
+    out = execute(Filter(Greater(col("a"), ConstInt32(50)), ScanTable(t)))
+    assert_tables_match(out, _golden_out("filter_null"))
+
+
+def test_golden_scalar_empty():
+    (t,) = _inputs("scalar_empty")
+    out = execute(ScalarAggregate(
+        [AggSpec(SUM, "x", "x_sum"), AggSpec(COUNT, "x", "x_cnt")],
+        ScanTable(t)))
+    assert_tables_match(out, _golden_out("scalar_empty"))
+
+
+def test_golden_expr_mix():
+    (t,) = _inputs("expr_mix")
+    a, b, s, d = col("a"), col("b"), col("s"), col("d")
+    out = execute(Compute(
+        [Plus(a, ConstInt32(7)).as_("plus7"),
+         IsNull(a).as_("isnull"),
+         IfNull(a, ConstInt32(-99)).as_("ifnull"),
+         If(Greater(b, 0.0), a, ConstInt32(-1)).as_("ifgt"),
+         DivideNulling(a, Modulus(a, ConstInt32(5))).as_("ndiv"),
+         Length(s).as_("slen"),
+         ToUpper(s).as_("supper"),
+         Year(d).as_("year"),
+         Month(d).as_("month"),
+         Day(d).as_("day")],
+        ScanTable(t)))
+    # Integer inputs -> DOUBLE division is exact; everything else integral.
+    assert_tables_match(out, _golden_out("expr_mix"))
+
+
+def test_reference_format_roundtrip(tmp_path):
+    """write_reference_file emits the same wire format read_reference_file
+    parses — the write half of interchange with the C++ FileInputCursor."""
+    from supersonic_tpu.io.file_io import write_reference_file
+
+    for case in ("guide_join", "expr_mix", "bench_merge"):
+        for i, (fname, rows, schema) in enumerate(MANIFEST[case]["in"]):
+            t = read_reference_file(schema, str(GOLDEN / fname))
+            p = tmp_path / f"{case}_{i}.dat"
+            write_reference_file(t, str(p))
+            t2 = read_reference_file(schema, str(p))
+            assert_tables_match(t2, t)
