@@ -1,8 +1,9 @@
 """Distributed execution over a TPU device mesh (SURVEY.md §2.9, §5.8)."""
-from .dist import (AXIS, collect_table, combine_specification,
-                   dist_group_aggregate, dist_hash_join, dist_hash_join_ring,
-                   dist_hash_join_skew, dist_map, dist_sort,
-                   distribute_table, make_mesh, run_local_plan, shuffle)
+from .dist import (AXIS, check_exchange_overflow, collect_table,
+                   combine_specification, dist_group_aggregate,
+                   dist_hash_join, dist_hash_join_ring, dist_hash_join_skew,
+                   dist_map, dist_sort, distribute_table, make_mesh,
+                   run_local_plan, shuffle)
 from .hashing import combine_hash, partition_of
 from .multihost import global_mesh, initialize, is_multihost
 

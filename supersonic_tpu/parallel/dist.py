@@ -162,14 +162,37 @@ def run_local_plan(plan_builder: Callable[[Table], "object"],
 # the exchange: per-destination compaction + all_to_all over ICI
 # ---------------------------------------------------------------------------
 
+def _shard_cap(dist: Table) -> int:
+    """Per-shard row capacity of a distributed [P, cap] table."""
+    for c in dist.columns.values():
+        return int(c.values.shape[1])
+    return int(dist._cap_hint or 1)
+
+
+def _default_peer_cap(shard_cap: int, num_parts: int,
+                      skew_factor: int = 4, floor: int = 128) -> int:
+    """Per-peer exchange buffer size when the caller gives none: the
+    uniform-hash share (shard_cap / P) times a skew safety factor.  A
+    shuffle that still overflows raises (ERROR_MEMORY_EXCEEDED semantics,
+    reference: memory.h:465) rather than dropping rows — callers pass an
+    explicit ``out_cap_per_peer`` to size for known-skewed keys."""
+    base = -(-int(shard_cap) // max(num_parts, 1))
+    return max(floor, base * skew_factor)
+
+
 def _exchange_local(local: Table, dest: jnp.ndarray, num_parts: int,
-                    out_cap_per_peer: int) -> Table:
+                    out_cap_per_peer: int) -> tuple[Table, jnp.ndarray]:
     """Inside shard_map: route rows of the local table to destinations.
 
     Radix shuffle (SURVEY.md §5.8): rows are sorted by destination (one
     stable sort), sliced into per-destination send buffers with prefix-sum
     offsets, exchanged with ``all_to_all``, then compacted on the receive
-    side.  Returns the received local table.
+    side.  Returns ``(received local table, dropped)`` where ``dropped``
+    is the int32 count of rows this shard could NOT send because a
+    per-peer buffer overflowed — the capacity-exhaustion condition the
+    reference surfaces as ERROR_MEMORY_EXCEEDED (memory.h:465,
+    aggregate_groups.cc:420-427).  Callers must propagate it to a host
+    sync point; see ``shuffle``.
     """
     cap = local.capacity
     live = local.row_mask()
@@ -185,8 +208,8 @@ def _exchange_local(local: Table, dest: jnp.ndarray, num_parts: int,
     send_pos = offsets[:, None] + k[None, :]              # [P, out_cap]
     send_valid = k[None, :] < counts[:, None]
     send_idx = jnp.take(perm, jnp.clip(send_pos, 0, cap - 1))
-    # overflow rows beyond out_cap_per_peer are dropped; counts are clamped
     sent_counts = jnp.minimum(counts, out_cap_per_peer)
+    dropped = jnp.sum(counts - sent_counts)
 
     def a2a(x):
         return jax.lax.all_to_all(x, AXIS, split_axis=0, concat_axis=0,
@@ -209,22 +232,63 @@ def _exchange_local(local: Table, dest: jnp.ndarray, num_parts: int,
     recv = Table(local.schema, cols, total, dict(local.dicts),
                  cap_hint=flat_cap)
     # compact interleaved per-source padding into a dense prefix
-    return compact_by_mask(recv, recv_valid_mask, flat_cap)
+    return compact_by_mask(recv, recv_valid_mask, flat_cap), dropped
+
+
+def _raise_overflow(lost: int) -> None:
+    from ..exprs.base import EvaluationError
+    raise EvaluationError(
+        f"distributed exchange overflow: {lost} rows exceeded "
+        "out_cap_per_peer (ERROR_MEMORY_EXCEEDED; raise "
+        "out_cap_per_peer or repartition skewed keys)")
+
+
+def check_exchange_overflow(dropped) -> None:
+    """Host sync for the exchange's dropped-row counts: raise like the
+    single-chip error-flag path (ops/base.py::execute) instead of
+    returning silently-wrong results.  ``dropped`` is an int array of
+    per-shard counts (any shape).  Eager: raises ``EvaluationError``
+    immediately.  Under a jit trace: registers a debug callback that
+    fails the run at execution time (surfaces as JaxRuntimeError)."""
+    if isinstance(dropped, jax.core.Tracer):
+        def chk(d):
+            lost = int(np.sum(d))
+            if lost:
+                _raise_overflow(lost)
+        jax.debug.callback(chk, dropped)
+        return
+    lost = int(np.sum(np.asarray(jax.device_get(dropped))))
+    if lost:
+        _raise_overflow(lost)
 
 
 def shuffle(mesh: Mesh, dist: Table, dest_fn: Callable[[Table], jnp.ndarray],
-            out_cap_per_peer: int) -> Table:
-    """Distributed radix shuffle: dest_fn gives each local row a partition."""
+            out_cap_per_peer: Optional[int] = None,
+            check: bool = True) -> Table:
+    """Distributed radix shuffle: dest_fn gives each local row a partition.
+
+    Overflow-safe: per-peer buffer exhaustion raises ``EvaluationError``
+    at the host sync (``check=True``, the default) rather than dropping
+    rows.  With ``check=False`` returns ``(table, dropped[P])`` so callers
+    composing larger traced programs can defer the sync."""
     num_parts = mesh.devices.size
+    out_cap_per_peer = out_cap_per_peer or _default_peer_cap(
+        _shard_cap(dist), num_parts)
 
     def wrapper(block):
         local = _local_view(block)
         dest = dest_fn(local)
-        return _stack_local(
-            _exchange_local(local, dest, num_parts, out_cap_per_peer))
+        recv, dropped = _exchange_local(local, dest, num_parts,
+                                        out_cap_per_peer)
+        return _stack_local(recv), jnp.reshape(dropped, (1,))
 
-    return jax.shard_map(wrapper, mesh=mesh, in_specs=P(AXIS),
-                         out_specs=P(AXIS), check_vma=False)(dist)
+    out, dropped = jax.shard_map(
+        wrapper, mesh=mesh, in_specs=P(AXIS),
+        out_specs=(P(AXIS), P(AXIS)), check_vma=False)(dist)
+    if not check:
+        return out, dropped
+    check_exchange_overflow(dropped)
+    return out
 
 
 def _key_dest_fn(names: list[str], num_parts: int):
@@ -271,7 +335,7 @@ def dist_group_aggregate(mesh: Mesh, dist: Table, group_by: Sequence[str],
     if has_distinct:
         # raw shuffle then exact local aggregate (distinct can't pre-merge)
         shuffled = shuffle(mesh, dist, _key_dest_fn(names, num_parts),
-                           out_cap_per_peer or dist._cap_hint or 1024)
+                           out_cap_per_peer)
         return dist_map(
             mesh,
             lambda t: run_local_plan(
@@ -285,8 +349,8 @@ def dist_group_aggregate(mesh: Mesh, dist: Table, group_by: Sequence[str],
             lambda tt: GroupAggregate(names, spec, ScanTable(tt), options),
             t),
         dist)
-    peer_cap = out_cap_per_peer or pre._cap_hint or 1024
-    shuffled = shuffle(mesh, pre, _key_dest_fn(names, num_parts), peer_cap)
+    shuffled = shuffle(mesh, pre, _key_dest_fn(names, num_parts),
+                       out_cap_per_peer)
     final_spec = combine_specification(spec)
     return dist_map(
         mesh,
@@ -306,10 +370,10 @@ def dist_hash_join(mesh: Mesh, join_type: JoinType,
     """Partition both sides by key hash over ICI, then join locally
     (SURVEY.md §3.3 TPU mapping)."""
     num_parts = mesh.devices.size
-    lcap = out_cap_per_peer or (lhs._cap_hint or 1024)
-    rcap = out_cap_per_peer or (rhs._cap_hint or 1024)
-    lsh = shuffle(mesh, lhs, _key_dest_fn(list(lhs_keys), num_parts), lcap)
-    rsh = shuffle(mesh, rhs, _key_dest_fn(list(rhs_keys), num_parts), rcap)
+    lsh = shuffle(mesh, lhs, _key_dest_fn(list(lhs_keys), num_parts),
+                  out_cap_per_peer)
+    rsh = shuffle(mesh, rhs, _key_dest_fn(list(rhs_keys), num_parts),
+                  out_cap_per_peer)
 
     def local_join(lt: Table, rt: Table) -> Table:
         plan = HashJoin(join_type, list(lhs_keys), list(rhs_keys),
@@ -470,8 +534,8 @@ def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
     BUILD rows are broadcast to every shard and their PROBE rows stay
     local, while cold keys take the normal hash shuffle."""
     num_parts = mesh.devices.size
-    lcap = out_cap_per_peer or (lhs._cap_hint or 1024)
-    rcap = out_cap_per_peer or (rhs._cap_hint or 1024)
+    lcap = out_cap_per_peer or _default_peer_cap(_shard_cap(lhs), num_parts)
+    rcap = out_cap_per_peer or _default_peer_cap(_shard_cap(rhs), num_parts)
     lkeys, rkeys = list(lhs_keys), list(rhs_keys)
     total_rows = int(np.sum(np.asarray(jax.device_get(lhs.num_rows))))
     min_count = max(int(total_rows * min_frac), 2)
@@ -484,8 +548,8 @@ def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
         is_hot = jnp.any(h[:, None] == hot[None, :], axis=1)
         me = jax.lax.axis_index(AXIS).astype(jnp.int32)
         dest = jnp.where(is_hot, me, partition_of(h, num_parts))
-        return _stack_local(
-            _exchange_local(local, dest, num_parts, lcap)), hot
+        recv, dropped = _exchange_local(local, dest, num_parts, lcap)
+        return _stack_local(recv), hot, dropped
 
     def build_shuffle(block, hot):
         local = _local_view(block)
@@ -493,9 +557,10 @@ def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
         h = hash_of_pairs(pairs)
         is_hot = jnp.any(h[:, None] == hot[None, :], axis=1) \
             & local.row_mask()
-        # cold rows: normal hash shuffle (hot rows dropped from exchange)
+        # cold rows: normal hash shuffle (hot rows excluded from exchange
+        # on purpose — they travel via the all_gather broadcast below)
         dest = jnp.where(is_hot, num_parts, partition_of(h, num_parts))
-        cold = _exchange_local(local, dest, num_parts, rcap)
+        cold, dropped = _exchange_local(local, dest, num_parts, rcap)
         # hot rows: compact locally then all_gather to every shard
         from ..ops.filter import compact_by_mask
         hot_local = compact_by_mask(local, is_hot, hot_cap)
@@ -517,20 +582,28 @@ def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
         hot_dense = compact_by_mask(hot_all, live_g, gcap)
         from ..batch import concat_tables
         merged = concat_tables([cold, hot_dense])
-        return _stack_local(merged)
+        # hot rows beyond hot_cap would be silently truncated by the
+        # compaction above — count them as overflow too
+        dropped = dropped + jnp.maximum(
+            jnp.sum(is_hot.astype(jnp.int32)) - hot_cap, 0)
+        return _stack_local(merged), dropped
 
     def wrapper(lblock, rblock):
-        shuffled_l, hot = probe_shuffle(lblock)
-        shuffled_r = build_shuffle(rblock, hot)
+        shuffled_l, hot, l_dropped = probe_shuffle(lblock)
+        shuffled_r, r_dropped = build_shuffle(rblock, hot)
         lt = _local_view(shuffled_l)
         rt = _local_view(shuffled_r)
         plan = HashJoin(join_type, lkeys, rkeys, ScanTable(lt),
                         ScanTable(rt), rhs_key_uniqueness, **join_kwargs)
         bound, leaves = bind_plan(plan)
-        return _stack_local(bound.run(RunContext(leaves)))
+        return (_stack_local(bound.run(RunContext(leaves))),
+                jnp.reshape(l_dropped + r_dropped, (1,)))
 
-    return jax.shard_map(wrapper, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
-                         out_specs=P(AXIS), check_vma=False)(lhs, rhs)
+    out, dropped = jax.shard_map(
+        wrapper, mesh=mesh, in_specs=(P(AXIS), P(AXIS)),
+        out_specs=(P(AXIS), P(AXIS)), check_vma=False)(lhs, rhs)
+    check_exchange_overflow(dropped)
+    return out
 
 
 def dist_sort(mesh: Mesh, dist: Table, order, samples_per_shard: int = 64,
@@ -541,7 +614,10 @@ def dist_sort(mesh: Mesh, dist: Table, order, samples_per_shard: int = 64,
     order = order if isinstance(order, SortOrder) else SortOrder(order)
     num_parts = mesh.devices.size
     names, ascs = order.names(), order.ascendings()
-    peer_cap = out_cap_per_peer or dist._cap_hint or 1024
+    # range-partitioned rows concentrate by key range, not hash: size for
+    # a whole shard's rows landing on one peer when keys are clustered
+    peer_cap = out_cap_per_peer or _default_peer_cap(
+        _shard_cap(dist), num_parts, skew_factor=2 * num_parts)
 
     def dest_fn(local: Table) -> jnp.ndarray:
         ops, nk = key_operands(local, names, ascs)

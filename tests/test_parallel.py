@@ -164,3 +164,62 @@ def test_ring_pipelined_join_matches_local(jt):
         distribute_table(rhs, mesh, keys=["pk"])))
     assert sorted(got.to_pylist(), key=str) == \
         sorted(expected.to_pylist(), key=str)
+
+
+def test_skewed_exchange_overflow_raises():
+    """A deliberately skewed shuffle must RAISE (ERROR_MEMORY_EXCEEDED
+    semantics, memory.h:465) rather than silently drop rows: every row
+    shares one group key, so the whole table funnels to a single peer
+    whose buffer is deliberately undersized.  DISTINCT forces the
+    raw-row shuffle (the pregroup path would legitimately collapse the
+    hot key to one row per shard before the exchange)."""
+    from supersonic_tpu.exprs.base import EvaluationError
+
+    mesh = make_mesh()
+    n = 400
+    fact = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT64, False),
+                       ("v", DataType.INT64, False)),
+        {"fk": np.zeros(n, dtype=np.int64),
+         "v": np.arange(n, dtype=np.int64)})
+    dist = distribute_table(fact, mesh)
+    spec = [AggSpec(Aggregation.SUM, "v", "sv", distinct=True)]
+    with pytest.raises(EvaluationError, match="exchange overflow"):
+        dist_group_aggregate(mesh, dist, ["fk"], spec, out_cap_per_peer=8)
+
+
+def test_skewed_join_shuffle_overflow_raises():
+    """The join-side repartition must also surface overflow."""
+    from supersonic_tpu.exprs.base import EvaluationError
+
+    mesh = make_mesh()
+    n = 400
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT64, False)),
+        {"fk": np.zeros(n, dtype=np.int64)})
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT64, False),
+                       ("w", DataType.INT64, False)),
+        {"pk": np.arange(4), "w": np.arange(4) * 10})
+    dl = distribute_table(lhs, mesh)
+    dr = distribute_table(rhs, mesh)
+    with pytest.raises(EvaluationError, match="exchange overflow"):
+        dist_hash_join(mesh, JoinType.INNER, ["fk"], ["pk"], dl, dr,
+                       KeyUniqueness.UNIQUE, out_cap_per_peer=8)
+
+
+def test_skewed_exchange_default_caps_survive_hot_key():
+    """With derived per-peer caps (capacity/P x skew factor) the same
+    hot-key table shuffles without overflow and the result is exact."""
+    mesh = make_mesh()
+    n = 256
+    fact = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT64, False),
+                       ("v", DataType.INT64, False)),
+        {"fk": np.zeros(n, dtype=np.int64),
+         "v": np.arange(n, dtype=np.int64)})
+    # generous per-shard capacity so cap/P * skew_factor >= n
+    dist = distribute_table(fact, mesh, cap_per_shard=n)
+    spec = [AggSpec(Aggregation.SUM, "v", "sv")]
+    got = collect_table(dist_group_aggregate(mesh, dist, ["fk"], spec))
+    assert got.to_pylist() == [(0, n * (n - 1) // 2)]
