@@ -39,10 +39,11 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..batch import Column, Table
 from ..schema import Attribute, SchemaError, TupleSchema
-from ..types import DataType, jnp_dtype
+from ..types import DataType, jnp_dtype, physical_dtype
 from .base import BindContext, BoundOperation, Operation, RunContext
 from .filter import compact_by_mask
 from .keys import descending_code, group_code_columns, monotone_code
@@ -95,11 +96,36 @@ class AggregationSpecification:
 @dataclass(frozen=True)
 class GroupAggregateOptions:
     """reference: aggregate.h:160-205.  Memory quotas become static output
-    capacities under XLA's static-shape model."""
+    capacities under XLA's static-shape model: ``memory_quota`` bytes map
+    to an output-row budget at bind (quota // aggregated-row width).
+
+    Strict GroupAggregate with a quota raises ERROR_MEMORY_EXCEEDED-style
+    (``EvaluationError``) when the result exceeds the budget
+    (aggregate_groups.cc:420-427).  BestEffortGroupAggregate instead
+    degrades: it fully aggregates the first ``quota_rows`` distinct keys
+    and passes the remaining rows through as singleton partial groups —
+    output rows are no longer key-unique, exactly the reference's
+    best-effort contract (aggregate.h:233-246) — and emits a warning
+    flag.  ``enforce_quota=True`` makes even the best-effort operator
+    strict (the reference's hard-quota allocator, memory.h:465)."""
 
     estimated_result_row_count: Optional[int] = None  # output capacity
     max_unique_keys_in_result: Optional[int] = None   # clamp; overflow rows
     # merge into the last kept group (aggregate_groups.cc:501-510)
+    memory_quota: Optional[int] = None  # bytes for the aggregated result
+    enforce_quota: bool = False         # hard quota even for best-effort
+
+
+def _quota_rows(memory_quota: int, out_schema: TupleSchema) -> int:
+    """memory_quota bytes -> aggregated-result row budget: quota divided
+    by the output row width (physical value bytes + 1 byte per nullable
+    validity mask, the byte-bool representation)."""
+    width = 0
+    for a in out_schema:
+        width += np.dtype(physical_dtype(a.type)).itemsize
+        if a.nullable:
+            width += 1
+    return max(1, int(memory_quota) // max(width, 1))
 
 
 def _resolve_output_attr(spec: AggSpec, schema: TupleSchema) -> Attribute:
@@ -466,7 +492,7 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
 def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                        out_schema, out_cap, max_keys, rctx: RunContext,
                        pre_sorted: bool, rerank: bool, keep=None,
-                       live_count=None):
+                       live_count=None, soft_key_limit=None):
     cap = t.capacity
     pos = jnp.arange(cap)
     if keep is None:
@@ -514,7 +540,10 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
         for n, a in zip(names, key_attrs)} if not pre_sorted else \
         {n: False for n in names}
 
-    ext_cap = cap if max_keys is not None else out_cap
+    if soft_key_limit is not None:
+        assert not pre_sorted and max_keys is None
+    ext_cap = (cap if (max_keys is not None or soft_key_limit is not None)
+               else out_cap)
     merged_cols: dict[str, Column] = {}
     first_row_col = None
     num_groups = None
@@ -587,12 +616,26 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                 prev_same = prev_same & (c == jnp.roll(c, 1))
             live_s = pos < live_count
             boundary = live_s & (~prev_same | (pos == 0))
+            if soft_key_limit is not None:
+                # best-effort quota degradation (aggregate.h:233-246):
+                # the first soft_key_limit distinct keys aggregate fully;
+                # every later row becomes its own singleton partial group
+                # (a correct partial aggregate — each lane still covers
+                # every input row exactly once per key)
+                if is_base:
+                    orig_groups = jnp.sum(boundary.astype(jnp.int32))
+                    rctx.error_flags.append(
+                        ("warning: best-effort group-by exceeded "
+                         "memory_quota; result is partially aggregated",
+                         orig_groups > soft_key_limit))
+                rank = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+                boundary = live_s & (boundary | (rank >= soft_key_limit))
             is_end = live_s & (jnp.roll(boundary, -1)
                                | (pos == live_count - 1))
 
         if num_groups is None:
             num_groups = jnp.sum(boundary.astype(jnp.int32))
-            if max_keys is None:
+            if max_keys is None and soft_key_limit is None:
                 rctx.error_flags.append(
                     ("aggregate result overflow", num_groups > out_cap))
 
@@ -882,10 +925,29 @@ class GroupAggregate(Operation):
         if opts.max_unique_keys_in_result:
             out_cap = min(out_cap, opts.max_unique_keys_in_result)
         max_keys = opts.max_unique_keys_in_result
+        soft_limit = None
+        if opts.memory_quota is not None:
+            qrows = _quota_rows(opts.memory_quota, out_schema)
+            if self.best_effort and not opts.enforce_quota:
+                # degrade instead of raising (aggregate.h:233-246)
+                if any(s.distinct for s in specs):
+                    raise SchemaError(
+                        "DISTINCT aggregates cannot be partially "
+                        "aggregated under a best-effort memory_quota")
+                if max_keys is not None:
+                    raise SchemaError(
+                        "max_unique_keys_in_result and a best-effort "
+                        "memory_quota are mutually exclusive")
+                soft_limit = qrows
+                out_cap = cb.capacity  # tail rows pass through unaggregated
+            else:
+                # strict: overflow raises ERROR_MEMORY_EXCEEDED-style via
+                # the result-overflow error flag
+                out_cap = min(out_cap, qrows)
         schema_in = cb.schema
 
         dense = None
-        if names:
+        if names and soft_limit is None:
             dense = _dense_domain(cb, names, key_attrs, specs,
                                   cb.schema, opts)
 
@@ -909,7 +971,7 @@ class GroupAggregate(Operation):
             return _grouped_aggregate(
                 t, names, specs, schema_in, out_dicts, out_schema, out_cap,
                 max_keys, rctx, pre_sorted=False, rerank=True, keep=keep,
-                live_count=live_count)
+                live_count=live_count, soft_key_limit=soft_limit)
 
         # key column keeps its value bounds through grouping
         out_stats = {names[0]: cb.stats[names[0]]} \
@@ -920,10 +982,15 @@ class GroupAggregate(Operation):
 
 class BestEffortGroupAggregate(GroupAggregate):
     """Best-effort pregroup (reference: aggregate_groups.cc:989,
-    aggregate.h:233-246).  Under static HBM budgeting a full group-by
-    always fits its declared capacity, so single-chip best-effort ==
-    exact; the partial-aggregate contract matters for the distributed
-    pregroup -> shuffle -> combine pipeline (parallel/dist.py)."""
+    aggregate.h:233-246).  Without a ``memory_quota`` a full group-by
+    always fits its declared capacity, so best-effort == exact.  With a
+    quota (and ``enforce_quota=False``) it degrades instead of raising:
+    the first quota-budget distinct keys aggregate fully and later rows
+    pass through as singleton partial groups — output rows are correct
+    partial aggregates but not key-unique, matching the reference's
+    best-effort contract.  This is the memory-bounded pregroup for the
+    distributed pregroup -> shuffle -> combine pipeline
+    (parallel/dist.py::dist_group_aggregate)."""
 
     best_effort = True
 

@@ -111,7 +111,9 @@ def compile_plan(op: Operation):
 
 def execute(op: Operation, check_errors: bool = True, jit: bool = True) -> Table:
     """Bind, compile, and run a plan; raises EvaluationError on signaling
-    failures (the host sync point for device error flags)."""
+    failures (the host sync point for device error flags).  Flags whose
+    name starts with "warning:" are non-fatal degradation indicators
+    (e.g. best-effort quota clamping) surfaced via ``warnings.warn``."""
     run, bound, leaves = compile_plan(op)
     runner = jax.jit(run) if jit else run
     table, flags = runner(leaves)
@@ -122,8 +124,16 @@ def execute(op: Operation, check_errors: bool = True, jit: bool = True) -> Table
             ctx = RunContext(list(leaves))
             bound.run(ctx)
             names = [n for (n, _) in ctx.error_flags]
-            bad = [names[i] for i, f in enumerate(flags_host) if f]
-            raise EvaluationError(f"evaluation failed: {', '.join(bad)}")
+            raised = [names[i] for i, f in enumerate(flags_host) if f]
+            bad = [n for n in raised if not n.startswith("warning:")]
+            for w in raised:
+                if w.startswith("warning:"):
+                    import warnings
+
+                    warnings.warn(w, RuntimeWarning, stacklevel=2)
+            if bad:
+                raise EvaluationError(
+                    f"evaluation failed: {', '.join(bad)}")
     return table
 
 

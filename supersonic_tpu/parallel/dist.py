@@ -24,7 +24,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..batch import Column, Table
 from ..ops.aggregate import (AggregationSpecification, AggSpec, Aggregation,
-                             GroupAggregate, GroupAggregateOptions)
+                             BestEffortGroupAggregate, GroupAggregate,
+                             GroupAggregateOptions)
 from ..ops.base import RunContext, bind_plan
 from ..ops.filter import compact_by_mask
 from ..ops.hash_join import HashJoin, JoinType, KeyUniqueness
@@ -151,11 +152,35 @@ def dist_map(mesh: Mesh, fn: Callable[..., Table], *dist_tables: Table) -> Table
 
 def run_local_plan(plan_builder: Callable[[Table], "object"],
                    table: Table) -> Table:
-    """Build + run a single-chip plan against one local table (traced)."""
+    """Build + run a single-chip plan against one local table (traced).
+
+    Device error flags the plan raises (overflow, signaling expressions)
+    are synced through a debug callback — a shard failing inside a
+    distributed plan fails the run instead of returning wrong rows,
+    matching ops/base.py::execute semantics."""
     plan = plan_builder(table)
     bound, leaves = bind_plan(plan)
     ctx = RunContext(leaves)
-    return bound.run(ctx)
+    out = bound.run(ctx)
+    if ctx.error_flags:
+        names = [n for n, _ in ctx.error_flags]
+        flags = jnp.stack([f for _, f in ctx.error_flags])
+
+        def chk(fl, names=names):
+            import warnings
+
+            from ..exprs.base import EvaluationError
+            hit = [names[i] for i, f in enumerate(np.asarray(fl)) if f]
+            errs = [n for n in hit if not n.startswith("warning:")]
+            for w in hit:
+                if w.startswith("warning:"):
+                    warnings.warn(w, RuntimeWarning, stacklevel=2)
+            if errs:
+                raise EvaluationError(
+                    f"evaluation failed on a shard: {', '.join(errs)}")
+
+        jax.debug.callback(chk, flags)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -343,20 +368,28 @@ def dist_group_aggregate(mesh: Mesh, dist: Table, group_by: Sequence[str],
                 t),
             shuffled)
 
+    # pregroup is genuinely best-effort: under a memory_quota it emits
+    # partial (non-key-unique) groups instead of raising — the final
+    # combine below re-aggregates them exactly (aggregate.h:233-246)
     pre = dist_map(
         mesh,
         lambda t: run_local_plan(
-            lambda tt: GroupAggregate(names, spec, ScanTable(tt), options),
+            lambda tt: BestEffortGroupAggregate(names, spec, ScanTable(tt),
+                                                options),
             t),
         dist)
     shuffled = shuffle(mesh, pre, _key_dest_fn(names, num_parts),
                        out_cap_per_peer)
     final_spec = combine_specification(spec)
+    # the quota bounds the per-shard pregroup table; the final combine
+    # must hold every key of its partition exactly
+    import dataclasses
+    final_options = dataclasses.replace(options, memory_quota=None)
     return dist_map(
         mesh,
         lambda t: run_local_plan(
             lambda tt: GroupAggregate(names, final_spec, ScanTable(tt),
-                                      options),
+                                      final_options),
             t),
         shuffled)
 

@@ -223,3 +223,26 @@ def test_skewed_exchange_default_caps_survive_hot_key():
     spec = [AggSpec(Aggregation.SUM, "v", "sv")]
     got = collect_table(dist_group_aggregate(mesh, dist, ["fk"], spec))
     assert got.to_pylist() == [(0, n * (n - 1) // 2)]
+
+
+def test_dist_group_aggregate_quota_pregroup_stays_exact():
+    """A memory_quota on the distributed group-by bounds the pregroup
+    (best-effort partial aggregation per shard); the final combine still
+    produces the exact answer (aggregate.h:233-246 contract)."""
+    import warnings
+
+    from supersonic_tpu import GroupAggregateOptions
+
+    mesh = make_mesh()
+    fact, _ = make_tables(n=300, m=30)
+    dist = distribute_table(fact, mesh)
+    spec = [AggSpec(Aggregation.SUM, "v", "sv"),
+            AggSpec(Aggregation.COUNT, "v", "cv")]
+    # ~5-row pregroup budget per shard (row: k 8B + sv 8B+1 + cv 8B = 25B)
+    opts = GroupAggregateOptions(memory_quota=125)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # per-shard degradation warnings
+        got = collect_table(
+            dist_group_aggregate(mesh, dist, ["fk"], spec, options=opts))
+    want = execute(GroupAggregate(["fk"], spec, ScanTable(fact)))
+    assert sorted(got.to_pylist()) == sorted(want.to_pylist())

@@ -1,0 +1,113 @@
+"""Memory-quota semantics for aggregation (reference: aggregate.h:160-205,
+memory.h:465, aggregate_groups.cc:420-427).
+
+memory_quota bytes map to an aggregated-result row budget at bind.  Strict
+GroupAggregate raises ERROR_MEMORY_EXCEEDED-style when the result exceeds
+the budget; BestEffortGroupAggregate degrades to a correct PARTIAL
+aggregate (first budget-many keys fully aggregated, later rows passed
+through as singleton groups) and emits a warning — the reference's
+pregroup contract (aggregate.h:233-246).
+"""
+import warnings
+
+import numpy as np
+import pytest
+
+from supersonic_tpu import (AggSpec, Aggregation, BestEffortGroupAggregate,
+                            DataType, GroupAggregate, GroupAggregateOptions,
+                            ScanTable, Table, TupleSchema, execute)
+from supersonic_tpu.exprs.base import EvaluationError
+from supersonic_tpu.ops.aggregate import _quota_rows
+
+SUM, MIN, MAX, COUNT = (Aggregation.SUM, Aggregation.MIN, Aggregation.MAX,
+                        Aggregation.COUNT)
+
+
+def make_table(n=100, keys=25, seed=3):
+    rng = np.random.default_rng(seed)
+    return Table.from_data(
+        TupleSchema.of(("k", DataType.INT64, False),
+                       ("v", DataType.INT64, False)),
+        {"k": rng.integers(0, keys, n), "v": rng.integers(0, 50, n)})
+
+
+def out_row_width():
+    # k INT64 (8) + sv INT64 nullable (8 + 1 mask byte)
+    return 17
+
+
+def test_quota_rows_mapping():
+    schema = TupleSchema.of(("k", DataType.INT64, False),
+                            ("sv", DataType.INT64, True))
+    assert _quota_rows(17 * 10, schema) == 10
+    assert _quota_rows(5, schema) == 1  # floor of one row
+
+
+def test_strict_quota_raises_memory_exceeded():
+    t = make_table(n=100, keys=25)
+    opts = GroupAggregateOptions(memory_quota=out_row_width() * 8)  # 8 rows
+    plan = GroupAggregate(["k"], [AggSpec(SUM, "v", "sv")], ScanTable(t),
+                          opts)
+    with pytest.raises(EvaluationError, match="overflow"):
+        execute(plan)
+
+
+def test_strict_quota_fits_is_exact():
+    t = make_table(n=100, keys=25)
+    opts = GroupAggregateOptions(memory_quota=out_row_width() * 64)
+    got = execute(GroupAggregate(["k"], [AggSpec(SUM, "v", "sv")],
+                                 ScanTable(t), opts))
+    want = execute(GroupAggregate(["k"], [AggSpec(SUM, "v", "sv")],
+                                  ScanTable(t)))
+    assert sorted(got.to_pylist()) == sorted(want.to_pylist())
+
+
+def test_best_effort_quota_degrades_with_warning_and_stays_correct():
+    t = make_table(n=120, keys=30)
+    quota_rows = 10
+    opts = GroupAggregateOptions(memory_quota=out_row_width() * quota_rows)
+    spec = [AggSpec(SUM, "v", "sv"), AggSpec(COUNT, "v", "cv"),
+            AggSpec(MIN, "v", "mv"), AggSpec(MAX, "v", "xv")]
+    plan = BestEffortGroupAggregate(["k"], spec, ScanTable(t), opts)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        partial = execute(plan)
+    assert any("best-effort" in str(w.message) for w in rec)
+
+    # the partial result is NOT key-unique but IS a correct partial
+    # aggregate: re-aggregating with the combine algebra reproduces the
+    # exact answer (COUNT combines via SUM — aggregate_groups.cc:545-553)
+    rows = partial.to_pylist()
+    assert len(rows) > quota_rows  # degradation actually happened
+    combined = {}
+    for k, sv, cv, mv, xv in rows:
+        if k not in combined:
+            combined[k] = [0, 0, None, None]
+        c = combined[k]
+        c[0] += sv if sv is not None else 0
+        c[1] += cv
+        if mv is not None:
+            c[2] = mv if c[2] is None else min(c[2], mv)
+        if xv is not None:
+            c[3] = xv if c[3] is None else max(c[3], xv)
+    exact = execute(GroupAggregate(["k"], spec, ScanTable(t)))
+    for k, sv, cv, mv, xv in exact.to_pylist():
+        assert combined[k] == [sv, cv, mv, xv], f"key {k}"
+
+
+def test_best_effort_without_quota_is_exact():
+    t = make_table()
+    spec = [AggSpec(SUM, "v", "sv")]
+    got = execute(BestEffortGroupAggregate(["k"], spec, ScanTable(t)))
+    want = execute(GroupAggregate(["k"], spec, ScanTable(t)))
+    assert sorted(got.to_pylist()) == sorted(want.to_pylist())
+
+
+def test_best_effort_enforce_quota_is_strict():
+    t = make_table(n=100, keys=25)
+    opts = GroupAggregateOptions(memory_quota=out_row_width() * 4,
+                                 enforce_quota=True)
+    plan = BestEffortGroupAggregate(["k"], [AggSpec(SUM, "v", "sv")],
+                                    ScanTable(t), opts)
+    with pytest.raises(EvaluationError, match="overflow"):
+        execute(plan)
