@@ -154,8 +154,11 @@ class FromUnixTime(Expression):
 
 
 class MakeDate(Expression):
-    """MAKEDATE(year, month, day) -> DATE; invalid dates -> NULL
-    (reference: nulling behavior of MakeDate)."""
+    """MAKEDATE(year, month, day) -> DATETIME at UTC 0:00 of that date
+    (reference: date_expressions.h:53-56, expression_traits
+    OPERATOR_MAKEDATE output_type INT64/DATETIME).  Invalid dates -> NULL
+    (the reference signals an evaluation failure instead — documented
+    divergence, PARITY.md)."""
 
     def __init__(self, year, month, day):
         self.year = wrap(year)
@@ -179,10 +182,10 @@ class MakeDate(Expression):
             ry, rm, rd = _civil_from_days(days)
             ok = (ry == yv) & (rm == mv) & (rd == dv)
             valid = merge_valid(y.valid, m.valid, d.valid, ok)
-            return ExprValue(days.astype(jnp.int32), valid)
+            return ExprValue(days * US_PER_DAY, valid)
 
         return BoundExpression(
-            Attribute("MAKEDATE", DataType.DATE, True), f)
+            Attribute("MAKEDATE", DataType.DATETIME, True), f)
 
 
 class MakeDatetime(Expression):

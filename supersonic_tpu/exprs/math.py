@@ -259,10 +259,10 @@ def _classify(op_name: str, fn: Callable):
 IsNaN = _classify("IS_NAN", jnp.isnan)
 IsInf = _classify("IS_INF", jnp.isinf)
 IsFinite = _classify("IS_FINITE", jnp.isfinite)
+# normal = finite, not zero, not subnormal (std::isnormal)
 IsNormal = _classify(
     "IS_NORMAL",
-    lambda x: jnp.isfinite(x) & ((x == 0) | (jnp.abs(x) >= jnp.finfo(
-        x.dtype).tiny)))
+    lambda x: jnp.isfinite(x) & (jnp.abs(x) >= jnp.finfo(x.dtype).tiny))
 
 
 class Format(Expression):

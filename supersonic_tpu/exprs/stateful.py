@@ -47,8 +47,9 @@ class Changed(Expression):
 
 
 class RunningSum(Expression):
-    """Cumulative sum of non-NULL values; NULL rows emit NULL and leave the
-    running state unchanged (reference: RunningSum)."""
+    """Cumulative sum: NULL inputs are ignored (treated as zero) and the
+    output stays NULL only until the first non-NULL value appears
+    (reference contract: stateful_expressions.h:41-45)."""
 
     def __init__(self, child):
         self.child = wrap(child)
@@ -64,7 +65,12 @@ class RunningSum(Expression):
             # blocked scan, not jnp.cumsum: 64-bit cumsum lowers to an
             # emulated reduce-window that blows TPU scoped VMEM
             no_reset = jnp.zeros(contrib.shape[0], dtype=jnp.bool_)
-            return ExprValue(seg_cumsum(contrib, no_reset), v.valid)
+            sums = seg_cumsum(contrib, no_reset)
+            out_valid = None
+            if v.valid is not None:
+                # NULL only before the first non-NULL value
+                out_valid = jnp.cumsum(valid.astype(jnp.int32)) > 0
+            return ExprValue(sums, out_valid)
 
         return BoundExpression(
             Attribute(f"RUNNING_SUM({cb.name})", cb.type, cb.nullable), f)

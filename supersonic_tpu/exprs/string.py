@@ -139,46 +139,137 @@ class Substring(Expression):
             schema, dicts)
 
 
+PAIR_CROSS_MAX = 1 << 20
+
+
+def _pair_property_expr(op_name: str, fn: Callable, out_type: DataType,
+                        np_dtype):
+    """Binary (string, string) -> scalar op over two non-constant columns:
+    the |da| x |db| property table is computed on the host at bind and
+    evaluation is one device gather (same design as Concat's cross
+    dictionaries).  Budget-guarded like dictionary.cross."""
+
+    class _Op(Expression):
+        def __init__(self, a, b):
+            self.a = wrap(a)
+            self.b = wrap(b)
+
+        def do_bind(self, schema, dicts):
+            ab = self.a.do_bind(schema, dicts)
+            bb = self.b.do_bind(schema, dicts)
+            da = _require_string(ab, op_name)
+            db = _require_string(bb, op_name)
+            na, nb = max(len(da), 1), max(len(db), 1)
+            if na * nb > PAIR_CROSS_MAX:
+                raise TypeError_(
+                    f"{op_name}: pair table {len(da)}x{len(db)} exceeds "
+                    f"budget {PAIR_CROSS_MAX}; materialize and re-encode")
+            av = da.values or ("",)
+            bv = db.values or ("",)
+            lut_np = np.empty(na * nb, dtype=np_dtype)
+            for i, x in enumerate(av):
+                base = i * nb
+                for j, y in enumerate(bv):
+                    lut_np[base + j] = fn(x, y)
+            lut = jnp.asarray(lut_np)
+
+            def g(ctx: EvalContext) -> ExprValue:
+                va = ab.evaluate(ctx)
+                vb = bb.evaluate(ctx)
+                ca = jnp.clip(va.values, 0, na - 1).astype(jnp.int32)
+                cb2 = jnp.clip(vb.values, 0, nb - 1).astype(jnp.int32)
+                out = take_small(lut, ca * nb + cb2)
+                return ExprValue(out, merge_valid(va.valid, vb.valid))
+
+            return BoundExpression(
+                Attribute(f"{op_name}({ab.name}, {bb.name})", out_type,
+                          ab.nullable or bb.nullable), g)
+
+    _Op.__name__ = op_name.title().replace("_", "")
+    return _Op
+
+
 class StringReplace(Expression):
-    """STRING_REPLACE(haystack, needle, substitute) with const needle/sub."""
+    """STRING_REPLACE(haystack, needle, substitute); needle may be a
+    column (pair cross dictionary); substitute must be constant."""
 
     def __init__(self, haystack, needle, substitute):
         self.haystack = wrap(haystack)
-        self.needle = _resolve_const(needle, "STRING_REPLACE needle")
+        self.needle = wrap(needle)
         self.substitute = _resolve_const(substitute, "STRING_REPLACE sub")
 
     def do_bind(self, schema, dicts):
-        needle, sub = self.needle, self.substitute
-        return _dict_transform_expr(
-            "STRING_REPLACE", lambda s: s.replace(needle, sub)
-        )(self.haystack).do_bind(schema, dicts)
+        sub = self.substitute
+        if isinstance(self.needle, Const):
+            needle = self.needle.value
+            return _dict_transform_expr(
+                "STRING_REPLACE", lambda s: s.replace(needle, sub)
+            )(self.haystack).do_bind(schema, dicts)
+        from ..dictionary import CrossSizeError, cross
+
+        hb = self.haystack.do_bind(schema, dicts)
+        nb_ = self.needle.do_bind(schema, dicts)
+        dh = _require_string(hb, "STRING_REPLACE")
+        dn = _require_string(nb_, "STRING_REPLACE")
+        try:
+            nd, lut_np = cross(dh, dn,
+                               fn=lambda s, n: s.replace(n, sub) if n else s,
+                               max_size=PAIR_CROSS_MAX)
+        except CrossSizeError as e:
+            raise TypeError_(f"STRING_REPLACE: {e}") from None
+        lut = jnp.asarray(lut_np)
+        lb = max(len(dn), 1)
+        lh = max(len(dh), 1)
+
+        def g(ctx: EvalContext) -> ExprValue:
+            vh = hb.evaluate(ctx)
+            vn = nb_.evaluate(ctx)
+            ch = jnp.clip(vh.values, 0, lh - 1).astype(jnp.int32)
+            cn = jnp.clip(vn.values, 0, lb - 1).astype(jnp.int32)
+            out = take_small(lut, ch * lb + cn)
+            return ExprValue(out, merge_valid(vh.valid, vn.valid))
+
+        return BoundExpression(
+            Attribute(f"STRING_REPLACE({hb.name}, {nb_.name})", hb.type,
+                      hb.nullable or nb_.nullable), g, nd)
 
 
 class StringOffset(Expression):
-    """STRING_OFFSET(haystack, const needle): 1-based position, 0 if absent
-    (reference: string_expressions.h StringOffset)."""
+    """STRING_OFFSET(haystack, needle): 1-based position, 0 if absent
+    (reference: string_expressions.h StringOffset).  Needle may be a
+    constant (property LUT) or a string column (pair cross LUT)."""
 
     def __init__(self, haystack, needle):
         self.haystack = wrap(haystack)
-        self.needle = _resolve_const(needle, "STRING_OFFSET needle")
+        self.needle = wrap(needle)
 
     def do_bind(self, schema, dicts):
-        needle = self.needle
-        return _property_expr(
-            "STRING_OFFSET", lambda s: s.find(needle) + 1,
-            DataType.UINT32, np.uint32)(self.haystack).do_bind(schema, dicts)
+        if isinstance(self.needle, Const):
+            needle = self.needle.value
+            return _property_expr(
+                "STRING_OFFSET", lambda s: s.find(needle) + 1,
+                DataType.UINT32, np.uint32
+            )(self.haystack).do_bind(schema, dicts)
+        return _pair_property_expr(
+            "STRING_OFFSET", lambda s, n: s.find(n) + 1,
+            DataType.UINT32, np.uint32
+        )(self.haystack, self.needle).do_bind(schema, dicts)
 
 
 class StringContains(Expression):
     def __init__(self, haystack, needle):
         self.haystack = wrap(haystack)
-        self.needle = _resolve_const(needle, "STRING_CONTAINS needle")
+        self.needle = wrap(needle)
 
     def do_bind(self, schema, dicts):
-        needle = self.needle
-        return _property_expr(
-            "CONTAINS", lambda s: needle in s, DataType.BOOL, np.bool_
-        )(self.haystack).do_bind(schema, dicts)
+        if isinstance(self.needle, Const):
+            needle = self.needle.value
+            return _property_expr(
+                "CONTAINS", lambda s: needle in s, DataType.BOOL, np.bool_
+            )(self.haystack).do_bind(schema, dicts)
+        return _pair_property_expr(
+            "CONTAINS", lambda s, n: n in s, DataType.BOOL, np.bool_
+        )(self.haystack, self.needle).do_bind(schema, dicts)
 
 
 class Concat(Expression):

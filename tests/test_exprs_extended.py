@@ -138,7 +138,8 @@ def test_makedate():
     S = TupleSchema.of(("y", INT64), ("m", INT64), ("d", INT64))
     data = {"y": [2020, 2020], "m": [2, 13], "d": [29, 1]}
     vals = eval_expr(MakeDate(col("y"), col("m"), col("d")), data, S)
-    assert vals[0] == (us(2020, 2, 29) // 86_400_000_000)
+    # MAKEDATE returns a DATETIME at UTC 0:00 (date_expressions.h:53-56)
+    assert vals[0] == us(2020, 2, 29)
     assert vals[1] is None  # month 13 -> NULL
 
 
@@ -159,8 +160,10 @@ def test_changed():
 
 
 def test_running_sum():
-    data = {"v": [1, None, 2, 3], "f": [False] * 4}
-    assert eval_expr(RunningSum(col("v")), data, ST) == [1, None, 3, 6]
+    # NULL inputs are ignored; output NULL only before the first non-NULL
+    # value (reference: stateful_expressions.h:41-45)
+    data = {"v": [None, 1, None, 2, 3], "f": [False] * 5}
+    assert eval_expr(RunningSum(col("v")), data, ST) == [None, 1, 1, 3, 6]
 
 
 def test_smudge():
