@@ -72,6 +72,9 @@ class NodeStats:
     input_rows: int = 0              # sum of children's output rows
     subtree_time_us: float = 0.0     # wall time of the subtree program
     processing_time_us: float = 0.0  # self time (subtree - children)
+    # JOIN nodes only (reference: benchmark.proto:40-47): build vs probe
+    index_set_up_time_us: Optional[float] = None
+    matching_time_us: Optional[float] = None
     children: list["NodeStats"] = field(default_factory=list)
 
     @property
@@ -116,8 +119,56 @@ def _time_subtree(op: Operation, iters: int) -> tuple[float, int]:
     return best, rows
 
 
+def _empty_probe_like(op: Operation):
+    """A 0-row ScanTable with the schema/dictionaries of ``op``'s output —
+    used to time a join's build phase alone."""
+    from ..batch import Table
+    from ..ops.base import bind_plan
+    from ..ops.scan import ScanTable
+    from ..types import physical_dtype
+
+    bound, _ = bind_plan(op)
+    vals = {a.name: np.zeros(0, physical_dtype(a.type))
+            for a in bound.schema}
+    valids = {a.name: None for a in bound.schema}
+    t = Table.from_arrays(bound.schema, vals, valids, 0,
+                          dict(bound.dicts), capacity=1)
+    return ScanTable(t)
+
+
+def _join_phase_split(node, st: "NodeStats", kids: list["NodeStats"],
+                      iters: int) -> None:
+    """Split a HashJoin's self time into index_set_up_time vs
+    matching_time (reference: cursor_statistics.h:153-167,
+    benchmark.proto:40-47).
+
+    The build phase is isolated by re-timing the join with the probe
+    side replaced by an empty leaf: the program still constructs the
+    rhs index (LUT scatter / build-side sort) but probes nothing.
+    index_set_up_time = that time minus the rhs subtree;
+    matching_time = the node's remaining self time.
+    """
+    from ..ops.hash_join import HashJoin
+
+    build_only = HashJoin(
+        node.join_type, node.lhs_keys, node.rhs_keys,
+        _empty_probe_like(node.lhs), node.rhs, node.uniqueness,
+        lhs_projector=node.lhs_projector, rhs_projector=node.rhs_projector,
+        allow_dense_lookup=node.allow_dense_lookup)
+    try:
+        secs, _ = _time_subtree(build_only, iters)
+    except Exception:
+        return  # split is best-effort instrumentation
+    rhs_kid = kids[-1] if kids else None
+    rhs_time = rhs_kid.subtree_time_us if rhs_kid else 0.0
+    st.index_set_up_time_us = max(secs * 1e6 - rhs_time, 0.0)
+    st.matching_time_us = max(
+        st.processing_time_us - st.index_set_up_time_us, 0.0)
+
+
 def benchmark_plan(op: Operation, iters: int = 3) -> NodeStats:
     """``PerformBenchmark`` equivalent: per-node stats over the plan tree."""
+    from ..ops.hash_join import HashJoin
 
     def visit(node: Operation) -> NodeStats:
         kids = [visit(c) for c in plan_children(node)]
@@ -133,6 +184,8 @@ def benchmark_plan(op: Operation, iters: int = 3) -> NodeStats:
         )
         st.processing_time_us = max(
             st.subtree_time_us - sum(k.subtree_time_us for k in kids), 0.0)
+        if isinstance(node, HashJoin):
+            _join_phase_split(node, st, kids, iters)
         return st
 
     return visit(op)
@@ -150,11 +203,29 @@ def format_stats(root: NodeStats) -> str:
         lines.append(f"{name:<28} {n.benchmark_type:<14} "
                      f"{n.rows_processed:>10} {n.processing_time_us:>12.1f} "
                      f"{tp:>10} {n.return_rate:>8.1f}%")
+        if n.index_set_up_time_us is not None:
+            lines.append(
+                "  " * depth
+                + f"  [join: index_set_up {n.index_set_up_time_us:.1f} µs, "
+                  f"matching {n.matching_time_us:.1f} µs]")
         for k in n.children:
             walk(k, depth + 1)
 
     walk(root, 0)
+    # self-time bias disclosure: per-node self times come from timing each
+    # subtree as its OWN jit, which loses cross-node fusion — the whole
+    # point of this engine.  The fused wall-clock of the root program is
+    # the ground truth; the per-node split is attribution, not a sum.
+    total_self = _sum_self(root)
+    lines.append(
+        f"{'fused whole-plan wall':<43} {'':>10} {root.subtree_time_us:>12.1f}"
+        f"  (sum of per-node self: {total_self:.1f} µs — approximate: "
+        "separate jits lose cross-node fusion)")
     return "\n".join(lines)
+
+
+def _sum_self(n: NodeStats) -> float:
+    return n.processing_time_us + sum(_sum_self(k) for k in n.children)
 
 
 def to_dot(root: NodeStats, title: str = "plan") -> str:

@@ -343,3 +343,31 @@ def test_proto_path_and_pi():
     out2 = execute(Compute(build_expression_from_proto(pi),
                            ScanTable(make_table())))
     assert abs(out2.to_pylist()[0][0] - 3.141592653589793) < 1e-12
+
+
+def test_benchmark_join_phase_split():
+    """HashJoin nodes report index_set_up_time vs matching_time
+    (reference: cursor_statistics.h:153-167, benchmark.proto:40-47)."""
+    import numpy as np
+    from supersonic_tpu import (HashJoin, JoinType, KeyUniqueness,
+                                TupleSchema, DataType, Table)
+
+    rng = np.random.default_rng(5)
+    n, m = 5000, 500
+    fact = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT64, False)),
+        {"fk": rng.integers(0, m, n)})
+    dim = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT64, False),
+                       ("w", DataType.INT64, False)),
+        {"pk": np.arange(m), "w": np.arange(m) * 3})
+    join = HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact),
+                    ScanTable(dim), KeyUniqueness.UNIQUE)
+    stats = benchmark_plan(join, iters=1)
+    assert stats.index_set_up_time_us is not None
+    assert stats.matching_time_us is not None
+    assert stats.index_set_up_time_us + stats.matching_time_us \
+        <= stats.processing_time_us + 1e-6
+    assert "index_set_up" in format_stats(stats)
+    # non-join nodes carry no split
+    assert stats.children[0].index_set_up_time_us is None
