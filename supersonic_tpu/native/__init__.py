@@ -108,6 +108,48 @@ def gather_blob_bytes(dict_blob: bytes, dict_offsets: np.ndarray,
     return out.raw[:total]
 
 
+def concat_groups(dict_blob: bytes, dict_offsets: np.ndarray,
+                  codes: np.ndarray, valid, group_starts: np.ndarray,
+                  separator: bytes, distinct: bool):
+    """CONCAT aggregation byte assembly over grouped rows: joins each
+    group's non-null dictionary payloads with ``separator`` in row order
+    (reference: aggregation_operators.h CONCAT).  Returns
+    (blob bytes, lengths int64[g]; -1 length = all-NULL group) or None if
+    the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_concat_groups_ready"):
+        lib.concat_groups.restype = ctypes.c_int64
+        lib.concat_groups.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_uint8,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p]
+        lib._concat_groups_ready = True
+    g = len(group_starts) - 1
+    codes = np.ascontiguousarray(codes, dtype=np.int32)
+    dict_offsets = np.ascontiguousarray(dict_offsets, dtype=np.int64)
+    group_starts = np.ascontiguousarray(group_starts, dtype=np.int64)
+    lens = np.empty(max(g, 1), dtype=np.int64)
+    valid_ptr = None
+    if valid is not None:
+        valid_u8 = np.ascontiguousarray(valid, dtype=np.uint8)
+        valid_ptr = valid_u8.ctypes.data_as(ctypes.c_char_p)
+    args = [dict_blob,
+            dict_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            valid_ptr,
+            group_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            g, separator, len(separator), 1 if distinct else 0]
+    total = lib.concat_groups(
+        *args, lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), None)
+    out = ctypes.create_string_buffer(max(int(total), 1))
+    lib.concat_groups(*args, None, out)
+    return out.raw[:total], lens[:g]
+
+
 def kway_merge(codes: np.ndarray, starts: np.ndarray):
     """Merge k sorted runs by row codes: ``codes`` is [n_total, m] uint64
     (ascending lexicographic == output order), ``starts`` is int64[k+1]

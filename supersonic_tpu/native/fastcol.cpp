@@ -202,4 +202,51 @@ void kway_merge_u64(const uint64_t* codes, int64_t m, const int64_t* starts,
   }
 }
 
+// CONCAT aggregation byte assembly (reference: aggregation_operators.h
+// CONCAT functor, column_aggregator.cc:198-306): rows arrive already
+// grouped (device sort by group key, original order within the group);
+// for each of g groups this joins its non-null values with `sep`,
+// optionally deduplicating values within the group (DISTINCT CONCAT).
+// Two-pass ABI: pass out_bytes == nullptr to compute per-group lengths
+// into out_lens[g] and return the total byte count; then call again with
+// a buffer of that size to fill it.  codes: n int32 value-dictionary
+// codes in grouped order; valid: n byte-bools (null = skip, no
+// separator); group_starts: g+1 row offsets.
+int64_t concat_groups(const char* dict_bytes, const int64_t* dict_offsets,
+                      const int32_t* codes, const uint8_t* valid,
+                      const int64_t* group_starts, int64_t g,
+                      const char* sep, int64_t sep_len, uint8_t distinct,
+                      int64_t* out_lens, char* out_bytes) {
+  int64_t total = 0;
+  std::vector<char> seen;  // per-group dedup bitmap over dictionary codes
+  for (int64_t gi = 0; gi < g; ++gi) {
+    int64_t len = 0;
+    bool first = true;
+    if (distinct) seen.assign(seen.size(), 0);
+    for (int64_t r = group_starts[gi]; r < group_starts[gi + 1]; ++r) {
+      if (valid != nullptr && !valid[r]) continue;
+      int32_t c = codes[r];
+      if (distinct) {
+        if (static_cast<size_t>(c) >= seen.size()) seen.resize(c + 1, 0);
+        if (seen[c]) continue;
+        seen[c] = 1;
+      }
+      int64_t vlen = dict_offsets[c + 1] - dict_offsets[c];
+      if (!first) {
+        if (out_bytes != nullptr)
+          std::memcpy(out_bytes + total + len, sep, sep_len);
+        len += sep_len;
+      }
+      if (out_bytes != nullptr)
+        std::memcpy(out_bytes + total + len, dict_bytes + dict_offsets[c],
+                    vlen);
+      len += vlen;
+      first = false;
+    }
+    if (out_lens != nullptr) out_lens[gi] = first ? -1 : len;  // -1 = NULL
+    total += len;
+  }
+  return total;
+}
+
 }  // extern "C"

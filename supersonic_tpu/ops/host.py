@@ -26,16 +26,24 @@ def group_concat(table_or_plan, group_by: Sequence[str], input_col: str,
     CONCAT, proto/supersonic.proto:69; separator "," per
     aggregation_operators.h).
 
-    Executes the child on device, then concatenates on host in input-row
-    order (the reference's append order).  Returns a host Table: keys +
-    STRING concat column.
+    The grouping runs on DEVICE (stable sort by the group keys, so rows
+    stay in input order within each group — the reference's append
+    order); the variable-length byte assembly runs in the native C++
+    kernel (native/fastcol.cpp::concat_groups), one linear pass.  Only
+    the per-group result decode is Python (O(groups)).  Falls back to a
+    pure-Python path without the native library.  Returns a host Table:
+    keys + STRING concat column, groups in first-appearance order.
     """
     if isinstance(table_or_plan, Operation):
         src = execute(table_or_plan)
     else:
         src = table_or_plan
-    cols = src.to_numpy()
     names = list(group_by)
+    fast = _group_concat_fast(src, names, input_col, output, separator,
+                              distinct)
+    if fast is not None:
+        return fast
+    cols = src.to_numpy()
     n = int(src.num_rows)
     order: list = []
     groups: dict = {}
@@ -59,6 +67,112 @@ def group_concat(table_or_plan, group_by: Sequence[str], input_col: str,
     data[output] = [separator.join(groups[key]) if groups[key] else None
                     for key in order]
     return Table.from_data(out_schema, data)
+
+
+def _group_concat_fast(src: Table, names: Sequence[str], input_col: str,
+                       output: str, separator: str,
+                       distinct: bool) -> Optional[Table]:
+    """Device sort + native byte assembly path of group_concat."""
+    import numpy as np
+
+    from .. import native
+    from .scan import ScanTable
+    from .sort import Sort
+
+    if not native.available():
+        return None
+    n = int(src.num_rows)
+    key_attrs = [src.schema.lookup(k) for k in names]
+    out_schema = TupleSchema(
+        key_attrs + [Attribute(output, DataType.STRING, True)])
+    if n == 0:
+        return Table.from_data(out_schema,
+                               {a.name: [] for a in out_schema})
+    srt = execute(Sort(names, ScanTable(src)))  # stable: input order kept
+    kvals = {k: np.asarray(srt.columns[k].values)[:n] for k in names}
+    kvalid = {k: (None if srt.columns[k].valid is None
+                  else np.asarray(srt.columns[k].valid)[:n])
+              for k in names}
+    boundary = np.zeros(n, dtype=bool)
+    boundary[0] = True
+    for k in names:
+        v = kvals[k]
+        boundary[1:] |= v[1:] != v[:-1]
+        if kvalid[k] is not None:
+            boundary[1:] |= kvalid[k][1:] != kvalid[k][:-1]
+    group_starts = np.flatnonzero(boundary)
+    g = len(group_starts)
+    starts_full = np.concatenate(
+        [group_starts, np.array([n], dtype=np.int64)]).astype(np.int64)
+
+    c = srt.columns[input_col]
+    vals = np.asarray(c.values)[:n]
+    valid = None if c.valid is None else np.asarray(c.valid)[:n]
+    if input_col in srt.dicts:
+        d = srt.dicts[input_col]
+        binary = (src.schema.lookup(input_col).type == DataType.BINARY)
+        payloads = [v if binary else v.encode() for v in d.values] or [b""]
+        codes = np.clip(vals.astype(np.int32), 0, len(payloads) - 1)
+    else:
+        uniq, inv = np.unique(vals, return_inverse=True)
+        payloads = [str(u).encode() for u in uniq] or [b""]
+        codes = inv.astype(np.int32)
+    lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                          count=len(payloads))
+    offsets = np.zeros(len(payloads) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    res = native.concat_groups(b"".join(payloads), offsets, codes, valid,
+                               starts_full, separator.encode(), distinct)
+    if res is None:
+        return None
+    blob, lens = res
+    out_off = np.zeros(g + 1, dtype=np.int64)
+    np.cumsum(np.maximum(lens, 0), out=out_off[1:])
+    concat_vals = [None if lens[i] < 0
+                   else blob[out_off[i]:out_off[i + 1]].decode()
+                   for i in range(g)]
+
+    # groups in first-appearance order: the stable sort keeps each
+    # group's first row first, so the original position of the group's
+    # first row orders the groups; recover it by re-sorting the original
+    # row positions (stable sort permutation applied to arange)
+    perm = _stable_sort_permutation(src, names, n)
+    first_rows = perm[group_starts]
+    app_order = np.argsort(first_rows, kind="stable")
+
+    data: dict = {}
+    for k, a in zip(names, key_attrs):
+        kv = kvals[k][group_starts][app_order]
+        if k in srt.dicts:
+            dv = srt.dicts[k].values
+            col_vals = [dv[int(x)] if 0 <= int(x) < len(dv) else None
+                        for x in kv]
+        else:
+            col_vals = [x.item() for x in kv]
+        if kvalid[k] is not None:
+            ok = kvalid[k][group_starts][app_order]
+            col_vals = [v if o else None for v, o in zip(col_vals, ok)]
+        data[k] = col_vals
+    data[output] = [concat_vals[i] for i in app_order]
+    return Table.from_data(out_schema, data)
+
+
+def _stable_sort_permutation(src: Table, names: Sequence[str],
+                             n: int) -> "object":
+    """Original row index of each output row of a stable key sort."""
+    import numpy as np
+
+    from ..ops.keys import group_code_columns
+    pairs = group_code_columns(src, list(names))
+    ops = []
+    for nr, code in pairs:
+        if nr is not None:
+            ops.append(np.asarray(nr)[:n])
+        ops.append(np.asarray(code)[:n])
+    if not ops:
+        return np.arange(n)
+    # np.lexsort: LAST key is primary; stable, so ties keep input order
+    return np.lexsort(tuple(reversed(ops)))
 
 
 def to_string(table_or_plan, input_col: str, output: str,

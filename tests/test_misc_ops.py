@@ -77,3 +77,50 @@ def test_hash_fingerprint():
     f = eval_expr(Fingerprint(col("k"), col("s")))
     assert f[0] == f[4]           # same (k, s) pair
     assert len({f[0], f[1], f[2]}) == 3
+
+
+def test_group_concat_fast_matches_python():
+    """The native device-sort + C++ assembly path of group_concat is
+    differentially tested against the pure-Python fallback on random data
+    with NULL keys, NULL values, numeric inputs and DISTINCT."""
+    import numpy as np
+
+    from supersonic_tpu import DataType
+    from supersonic_tpu.ops import host as host_mod
+
+    rng = np.random.default_rng(17)
+    n = 500
+    words = ["a", "bb", "ccc", "", "dd,d", "é"]
+    t = Table.from_data(
+        TupleSchema.of(("k", DataType.INT64, True),
+                       ("k2", DataType.STRING, False),
+                       ("s", DataType.STRING, True),
+                       ("v", DataType.INT64, True)),
+        {"k": [None if x < 0.1 else int(x * 5)
+               for x in rng.random(n)],
+         "k2": [words[i % 3] for i in range(n)],
+         "s": [None if x < 0.2 else words[int(x * 6)]
+               for x in rng.random(n)],
+         "v": [None if x < 0.2 else int(x * 40)
+               for x in rng.random(n)]})
+
+    for input_col in ("s", "v"):
+        for distinct in (False, True):
+            for keys in (["k"], ["k", "k2"]):
+                fast = host_mod._group_concat_fast(
+                    t, keys, input_col, "cc", ",", distinct)
+                assert fast is not None, "native library unavailable"
+                # force the pure-python path by monkeypatching the guard
+                orig = host_mod._group_concat_fast
+                host_mod._group_concat_fast = lambda *a, **k: None
+                try:
+                    slow = group_concat(t, keys, input_col, "cc",
+                                        distinct=distinct)
+                finally:
+                    host_mod._group_concat_fast = orig
+                assert sorted(map(str, fast.to_pylist())) == \
+                    sorted(map(str, slow.to_pylist())), \
+                    (input_col, distinct, keys)
+                # first-appearance group order must match exactly too
+                assert fast.to_pylist() == slow.to_pylist(), \
+                    (input_col, distinct, keys)
