@@ -76,10 +76,6 @@ def main():
           idx, lut1)
 
 
-if False:
-    main()
-
-
 def extra():
     rng = np.random.default_rng(0)
     idx = jnp.asarray(rng.integers(0, K, N).astype(np.int32))
@@ -99,4 +95,10 @@ def extra():
                                          axis=0).sum(), idx, lutk)
 
 
-extra()
+if __name__ == "__main__":
+    import sys
+
+    if "--extra" in sys.argv:
+        extra()
+    else:
+        main()

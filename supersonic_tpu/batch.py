@@ -307,10 +307,14 @@ def gather_arrays(arrays: Sequence[jnp.ndarray],
             i = idxs[0]
             a = arrays[i]
             if (key == "u32" and on_tpu
-                    and safe_indices.shape[0] >= (1 << 20)):
+                    and safe_indices.shape[0] >= (1 << 20)
+                    and a.shape[0] <= 4 * safe_indices.shape[0]):
                 # a 1-lane XLA gather costs ~53ms/8M indices but a 2-lane
                 # packed one only ~42ms (measured: 8-byte loads amortize
-                # the per-index cost) — duplicate the lane and drop it
+                # the per-index cost) — duplicate the lane and drop it.
+                # Source-size cap: the duplicated copy materializes 2x the
+                # source in HBM, so only when the source is comparable to
+                # the index set (gathers are index-count-bound anyway).
                 packed = jnp.stack([a, a], axis=1)
                 out[i] = jnp.take(packed, safe_indices, axis=0)[:, 0]
             else:

@@ -406,14 +406,16 @@ class HashJoin(Operation):
         # scatter, no index at all — one packed gather.  Runtime-guarded
         # like every stats-driven choice.
         rowid_kmin = None
+        rowid_stats = rb.stats.get(rhs_keys[0])
         if (self.allow_dense_lookup and unique and len(lhs_keys) == 1
                 and remaps[0] is None
                 and rhs_keys[0] in rb.rowid
+                and rowid_stats is not None
                 and lb.schema.lookup(lhs_keys[0]).type.value
                 in _DENSE_KEY_TYPES
                 and rb.schema.lookup(rhs_keys[0]).type.value
                 in _DENSE_KEY_TYPES):
-            rowid_kmin = rb.stats[rhs_keys[0]][0]
+            rowid_kmin = rowid_stats[0]
 
         def fn(rctx: RunContext) -> Table:
             lt = lb.run(rctx)
