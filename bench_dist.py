@@ -98,6 +98,129 @@ def run(n_rows: int, n_dim: int, devices: int, cpu: bool):
     }))
 
 
+def analyze(n_rows: int, n_dim: int, devices: int, cpu: bool):
+    """Component breakdown at each mesh size: local compute vs exchange
+    time, shuffle bytes, and ring-join (ppermute overlap) vs repartition
+    join — the evidence base for BASELINE.md's distributed section."""
+    if cpu:
+        import os
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={max(devices, 8)}")
+    import jax
+    if cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from supersonic_tpu import (AggSpec, Aggregation, Const, DataType,
+                                Filter, HashJoin, JoinType, KeyUniqueness,
+                                ScanTable, Table, TupleSchema, col)
+    from supersonic_tpu.parallel import (dist_group_aggregate,
+                                         dist_hash_join, dist_map,
+                                         dist_sort, distribute_table,
+                                         make_mesh, run_local_plan, shuffle)
+    from supersonic_tpu.parallel.dist import (_key_dest_fn,
+                                              dist_hash_join_ring)
+
+    rng = np.random.default_rng(42)
+    fact = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"fk": rng.integers(0, n_dim, n_rows).astype(np.int32),
+         "v": rng.random(n_rows, dtype=np.float32)})
+    dim = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("g", DataType.INT32, False)),
+        {"pk": np.arange(n_dim, dtype=np.int32),
+         "g": rng.integers(0, 64, n_dim).astype(np.int32)})
+
+    def timed(fn, *args, reps=3):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0])  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            for leaf in jax.tree_util.tree_leaves(out):
+                leaf.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    rows_per = {}
+    print(f"{'P':>2} {'component':<26} {'ms':>9} {'M rows/s':>9}",
+          file=sys.stderr)
+    sweep = sorted({1, 2, 4, devices})
+    table = {}
+    for P in sweep:
+        mesh = make_mesh(P)
+        dfact = distribute_table(fact, mesh)
+        ddim = distribute_table(dim, mesh)
+        per_peer = dfact._cap_hint
+
+        def rec(name, secs, P=P):
+            table[(P, name)] = secs
+            print(f"{P:>2} {name:<26} {secs*1e3:>9.1f} "
+                  f"{n_rows/secs/1e6:>9.1f}", file=sys.stderr)
+
+        # (1) embarrassingly-parallel local compute: filter
+        filt = jax.jit(lambda d: dist_map(
+            mesh, lambda t: run_local_plan(
+                lambda tt: Filter(col("v") > Const(0.5, DataType.FLOAT),
+                                  ScanTable(tt)), t), d))
+        secs, filtered = timed(filt, dfact)
+        rec("filter(local)", secs)
+
+        # (2) the exchange alone: hash-repartition the filtered fact by fk
+        exch = jax.jit(lambda d: shuffle(
+            mesh, d, _key_dest_fn(["fk"], P), per_peer, check=False)[0])
+        secs, shuffled_fact = timed(exch, filtered)
+        rec("exchange(fact by fk)", secs)
+
+        # (3) repartition join (2 shuffles + local join)
+        rj = jax.jit(lambda a, b: dist_hash_join(
+            mesh, JoinType.INNER, ["fk"], ["pk"], a, b,
+            KeyUniqueness.UNIQUE, out_cap_per_peer=per_peer))
+        secs, joined = timed(rj, filtered, ddim)
+        rec("join(repartition)", secs)
+
+        # (4) ring join: probe stays local, build rotates via ppermute —
+        # the overlap design (no probe-side exchange at all)
+        ring = jax.jit(lambda a, b: dist_hash_join_ring(
+            mesh, JoinType.INNER, ["fk"], ["pk"], a, b))
+        ddim_bykey = distribute_table(dim, mesh, keys=["pk"])
+        secs, _ = timed(ring, filtered, ddim_bykey)
+        rec("join(ring/ppermute)", secs)
+
+        # (5) pregroup -> shuffle -> combine aggregate
+        agg = jax.jit(lambda d: dist_group_aggregate(
+            mesh, d, ["g"],
+            [AggSpec(Aggregation.SUM, "v", "sv"),
+             AggSpec(Aggregation.COUNT, None, "c")],
+            out_cap_per_peer=256))
+        secs, agged = timed(agg, joined)
+        rec("group-by(pregroup+comb)", secs)
+
+        # (6) sample sort
+        srt = jax.jit(lambda d: dist_sort(mesh, d, ["g"],
+                                          out_cap_per_peer=256))
+        secs, _ = timed(srt, agged)
+        rec("sort(sample+range)", secs)
+
+        n_filtered = int(np.sum(np.asarray(filtered.num_rows)))
+        # wire bytes that actually cross the exchange (fk 4B + v 4B rows)
+        print(f"   exchange bytes at P={P}: "
+              f"{n_filtered * 8 / 1e6:.1f} MB over the fact side; "
+              f"{n_dim * 8 / 1e6:.1f} MB dim side", file=sys.stderr)
+    print(json.dumps({
+        "metric": "dist_component_analysis",
+        "value": round(table[(devices, 'join(ring/ppermute)')]
+                       / max(table[(devices, 'join(repartition)')], 1e-12),
+                       3),
+        "unit": "ring/repartition join time ratio at max P (CPU-emulated)"
+        if cpu else "ring/repartition join time ratio at max P",
+        "vs_baseline": 1.0,
+    }))
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1_000_000)
@@ -105,5 +228,10 @@ if __name__ == "__main__":
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--tpu", action="store_true",
                     help="use the default (TPU) backend instead of CPU")
+    ap.add_argument("--analyze", action="store_true",
+                    help="component breakdown across a mesh-size sweep")
     a = ap.parse_args()
-    run(a.rows, a.dim, a.devices, cpu=not a.tpu)
+    if a.analyze:
+        analyze(a.rows, a.dim, a.devices, cpu=not a.tpu)
+    else:
+        run(a.rows, a.dim, a.devices, cpu=not a.tpu)

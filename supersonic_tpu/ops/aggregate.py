@@ -237,6 +237,11 @@ def _pass_key(spec: AggSpec):
 
 _DENSE_DOMAIN_MAX = 2048  # segment_reduce_small MAX_SEGMENTS
 
+# approx_max_k ranks f32 scores: (cap - pos) is exactly representable only
+# below 2^24, so larger capacities take the exact-integer lax.top_k branch
+# (tests/test_capacity_edges.py pins both sides of the boundary)
+_APPROX_TOPK_MAX_CAP = 1 << 24
+
 
 def _dense_domain(cb, names, key_attrs, specs, schema_in, options):
     """(dims, K, stats_guarded) when the group keys have a statically
@@ -777,7 +782,7 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                 # exact two-phase TPU top-k (PartialReduce custom call),
                 # much cheaper than the sort-based lax.top_k; it needs
                 # floats, exact for integers < 2^24.
-                if cap < (1 << 24):
+                if cap < _APPROX_TOPK_MAX_CAP:
                     val = jnp.where(mask, (cap - pos).astype(jnp.float32),
                                     0.0)
                     _, idx = jax.lax.approx_max_k(val, ext_cap,

@@ -143,3 +143,35 @@ def test_cpp_division_truncates_toward_zero():
     schema = TupleSchema.of(("a", INT64),)
     assert eval_expr(CppDivide(col("a"), Const(2)),
                      data={"a": [-3, 3, -4]}, schema=schema) == [-1, 1, -2]
+
+
+def test_constant_subtrees_fold_in_compiled_hlo():
+    """Constant-folding parity (reference: basic_bound_expression.h:44
+    can_be_resolved — constant subtrees resolve before evaluation).  Under
+    XLA the same guarantee holds at compile time: the optimized HLO of a
+    plan containing Const(2) + Const(3) * Const(4) contains the folded
+    constant and no multiply at all; the only add left is the one that
+    touches the data column."""
+    import re
+
+    import jax
+
+    from supersonic_tpu import Compute, Const, ScanTable
+    from supersonic_tpu.ops.base import compile_plan
+
+    t = Table.from_data(TupleSchema.of(("a", INT64)), {"a": [1, 2, 3]})
+    plan = Compute((col("a") + (Const(2) + Const(3) * Const(4))).as_("o"),
+                   ScanTable(t))
+    run, _bound, leaves = compile_plan(plan)
+    hlo = jax.jit(run).lower(leaves).compile().as_text()
+    assert len(re.findall(r" multiply\(", hlo)) == 0
+    assert len(re.findall(r" add\(", hlo)) == 1
+    assert "14" in hlo  # the folded constant is embedded
+
+    # a fully-constant expression leaves no arithmetic at all
+    plan2 = Compute((Const(10) * Const(5) - Const(8)).as_("o"),
+                    ScanTable(t))
+    run2, _b2, leaves2 = compile_plan(plan2)
+    hlo2 = jax.jit(run2).lower(leaves2).compile().as_text()
+    assert len(re.findall(r" (multiply|subtract)\(", hlo2)) == 0
+    assert "42" in hlo2
