@@ -53,7 +53,7 @@ def run(n_rows: int, n_dim: int, devices: int, cpu: bool):
             dfact)
         joined = dist_hash_join(
             mesh, JoinType.INNER, ["fk"], ["pk"], filtered, ddim,
-            KeyUniqueness.UNIQUE, out_cap_per_peer=per_peer)
+            KeyUniqueness.UNIQUE)  # derived per-peer caps (cap/P x skew)
         agg = dist_group_aggregate(
             mesh, joined, ["g"],
             [AggSpec(Aggregation.SUM, "v", "sv"),
@@ -171,14 +171,16 @@ def analyze(n_rows: int, n_dim: int, devices: int, cpu: bool):
 
         # (2) the exchange alone: hash-repartition the filtered fact by fk
         exch = jax.jit(lambda d: shuffle(
-            mesh, d, _key_dest_fn(["fk"], P), per_peer, check=False)[0])
+            mesh, d, _key_dest_fn(["fk"], P), None, check=False)[0])
         secs, shuffled_fact = timed(exch, filtered)
         rec("exchange(fact by fk)", secs)
 
         # (3) repartition join (2 shuffles + local join)
+        # derived per-peer caps (shard_cap/P x skew factor): receive
+        # buffers shrink with P instead of staying at full shard capacity
         rj = jax.jit(lambda a, b: dist_hash_join(
             mesh, JoinType.INNER, ["fk"], ["pk"], a, b,
-            KeyUniqueness.UNIQUE, out_cap_per_peer=per_peer))
+            KeyUniqueness.UNIQUE))
         secs, joined = timed(rj, filtered, ddim)
         rec("join(repartition)", secs)
 

@@ -1,5 +1,5 @@
 from .base import (BindContext, BoundOperation, Operation, RunContext,
-                   bind_plan, compile_plan, execute)
+                   bind_plan, compile_plan, execute, set_debug_checks)
 from .scan import ScanTable, ScanTableWithSelection
 from .project import Project, Projector
 from .compute import Compute

@@ -58,7 +58,46 @@ class BoundOperation:
     rowid: set = field(default_factory=set)
 
     def run(self, ctx: RunContext) -> Table:
-        return self.fn(ctx)
+        out = self.fn(ctx)
+        # masked binds return (Table, keep) — validate the table part
+        if _DEBUG_CHECKS:
+            _append_debug_checks(out[0] if isinstance(out, tuple) else out,
+                                 ctx)
+        return out
+
+
+# --- debug validation layer (reference: pervasive DCHECKs — block.h:91-94,
+# cursor.h:114-117, bit_pointers.h:55-60).  Off by default; when enabled,
+# every BoundOperation output is validated on device and violations raise
+# through the standard error-flag host sync.
+_DEBUG_CHECKS = False
+
+
+def set_debug_checks(enabled: bool) -> None:
+    """Enable DCHECK-style invariant validation on every operator output
+    (debug builds of the reference do this via DCHECK).  Costs extra
+    device work per node; intended for tests and debugging."""
+    global _DEBUG_CHECKS
+    _DEBUG_CHECKS = bool(enabled)
+
+
+def _append_debug_checks(table: Table, ctx: RunContext) -> None:
+    n = jnp.asarray(table.num_rows)
+    cap = table.capacity
+    ctx.error_flags.append(
+        ("debug: num_rows out of [0, capacity]",
+         (n < 0) | (n > cap)))
+    live = table.row_mask()
+    for name, d in table.dicts.items():
+        if name not in table.columns:
+            continue
+        c = table.columns[name]
+        codes = c.values
+        ok = live if c.valid is None else (live & c.valid)
+        bad = ok & ((codes < 0) | (codes >= max(len(d), 1)))
+        ctx.error_flags.append(
+            (f"debug: dictionary code out of range in {name!r}",
+             jnp.any(bad)))
 
 
 class BindContext:
