@@ -195,14 +195,19 @@ def _shard_cap(dist: Table) -> int:
 
 
 def _default_peer_cap(shard_cap: int, num_parts: int,
-                      skew_factor: int = 4, floor: int = 128) -> int:
+                      skew_factor: int = 2, floor: int = 128) -> int:
     """Per-peer exchange buffer size when the caller gives none: the
-    uniform-hash share (shard_cap / P) times a skew safety factor.  A
-    shuffle that still overflows raises (ERROR_MEMORY_EXCEEDED semantics,
-    reference: memory.h:465) rather than dropping rows — callers pass an
-    explicit ``out_cap_per_peer`` to size for known-skewed keys."""
+    uniform-hash share (shard_cap / P) times a skew safety factor,
+    hard-capped at shard_cap (a source shard can never send more rows to
+    one peer than it holds — so dist_sort's factor 2P degrades to the
+    overflow-proof exact bound).  A shuffle that still overflows raises
+    (ERROR_MEMORY_EXCEEDED semantics, reference: memory.h:465) rather
+    than dropping rows — callers pass an explicit ``out_cap_per_peer``
+    to size for known-skewed keys.  The receive buffer (and every
+    downstream operator's padded capacity) is P x this value, so the
+    factor trades skew headroom directly against downstream compute."""
     base = -(-int(shard_cap) // max(num_parts, 1))
-    return max(floor, base * skew_factor)
+    return max(floor, min(base * skew_factor, int(shard_cap)))
 
 
 def _exchange_local(local: Table, dest: jnp.ndarray, num_parts: int,
