@@ -27,7 +27,9 @@
 #include <vector>
 
 #include "supersonic/supersonic.h"
+#include "supersonic/cursor/core/foreign_filter.h"
 #include "supersonic/cursor/core/merge_union_all.h"
+#include "supersonic/cursor/core/rowid_merge_join.h"
 #include "supersonic/cursor/core/scan_view.h"
 #include "supersonic/cursor/infrastructure/file_io.h"
 #include "supersonic/cursor/infrastructure/table.h"
@@ -461,6 +463,174 @@ void CaseExprMix() {
   RunAndDump("expr_mix", Compute(expr, ScanView(table.view())));
 }
 
+// Limit with a non-zero offset (limit.cc:42).
+void CaseLimit() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("a", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("b", DOUBLE, NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(1414);
+  std::uniform_real_distribution<double> d(0.0, 1.0);
+  for (int i = 0; i < 9000; ++i) {
+    w.AddRow().Int32(i);
+    if (d(rng) < 0.1) w.Null(); else w.Double(d(rng));
+  }
+  w.CheckSuccess();
+  DumpInput("limit", 0, table);
+  RunAndDump("limit", Limit(137, 4321, ScanView(table.view())));
+}
+
+// Coalesce: column-wise zip of two children (coalesce.cc:50).
+void CaseCoalesce() {
+  TupleSchema s0;
+  s0.add_attribute(Attribute("a", INT32, NOT_NULLABLE));
+  Table t0(s0, Alloc());
+  TupleSchema s1;
+  s1.add_attribute(Attribute("b", STRING, NOT_NULLABLE));
+  s1.add_attribute(Attribute("c", INT64, NULLABLE));
+  Table t1(s1, Alloc());
+  {
+    TableRowWriter w0(&t0);
+    TableRowWriter w1(&t1);
+    std::mt19937 rng(1515);
+    std::uniform_real_distribution<double> d(0.0, 1.0);
+    for (int i = 0; i < 11000; ++i) {
+      w0.AddRow().Int32((int32)rng());
+      char s[32];
+      snprintf(s, sizeof(s), "c%d", i % 23);
+      w1.AddRow().String(s);
+      if (d(rng) < 0.2) w1.Null(); else w1.Int64((int64)(i * 7));
+    }
+    w0.CheckSuccess();
+    w1.CheckSuccess();
+  }
+  DumpInput("coalesce", 0, t0);
+  DumpInput("coalesce", 1, t1);
+  std::vector<Operation*> children;
+  children.push_back(ScanView(t0.view()));
+  children.push_back(ScanView(t1.view()));
+  RunAndDump("coalesce", Coalesce(children));
+}
+
+// AggregateClusters: streaming aggregate over key-clustered input
+// (aggregate_clusters.cc:627) — input pre-sorted by the cluster key.
+void CaseAggregateClusters() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("k", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("v", INT32, NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(1616);
+  std::uniform_int_distribution<int32> run_d(1, 40);
+  std::uniform_int_distribution<int32> v_d(-100, 100);
+  std::uniform_real_distribution<double> d(0.0, 1.0);
+  int32 key = 0;
+  int rows = 0;
+  while (rows < 12000) {
+    int len = run_d(rng);
+    for (int j = 0; j < len && rows < 12000; ++j, ++rows) {
+      w.AddRow().Int32(key);
+      if (d(rng) < 0.1) w.Null(); else w.Int32(v_d(rng));
+    }
+    key += 1 + (rng() % 3);  // strictly increasing cluster keys
+  }
+  w.CheckSuccess();
+  DumpInput("agg_clusters", 0, table);
+  AggregationSpecification* spec = new AggregationSpecification();
+  spec->AddAggregation(SUM, "v", "sv");
+  spec->AddAggregation(MIN, "v", "mn");
+  spec->AddAggregation(COUNT, "v", "c");
+  RunAndDump("agg_clusters",
+             AggregateClusters(ProjectNamedAttribute("k"), spec,
+                               ScanView(table.view())));
+}
+
+// RowidMergeJoin: ascending INT64 fk joined against right ROW IDS
+// (rowid_merge_join.cc:62).
+void CaseRowidJoin() {
+  TupleSchema rs;
+  rs.add_attribute(Attribute("name", STRING, NOT_NULLABLE));
+  rs.add_attribute(Attribute("w", INT32, NOT_NULLABLE));
+  Table right(rs, Alloc());
+  const int n_right = 500;
+  {
+    TableRowWriter w(&right);
+    std::mt19937 rng(1717);
+    for (int i = 0; i < n_right; ++i) {
+      char s[32];
+      snprintf(s, sizeof(s), "r%03d", i);
+      w.AddRow().String(s).Int32((int32)(rng() % 1000));
+    }
+    w.CheckSuccess();
+  }
+  TupleSchema ls;
+  ls.add_attribute(Attribute("fk", INT64, NOT_NULLABLE));
+  ls.add_attribute(Attribute("lv", INT32, NOT_NULLABLE));
+  Table left(ls, Alloc());
+  {
+    TableRowWriter w(&left);
+    std::mt19937 rng(1818);
+    int64 key = 0;
+    for (int i = 0; i < 9000; ++i) {
+      // ascending, with duplicates, never beyond n_right-1
+      if (rng() % 3 == 0) key = std::min<int64>(key + rng() % 4,
+                                                n_right - 1);
+      w.AddRow().Int64(key).Int32(i);
+    }
+    w.CheckSuccess();
+  }
+  DumpInput("rowid_join", 0, left);
+  DumpInput("rowid_join", 1, right);
+  CompoundMultiSourceProjector* projector =
+      new CompoundMultiSourceProjector();
+  projector->add(0, ProjectAllAttributes("L."));
+  projector->add(1, ProjectAllAttributes("R."));
+  RunAndDump("rowid_join",
+             RowidMergeJoin(ProjectNamedAttribute("fk"), projector,
+                            ScanView(left.view()),
+                            ScanView(right.view())));
+}
+
+// ForeignFilter: ascending fk semi-joined against ascending unique keys,
+// fk remapped to filter row ids (foreign_filter.cc:55).
+void CaseForeignFilter() {
+  TupleSchema fs;
+  fs.add_attribute(Attribute("key", INT64, NOT_NULLABLE));
+  Table filter_t(fs, Alloc());
+  {
+    TableRowWriter w(&filter_t);
+    std::mt19937 rng(1919);
+    int64 k = 0;
+    for (int i = 0; i < 300; ++i) {
+      k += 1 + rng() % 5;  // ascending unique
+      w.AddRow().Int64(k);
+    }
+    w.CheckSuccess();
+  }
+  TupleSchema is;
+  is.add_attribute(Attribute("fk", INT64, NOT_NULLABLE));
+  is.add_attribute(Attribute("pv", INT32, NOT_NULLABLE));
+  Table input_t(is, Alloc());
+  {
+    TableRowWriter w(&input_t);
+    std::mt19937 rng(2020);
+    int64 k = 0;
+    for (int i = 0; i < 8000; ++i) {
+      k += rng() % 2;  // ascending, duplicates allowed
+      w.AddRow().Int64(k).Int32(i);
+    }
+    w.CheckSuccess();
+  }
+  DumpInput("foreign_filter", 0, filter_t);
+  DumpInput("foreign_filter", 1, input_t);
+  RunAndDump("foreign_filter",
+             ForeignFilter(ProjectNamedAttribute("key"),
+                           ProjectNamedAttribute("fk"),
+                           ScanView(filter_t.view()),
+                           ScanView(input_t.view())));
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -481,5 +651,10 @@ int main(int argc, char** argv) {
   CaseFilter();
   CaseScalarEmpty();
   CaseExprMix();
+  CaseLimit();
+  CaseCoalesce();
+  CaseAggregateClusters();
+  CaseRowidJoin();
+  CaseForeignFilter();
   return 0;
 }

@@ -279,6 +279,50 @@ def test_golden_expr_mix():
     assert_tables_match(out, _golden_out("expr_mix"))
 
 
+def test_golden_limit():
+    (t,) = _inputs("limit")
+    from supersonic_tpu import Limit
+    out = execute(Limit(137, 4321, ScanTable(t)))
+    assert_tables_match(out, _golden_out("limit"))
+
+
+def test_golden_coalesce():
+    t0, t1 = _inputs("coalesce")
+    from supersonic_tpu import Coalesce
+    out = execute(Coalesce(ScanTable(t0), ScanTable(t1)))
+    assert_tables_match(out, _golden_out("coalesce"))
+
+
+def test_golden_agg_clusters():
+    (t,) = _inputs("agg_clusters")
+    from supersonic_tpu import AggregateClusters
+    out = execute(AggregateClusters(
+        ["k"],
+        [AggSpec(SUM, "v", "sv"), AggSpec(Aggregation.MIN, "v", "mn"),
+         AggSpec(COUNT, "v", "c")],
+        ScanTable(t)))
+    # streaming cluster order == input cluster order: ordered compare
+    assert_tables_match(out, _golden_out("agg_clusters"))
+
+
+def test_golden_rowid_join():
+    left, right = _inputs("rowid_join")
+    from supersonic_tpu import RowidMergeJoin
+    out = execute(RowidMergeJoin(
+        "fk", ScanTable(left), ScanTable(right),
+        lhs_projector=Projector([("fk", "L.fk"), ("lv", "L.lv")]),
+        rhs_projector=Projector([("name", "R.name"), ("w", "R.w")])))
+    assert_tables_match(out, _golden_out("rowid_join"))
+
+
+def test_golden_foreign_filter():
+    filt, inp = _inputs("foreign_filter")
+    from supersonic_tpu import ForeignFilter
+    out = execute(ForeignFilter("fk", "key", ScanTable(inp),
+                                ScanTable(filt)))
+    assert_tables_match(out, _golden_out("foreign_filter"))
+
+
 def test_reference_format_roundtrip(tmp_path):
     """write_reference_file emits the same wire format read_reference_file
     parses — the write half of interchange with the C++ FileInputCursor."""
