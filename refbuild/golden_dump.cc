@@ -28,6 +28,8 @@
 
 #include "supersonic/supersonic.h"
 #include "supersonic/cursor/core/foreign_filter.h"
+#include "supersonic/serialization/build_expression_from_proto.h"
+#include "supersonic/utils/proto/expressions.pb.h"
 #include "supersonic/cursor/core/merge_union_all.h"
 #include "supersonic/cursor/core/rowid_merge_join.h"
 #include "supersonic/cursor/core/scan_view.h"
@@ -631,6 +633,97 @@ void CaseForeignFilter() {
                            ScanView(input_t.view())));
 }
 
+// Serialization interop: an ExpressionDescription proto built here is
+// (a) deserialized by the reference's BuildExpressionFromProto
+// (serialization/build_expression_from_proto.cc:754) and evaluated, and
+// (b) dumped as raw wire bytes for the TPU engine's
+// build_expression_from_proto_bytes to consume — proving the two engines
+// agree from the SAME serialized predicate.
+void CaseProtoExpr() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("a", INT32, NULLABLE));
+  schema.add_attribute(Attribute("b", DOUBLE, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(2121);
+  std::uniform_int_distribution<int32> a_d(-40, 40);
+  std::uniform_real_distribution<double> b_d(-2.0, 2.0);
+  std::uniform_real_distribution<double> nd(0.0, 1.0);
+  for (int i = 0; i < 9000; ++i) {
+    w.AddRow();
+    if (nd(rng) < 0.15) w.Null(); else w.Int32(a_d(rng));
+    w.Double(b_d(rng));
+  }
+  w.CheckSuccess();
+  DumpInput("proto_expr", 0, table);
+
+  // IF(IS_NULL(a), CAST(DOUBLE, const -1), a + b * const 2.0)
+  common::ExpressionDescription desc;
+  desc.set_type(common::OPERATION);
+  common::OperationDescription* op = desc.mutable_operation();
+  op->set_type(common::IF);
+  {
+    common::ExpressionDescription* cond = op->add_argument();
+    cond->set_type(common::OPERATION);
+    cond->mutable_operation()->set_type(common::IS_NULL);
+    common::ExpressionDescription* v =
+        cond->mutable_operation()->add_argument();
+    v->set_type(common::VARIABLE);
+    v->mutable_variable()->set_name("a");
+  }
+  {
+    common::ExpressionDescription* then = op->add_argument();
+    then->set_type(common::OPERATION);
+    then->mutable_operation()->set_type(common::CAST);
+    common::ExpressionDescription* ty =
+        then->mutable_operation()->add_argument();
+    ty->set_type(common::CONSTANT);
+    ty->mutable_constant()->set_type(common::DATA_TYPE);
+    ty->mutable_constant()->set_data_type_value(common::DOUBLE);
+    common::ExpressionDescription* c =
+        then->mutable_operation()->add_argument();
+    c->set_type(common::CONSTANT);
+    c->mutable_constant()->set_type(common::INT32);
+    c->mutable_constant()->set_int32_value(-1);
+  }
+  {
+    common::ExpressionDescription* els = op->add_argument();
+    els->set_type(common::OPERATION);
+    els->mutable_operation()->set_type(common::ADD);
+    common::ExpressionDescription* va = els->mutable_operation()
+        ->add_argument();
+    va->set_type(common::VARIABLE);
+    va->mutable_variable()->set_name("a");
+    common::ExpressionDescription* mul = els->mutable_operation()
+        ->add_argument();
+    mul->set_type(common::OPERATION);
+    mul->mutable_operation()->set_type(common::MULTIPLY);
+    common::ExpressionDescription* vb = mul->mutable_operation()
+        ->add_argument();
+    vb->set_type(common::VARIABLE);
+    vb->mutable_variable()->set_name("b");
+    common::ExpressionDescription* two = mul->mutable_operation()
+        ->add_argument();
+    two->set_type(common::CONSTANT);
+    two->mutable_constant()->set_type(common::DOUBLE);
+    two->mutable_constant()->set_double_value(2.0);
+  }
+
+  std::string wire;
+  desc.SerializeToString(&wire);
+  {
+    File* f = File::OpenOrDie(g_outdir + "/proto_expr.pb", "w");
+    f->Write(wire.data(), wire.size());
+    f->Close();
+    printf("pb proto_expr proto_expr.pb %zu -\n", wire.size());
+  }
+
+  const Expression* expr = SucceedOrDie(BuildExpressionFromProto(desc));
+  RunAndDump("proto_expr",
+             Compute((new CompoundExpression)->AddAs("r", expr),
+                     ScanView(table.view())));
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -656,5 +749,6 @@ int main(int argc, char** argv) {
   CaseAggregateClusters();
   CaseRowidJoin();
   CaseForeignFilter();
+  CaseProtoExpr();
   return 0;
 }

@@ -323,6 +323,22 @@ def test_golden_foreign_filter():
     assert_tables_match(out, _golden_out("foreign_filter"))
 
 
+def test_golden_proto_expression_interop():
+    """Wire-format serialization interop: the SAME ExpressionDescription
+    proto bytes that the reference's BuildExpressionFromProto evaluated
+    (refbuild/golden_dump.cc::CaseProtoExpr) deserialize here through
+    build_expression_from_proto_bytes and must produce the same rows."""
+    from supersonic_tpu.io.serialization import (
+        build_expression_from_proto_bytes)
+
+    (t,) = _inputs("proto_expr")
+    wire = (GOLDEN / "proto_expr.pb").read_bytes()
+    expr = build_expression_from_proto_bytes(wire)
+    out = execute(Compute(expr.as_("r"), ScanTable(t)))
+    # a + b*2.0: pure float arithmetic in both engines — bit-exact
+    assert_tables_match(out, _golden_out("proto_expr"))
+
+
 def test_reference_format_roundtrip(tmp_path):
     """write_reference_file emits the same wire format read_reference_file
     parses — the write half of interchange with the C++ FileInputCursor."""
