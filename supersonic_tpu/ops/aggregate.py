@@ -238,8 +238,9 @@ def _pass_key(spec: AggSpec):
 _DENSE_DOMAIN_MAX = 2048  # segment_reduce_small MAX_SEGMENTS
 
 # approx_max_k ranks f32 scores: (cap - pos) is exactly representable only
-# below 2^24, so larger capacities take the exact-integer lax.top_k branch
-# (tests/test_capacity_edges.py pins both sides of the boundary)
+# below 2^24; at or above, group extraction falls back to the payload-sort
+# compaction (exact at any size, and lax.top_k at such sizes crashes this
+# TPU's AOT compile helper).  tests/test_capacity_edges.py pins both sides.
 _APPROX_TOPK_MAX_CAP = 1 << 24
 
 
@@ -768,7 +769,12 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
         # of one single-operand top_k that finds the <=K marked positions,
         # followed by K-sized gathers of each needed column (measured on
         # v5e: compaction sorts ~40-60ms/8M vs top_k ~15ms/8M).
-        small_k = ext_cap <= min(cap // 4, 8192)
+        # Capacities >= 2^24 take the general compaction path: the f32
+        # (cap - pos) ranking is no longer exact there, and lax.top_k at
+        # those sizes SIGSEGVs this TPU's AOT compile helper (observed at
+        # 17M) while the payload sort compiles fine up to 100M+.
+        small_k = (ext_cap <= min(cap // 4, 8192)
+                   and cap < _APPROX_TOPK_MAX_CAP)
 
         def extract(cols: dict[str, Column], mask) -> dict[str, Column]:
             if not cols:
@@ -781,15 +787,10 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                 # num_groups.  approx_max_k at recall_target=1.0 is the
                 # exact two-phase TPU top-k (PartialReduce custom call),
                 # much cheaper than the sort-based lax.top_k; it needs
-                # floats, exact for integers < 2^24.
-                if cap < _APPROX_TOPK_MAX_CAP:
-                    val = jnp.where(mask, (cap - pos).astype(jnp.float32),
-                                    0.0)
-                    _, idx = jax.lax.approx_max_k(val, ext_cap,
-                                                  recall_target=1.0)
-                else:
-                    val = jnp.where(mask, (cap - pos).astype(jnp.int32), 0)
-                    _, idx = jax.lax.top_k(val, ext_cap)
+                # floats, exact for integers < 2^24 (guarded above).
+                val = jnp.where(mask, (cap - pos).astype(jnp.float32), 0.0)
+                _, idx = jax.lax.approx_max_k(val, ext_cap,
+                                              recall_target=1.0)
                 return {
                     n: Column(
                         jnp.take(c.values, idx),

@@ -82,9 +82,10 @@ def _groupby_rows(n, keys, seed=1):
         {"k": rng.integers(0, keys, n), "v": rng.integers(0, 1000, n)})
 
 
-def test_group_extraction_topk_branch_matches_approx(monkeypatch):
-    """Shrinking the boundary constant forces the exact-integer top_k
-    extraction; results must equal the approx_max_k branch's."""
+def test_group_extraction_compaction_branch_matches_approx(monkeypatch):
+    """Shrinking the boundary constant forces the general compaction
+    extraction (the >=2^24-capacity path); results must equal the
+    approx_max_k fast path's."""
     t = _groupby_rows(5000, 40)
     spec = [AggSpec(Aggregation.SUM, "v", "sv"),
             AggSpec(Aggregation.MIN, "v", "mn")]
@@ -96,9 +97,9 @@ def test_group_extraction_topk_branch_matches_approx(monkeypatch):
 
 
 def test_group_extraction_exact_at_24bit_scale():
-    """A capacity just above 2^24 on the CPU backend: the top_k branch
-    must extract exactly the marked group rows (the f32 (cap - pos)
-    ranking would be inexact here — the reason the branch exists)."""
+    """A capacity just above 2^24 on the CPU backend: extraction must
+    take the exact compaction path (the f32 (cap - pos) approx ranking
+    would be inexact here — the reason the boundary exists)."""
     cap = (1 << 24) + 64
     n = 4096  # live rows; capacity padding provides the boundary crossing
     rng = np.random.default_rng(2)
