@@ -724,6 +724,35 @@ void CaseProtoExpr() {
                      ScanView(table.view())));
 }
 
+// ToString printer formats (types_infrastructure.cc:45-110): BOOL ->
+// TRUE/FALSE, DATE -> %Y/%m/%d, ints -> decimal.
+void CaseToString() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("b", BOOL, NULLABLE));
+  schema.add_attribute(Attribute("d", DATE, NOT_NULLABLE));
+  schema.add_attribute(Attribute("i", INT32, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(2222);
+  // < 24855: the reference's DATE printer runs through a 32-bit time_t
+  // (types_infrastructure.cc:104-108) and wraps past 2038-01-19
+  std::uniform_int_distribution<int32> d_d(0, 24800);
+  std::uniform_int_distribution<int32> i_d(-500, 500);
+  std::uniform_real_distribution<double> nd(0.0, 1.0);
+  for (int i = 0; i < 9000; ++i) {
+    w.AddRow();
+    if (nd(rng) < 0.1) w.Null(); else w.Bool(rng() % 2 == 0);
+    w.Date(d_d(rng)).Int32(i_d(rng));
+  }
+  w.CheckSuccess();
+  DumpInput("tostring", 0, table);
+  CompoundExpression* expr = new CompoundExpression();
+  expr->AddAs("sb", ToString(NamedAttribute("b")));
+  expr->AddAs("sd", ToString(NamedAttribute("d")));
+  expr->AddAs("si", ToString(NamedAttribute("i")));
+  RunAndDump("tostring", Compute(expr, ScanView(table.view())));
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -750,5 +779,6 @@ int main(int argc, char** argv) {
   CaseRowidJoin();
   CaseForeignFilter();
   CaseProtoExpr();
+  CaseToString();
   return 0;
 }

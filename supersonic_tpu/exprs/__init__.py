@@ -28,8 +28,8 @@ from .math import (Abs, Acos, Acosh, Asin, Asinh, Atan, Atan2, Atanh, Ceil,
                    SqrtNulling, SqrtSignaling, Tan, Tanh, Trunc)
 from .string import (Concat, Concatenate, Length, Ltrim, Rtrim,
                      StringContains, SubstringSignaling,
-                     StringOffset, StringReplace, Substring, ToLower, ToUpper,
-                     Trim)
+                     StringOffset, StringReplace, Substring, ToLower, ToString,
+                     ToUpper, Trim)
 from .date import (AddDays, AddMinutes, AddMonths, DateToDatetime, Day,
                    DayLocal,
                    FromUnixTime, Hour, HourLocal, MakeDate, MakeDatetime,

@@ -406,5 +406,99 @@ class Concat(Expression):
             Attribute(name, out_type, nullable), g, state_dict)
 
 
+class ToString(Expression):
+    """TOSTRING (reference: string_expressions.h:29; printer formats from
+    types_infrastructure.cc:45-110 — ints decimal, BOOL "TRUE"/"FALSE",
+    DATE "%Y/%m/%d", DATETIME "%Y/%m/%d-%H:%M:%S").
+
+    Device encoding exists when the output string space is bounded:
+    STRING/BINARY (identity), ENUM (value-map dictionary), BOOL (2-entry
+    dictionary), and integer/DATE/DATETIME columns with a ``domain=(lo,
+    hi)`` bound (inclusive; builds the dictionary at bind, evaluation is
+    one LUT gather, out-of-domain live rows raise via the runtime guard
+    flag).  Unbounded numeric columns have no dense device encoding —
+    bind fails pointing at ops/host.py::to_string.
+    """
+
+    DOMAIN_MAX = 1 << 20
+
+    def __init__(self, child, domain: Optional[tuple] = None):
+        self.child = wrap(child)
+        self.domain = domain
+
+    def do_bind(self, schema, dicts):
+        import datetime
+
+        cb = self.child.do_bind(schema, dicts)
+        t = cb.type
+        if t in (DataType.STRING, DataType.BINARY):
+            return cb
+        if t == DataType.BOOL:
+            d = Dictionary(("FALSE", "TRUE"))
+
+            def g(ctx: EvalContext) -> ExprValue:
+                v = cb.evaluate(ctx)
+                return ExprValue(v.values.astype(jnp.int32), v.valid)
+
+            return BoundExpression(
+                Attribute(f"TOSTRING({cb.name})", DataType.STRING,
+                          cb.nullable), g, d)
+        if t == DataType.ENUM:
+            enum = cb.attr.enum
+            if enum is None:
+                raise TypeError_("TOSTRING of ENUM without a value map")
+            d = Dictionary(tuple(enum.names))
+
+            def g(ctx: EvalContext) -> ExprValue:
+                v = cb.evaluate(ctx)
+                return ExprValue(v.values.astype(jnp.int32), v.valid)
+
+            return BoundExpression(
+                Attribute(f"TOSTRING({cb.name})", DataType.STRING,
+                          cb.nullable), g, d)
+        int_types = (DataType.INT32, DataType.INT64, DataType.UINT32,
+                     DataType.UINT64, DataType.DATE, DataType.DATETIME)
+        if t in int_types and self.domain is not None:
+            lo, hi = int(self.domain[0]), int(self.domain[1])
+            size = hi - lo + 1
+            if size <= 0 or size > self.DOMAIN_MAX:
+                raise TypeError_(
+                    f"TOSTRING domain [{lo}, {hi}] outside the "
+                    f"{self.DOMAIN_MAX}-entry dictionary budget")
+            if t == DataType.DATE:
+                epoch = datetime.date(1970, 1, 1)
+                values = tuple(
+                    (epoch + datetime.timedelta(days=x)).strftime("%Y/%m/%d")
+                    for x in range(lo, hi + 1))
+            elif t == DataType.DATETIME:
+                epoch_dt = datetime.datetime(1970, 1, 1)
+                values = tuple(
+                    (epoch_dt + datetime.timedelta(microseconds=x))
+                    .strftime("%Y/%m/%d-%H:%M:%S")
+                    for x in range(lo, hi + 1))
+            else:
+                values = tuple(str(x) for x in range(lo, hi + 1))
+            d = Dictionary(values)
+
+            def g(ctx: EvalContext) -> ExprValue:
+                v = cb.evaluate(ctx)
+                codes = (v.values.astype(jnp.int64) - lo)
+                live = v.valid_or_true()
+                ctx.flag_error(
+                    f"TOSTRING({cb.name}) value outside declared domain",
+                    live & ((codes < 0) | (codes >= size)))
+                return ExprValue(
+                    jnp.clip(codes, 0, size - 1).astype(jnp.int32),
+                    v.valid)
+
+            return BoundExpression(
+                Attribute(f"TOSTRING({cb.name})", DataType.STRING,
+                          cb.nullable), g, d)
+        raise TypeError_(
+            "TOSTRING of an unbounded numeric column has no dense device "
+            "encoding — pass domain=(lo, hi) or materialize via "
+            "ops/host.py::to_string")
+
+
 Concatenate = Concat  # reference: OPERATOR_CONCATENATE
 SubstringSignaling = Substring  # reference: OPERATOR_SUBSTRING_SIGNALING

@@ -199,13 +199,17 @@ def to_string(table_or_plan, input_col: str, output: str,
             out_vals.append(None)
         elif attr.type == DataType.DATE:
             d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
-            out_vals.append(d.strftime(fmt) if fmt else d.isoformat())
+            # reference default print format: "%Y/%m/%d"
+            # (types_infrastructure.cc:39)
+            out_vals.append(d.strftime(fmt or "%Y/%m/%d"))
         elif attr.type == DataType.DATETIME:
             dt = (datetime.datetime(1970, 1, 1)
                   + datetime.timedelta(microseconds=int(v)))
-            out_vals.append(dt.strftime(fmt) if fmt else dt.isoformat())
+            # reference: "%Y/%m/%d-%H:%M:%S" (types_infrastructure.cc:36)
+            out_vals.append(dt.strftime(fmt or "%Y/%m/%d-%H:%M:%S"))
         elif isinstance(v, bool):
-            out_vals.append("true" if v else "false")
+            # reference: "TRUE"/"FALSE" (types_infrastructure.cc:75-77)
+            out_vals.append("TRUE" if v else "FALSE")
         else:
             out_vals.append(str(v))
     data = {a.name: list(cols[a.name]) for a in src.schema}

@@ -339,6 +339,25 @@ def test_golden_proto_expression_interop():
     assert_tables_match(out, _golden_out("proto_expr"))
 
 
+def test_golden_tostring():
+    """Device ToString (bounded-domain dictionary LUT) must reproduce the
+    reference printer formats exactly (types_infrastructure.cc:45-110):
+    BOOL TRUE/FALSE, DATE %Y/%m/%d, ints decimal.
+
+    Golden inputs stay below day 24855: the reference's DATE printer goes
+    through a 32-bit time_t and wraps past 2038-01-19 (printing 1901/02
+    dates) — a reference bug this engine does not reproduce."""
+    from supersonic_tpu import ToString
+
+    (t,) = _inputs("tostring")
+    out = execute(Compute(
+        [ToString(col("b")).as_("sb"),
+         ToString(col("d"), domain=(0, 25000)).as_("sd"),
+         ToString(col("i"), domain=(-500, 500)).as_("si")],
+        ScanTable(t)))
+    assert_tables_match(out, _golden_out("tostring"))
+
+
 def test_reference_format_roundtrip(tmp_path):
     """write_reference_file emits the same wire format read_reference_file
     parses — the write half of interchange with the C++ FileInputCursor."""
