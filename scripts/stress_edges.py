@@ -2,7 +2,7 @@
 
 Runs on the default backend (the real TPU chip under axon):
   1. 17M-row group-by: capacity crosses the 2^24 approx_max_k boundary,
-     so group extraction takes the exact-integer lax.top_k branch.
+     so group extraction takes the exact compaction path (approx_max_k is f32-bounded).
   2. NOT_UNIQUE join whose CSR expansion fills ~95% of out_capacity.
   3. zipf-1.3 skewed NOT_UNIQUE join near capacity (hot-key expansion).
 
@@ -52,7 +52,7 @@ def main(small: bool):
     for ki, sv, c in rows:
         assert sv == int(want_sv[ki]), (ki, sv, int(want_sv[ki]))
         assert c == int(want_c[ki])
-    print(f"1. group-by {n} rows @ cap {cap} (top_k branch): OK "
+    print(f"1. group-by {n} rows @ cap {cap} (beyond-2^24 extraction): OK "
           f"({dt*1e3:.0f} ms incl. compile)", file=sys.stderr)
 
     # --- 2. NOT_UNIQUE join at ~95% of out_capacity ------------------
