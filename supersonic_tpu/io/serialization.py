@@ -160,6 +160,8 @@ _PROTO_EXTRA_OPS: dict[str, Any] = {
     "POWER_SIGNALING": E.PowSignaling, "POWER_NULLING": E.PowNulling,
     "POWER_QUIET": E.PowQuiet,
     "PI": lambda: E.ConstDouble(3.141592653589793),
+    "TOSTRING": E.ToString,  # device for STRING/BOOL/ENUM and bounded
+    # domains; raises with the host pointer for unbounded numerics
     "TOUPPER": E.ToUpper, "TOLOWER": E.ToLower, "REPLACE": E.StringReplace,
     "COPY": E.Copy, "FORMAT": E.Format,
     "YEAR_UTC": E.Year, "QUARTER_UTC": E.Quarter, "MONTH_UTC": E.Month,
@@ -180,7 +182,6 @@ _PROTO_UNIMPLEMENTED = frozenset({
 })
 # implemented by the reference but host-side here (PARITY.md divergences)
 _PROTO_HOST_SIDE = {
-    "TOSTRING": "ops.host.to_string",
     "DATE_FORMAT_LOCAL": "ops.host.DateFormat",
     "DATE_FORMAT_UTC": "ops.host.DateFormat",
 }

@@ -445,6 +445,14 @@ case("FINGERPRINT", lambda: E.Fingerprint(col("s1")), None,
 
 # ---- terminal ----
 case("SEQUENCE", lambda: E.Sequence(), lambda r: None, sequence=True)
+case("TOSTRING", lambda: E.ToString(col("b1")),
+     lambda r: None if r["b1"] is None else ("TRUE" if r["b1"] else "FALSE"))
+case("TOSTRING_INT",
+     lambda: E.ToString(col("j32"), domain=(-10, 10)),
+     lambda r: str(r["j32"]))
+case("TOSTRING_DATE",
+     lambda: E.ToString(col("dt"), domain=(0, 26000)),
+     lambda r: date_of(r["dt"]).strftime("%Y/%m/%d"))
 case("CONST_PI", lambda: E.ConstDouble(3.141592653589793),
      lambda r: 3.141592653589793, approx=0)
 case("NULL_CONST", lambda: E.Plus(E.Null(DataType.INT32), col("j32")),
