@@ -317,8 +317,12 @@ def test_proto_expression_errors_and_custom_function():
                                    register_function)
     with _pytest.raises(SerializationError):  # unimplemented in ref too
         build_expression_from_proto(_op(pb.DATEDIFF, _var("a"), _var("a")))
+    # TOSTRING deserializes to the device ToString (STRING input ->
+    # identity; unbounded numerics raise at BIND, not here)
+    assert build_expression_from_proto(
+        _op(pb.TOSTRING, _var("a"))) is not None
     with _pytest.raises(SerializationError):  # host-side divergence
-        build_expression_from_proto(_op(pb.TOSTRING, _var("a")))
+        build_expression_from_proto(_op(pb.DATE_FORMAT_UTC, _var("a")))
     fd = pb.ExpressionDescription(type=pb.CUSTOM_FUNCTION_CALL)
     fd.function_call.function_name = "double_it"
     fd.function_call.argument.add().CopyFrom(_var("a"))
