@@ -104,7 +104,9 @@ def test_to_string_host():
         TS.of(("d", DataType.DATE), ("n", INT64)),
         {"d": [0, 365, None], "n": [5, None, 7]})
     out = to_string(t, "d", "ds")
-    assert [r[2] for r in out.to_pylist()] == ["1970-01-01", "1971-01-01",
+    # reference default DATE print format "%Y/%m/%d"
+    # (types_infrastructure.cc:39)
+    assert [r[2] for r in out.to_pylist()] == ["1970/01/01", "1971/01/01",
                                                None]
     out2 = to_string(t, "n", "ns")
     assert [r[2] for r in out2.to_pylist()] == ["5", None, "7"]
