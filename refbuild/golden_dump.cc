@@ -27,6 +27,7 @@
 #include <vector>
 
 #include "supersonic/supersonic.h"
+#include "supersonic/expression/core/stateful_expressions.h"
 #include "supersonic/cursor/core/foreign_filter.h"
 #include "supersonic/serialization/build_expression_from_proto.h"
 #include "supersonic/utils/proto/expressions.pb.h"
@@ -753,6 +754,121 @@ void CaseToString() {
   RunAndDump("tostring", Compute(expr, ScanView(table.view())));
 }
 
+// Stateful (cross-row) expressions: Changed / RunningSum / Smudge /
+// SmudgeIf / RunningMinWithFlush (stateful_expressions.h:30-71).  The
+// reference carries state across 1024-row views; the TPU engine computes
+// the same semantics as whole-column parallel scans (exprs/stateful.py).
+void CaseStateful() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("v", INT64, NULLABLE));
+  schema.add_attribute(Attribute("seq", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("flush", BOOL, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(555);
+  std::uniform_int_distribution<int64> v_d(-1000000, 1000000);
+  std::uniform_real_distribution<double> nd(0.0, 1.0);
+  int32 seq = 0;
+  for (int i = 0; i < 10000; ++i) {
+    w.AddRow();
+    if (nd(rng) < 0.2) w.Null(); else w.Int64(v_d(rng));
+    if (nd(rng) < 0.3) seq += 1;  // runs of equal values for Changed
+    w.Int32(seq);
+    w.Bool(nd(rng) < 0.05);
+  }
+  w.CheckSuccess();
+  DumpInput("stateful", 0, table);
+  CompoundExpression* expr = new CompoundExpression();
+  expr->AddAs("chg", Changed(NamedAttribute("seq")));
+  expr->AddAs("rsum", RunningSum(NamedAttribute("v")));
+  expr->AddAs("smu", Smudge(NamedAttribute("v")));
+  expr->AddAs("smuif", SmudgeIf(NamedAttribute("v"),
+                                NamedAttribute("flush")));
+  expr->AddAs("rmin", RunningMinWithFlush(NamedAttribute("flush"),
+                                          NamedAttribute("v")));
+  RunAndDump("stateful", Compute(expr, ScanView(table.view())));
+}
+
+// String transforms incl. two-non-constant-column Concat (the TPU
+// engine's cross-product-dictionary device path) and the MySQL-style
+// Substring semantics (string_expressions.h:73-102).
+void CaseStringOps() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("s", STRING, NULLABLE));
+  schema.add_attribute(Attribute("s2", STRING, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(777);
+  std::uniform_real_distribution<double> nd(0.0, 1.0);
+  const char* words[7] = {"Alpha", "beta carotene", "GAMMA_x", "",
+                          "delta delta", "a-b-a-b", "x"};
+  const char* words2[5] = {"oo", "A", "-", "beta", "zz"};
+  for (int i = 0; i < 10000; ++i) {
+    w.AddRow();
+    if (nd(rng) < 0.15) w.Null(); else w.String(words[rng() % 7]);
+    w.String(words2[rng() % 5]);
+  }
+  w.CheckSuccess();
+  DumpInput("string_ops", 0, table);
+  CompoundExpression* expr = new CompoundExpression();
+  expr->AddAs("sub", Substring(NamedAttribute("s"), ConstInt32(2),
+                               ConstInt32(3)));
+  expr->AddAs("subn", Substring(NamedAttribute("s"), ConstInt32(-3),
+                                ConstInt32(2)));
+  expr->AddAs("off", StringOffset(NamedAttribute("s"), ConstString("a")));
+  expr->AddAs("rep", StringReplace(NamedAttribute("s"), ConstString("a"),
+                                   ConstString("oo")));
+  expr->AddAs("cat", Concat((new ExpressionList())
+                                ->add(NamedAttribute("s"))
+                                ->add(ConstString("-"))
+                                ->add(NamedAttribute("s2"))));
+  RunAndDump("string_ops", Compute(expr, ScanView(table.view())));
+}
+
+// *Local date operators and DateFormat/DateFormatLocal under a pinned
+// non-UTC timezone: the reference renders these through localtime_r /
+// gmtime_r + strftime (date_evaluators.cc:204-210,227-265).  Run LAST —
+// it switches the process TZ.
+void CaseDateLocal() {
+  setenv("TZ", "America/New_York", 1);
+  tzset();
+  TupleSchema schema;
+  schema.add_attribute(Attribute("t", DATETIME, NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(4242);
+  // within 32-bit time_t: the reference's DateFormat documents itself as
+  // not 64-bit-safe (date_expressions.h:163-166)
+  std::uniform_int_distribution<int64> sec_d(0, 2100000000LL);
+  std::uniform_real_distribution<double> nd(0.0, 1.0);
+  for (int i = 0; i < 9000; ++i) {
+    w.AddRow();
+    if (nd(rng) < 0.1) w.Null();
+    else w.Datetime(sec_d(rng) * 1000000LL);
+  }
+  // the 2024 New-York DST boundary instants, exactly
+  const int64 probes[] = {1710050399LL, 1710050400LL, 1710053999LL,
+                          1710054000LL, 1730613599LL, 1730613600LL};
+  for (size_t i = 0; i < sizeof(probes) / sizeof(probes[0]); ++i) {
+    w.AddRow();
+    w.Datetime(probes[i] * 1000000LL);
+  }
+  w.CheckSuccess();
+  DumpInput("date_local", 0, table);
+  CompoundExpression* expr = new CompoundExpression();
+  expr->AddAs("y", YearLocal(NamedAttribute("t")));
+  expr->AddAs("mo", MonthLocal(NamedAttribute("t")));
+  expr->AddAs("dy", DayLocal(NamedAttribute("t")));
+  expr->AddAs("h", HourLocal(NamedAttribute("t")));
+  expr->AddAs("mi", MinuteLocal(NamedAttribute("t")));
+  expr->AddAs("wd", WeekdayLocal(NamedAttribute("t")));
+  expr->AddAs("fmt", DateFormat(NamedAttribute("t"),
+                                ConstString("%Y/%m/%d %a")));
+  expr->AddAs("fmtl", DateFormatLocal(NamedAttribute("t"),
+                                      ConstString("%Y/%m/%d %a")));
+  RunAndDump("date_local", Compute(expr, ScanView(table.view())));
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -780,5 +896,8 @@ int main(int argc, char** argv) {
   CaseForeignFilter();
   CaseProtoExpr();
   CaseToString();
+  CaseStateful();
+  CaseStringOps();
+  CaseDateLocal();  // last: switches the process TZ
   return 0;
 }

@@ -29,14 +29,17 @@ from .math import (Abs, Acos, Acosh, Asin, Asinh, Atan, Atan2, Atanh, Ceil,
 from .string import (Concat, Concatenate, Length, Ltrim, Rtrim,
                      StringContains, SubstringSignaling,
                      StringOffset, StringReplace, Substring, ToLower, ToString,
+                     TrailingSubstring,
                      ToUpper, Trim)
-from .date import (AddDays, AddMinutes, AddMonths, DateToDatetime, Day,
-                   DayLocal,
+from .date import (AddDays, AddMinutes, AddMonths, DateFormat,
+                   DateFormatLocal, DateToDatetime, Day, DayLocal,
                    FromUnixTime, Hour, HourLocal, MakeDate, MakeDatetime,
-                   Microsecond, Minute, MinuteLocal, Month, MonthLocal,
+                   Microsecond, MicrosecondLocal, Minute, MinuteLocal, Month,
+                   MonthLocal,
                    Quarter, QuarterLocal, Second, SecondLocal, UnixTimestamp,
                    Weekday, WeekdayLocal, Year, YearDay, YearDayLocal,
                    YearLocal)
+from .tz import get_local_timezone, set_local_timezone
 from .stateful import (Changed, RunningMinWithFlush, RunningSum, Smudge,
                        SmudgeIf)
 from .regexp import (RegexpExtract, RegexpFullMatch, RegexpPartialMatch,

@@ -3,9 +3,11 @@
 Reference: expression/core/date_expressions.h, date_evaluators.cc.
 Representation matches the reference: DATE = int32 days since the Unix
 epoch; DATETIME = int64 **microseconds** since the epoch, UTC.  The
-``*Local`` variants use the local timezone in the reference; this engine
-is UTC-only, so Local variants alias the UTC ones (documented divergence —
-production deployments pin TZ=UTC anyway).
+``*Local`` variants match the reference's localtime_r semantics against
+the engine's configured timezone (exprs/tz.py: TZ env /
+``set_local_timezone``; default UTC): bind compiles the IANA zone into a
+day-granular offset LUT and evaluation shifts to local-civil
+microseconds with one packed gather, then reuses the UTC field math.
 
 Civil-calendar math uses Howard Hinnant's days<->civil algorithms as pure
 integer arithmetic — branch-free and vectorizable on the VPU.
@@ -109,10 +111,60 @@ Minute = _field_expr(
 Second = _field_expr("SECOND", lambda us: _floordiv(us, US_PER_SEC) % 60)
 Microsecond = _field_expr("MICROSECOND", lambda us: us % US_PER_SEC)
 
-# UTC-only engine: Local variants alias UTC (see module docstring)
-YearLocal, MonthLocal, DayLocal = Year, Month, Day
-QuarterLocal, WeekdayLocal, YearDayLocal = Quarter, Weekday, YearDay
-HourLocal, MinuteLocal, SecondLocal = Hour, Minute, Second
+def _field_expr_local(op_name: str, compute, out_type=DataType.INT32):
+    """``*Local`` field extraction (reference: date_evaluators.cc
+    localtime_r operators).  Bind captures the compiled local timezone
+    (exprs/tz.py); evaluation shifts to local-civil microseconds with one
+    packed day-LUT gather and reuses the UTC field math — POSIX localtime
+    IS gmtime(t + utcoff(t)).  Under TZ=UTC this is exactly the UTC op."""
+
+    class _Op(Expression):
+        def __init__(self, child):
+            self.child = wrap(child)
+
+        def do_bind(self, schema, dicts):
+            from . import tz as _tz
+
+            cb = self.child.do_bind(schema, dicts)
+            tzt = _tz.current_tables()
+
+            def f(ctx: EvalContext) -> ExprValue:
+                v = cb.evaluate(ctx)
+                us = _to_us(cb, v.values)
+                if tzt is not None:
+                    us = _tz.local_shift(us, tzt)
+                return ExprValue(
+                    compute(us).astype(jnp_dtype(out_type)), v.valid)
+
+            return BoundExpression(
+                Attribute(f"{op_name}({cb.name})", out_type, cb.nullable), f)
+
+    _Op.__name__ = op_name.title().replace("_", "")
+    return _Op
+
+
+# Local variants: genuine localtime_r semantics against the engine's
+# configured timezone (tz.set_local_timezone / TZ env; default UTC).
+YearLocal = _field_expr_local("YEAR_LOCAL", lambda us: _civil_from_days(_days(us))[0])
+MonthLocal = _field_expr_local("MONTH_LOCAL", lambda us: _civil_from_days(_days(us))[1])
+DayLocal = _field_expr_local("DAY_LOCAL", lambda us: _civil_from_days(_days(us))[2])
+QuarterLocal = _field_expr_local(
+    "QUARTER_LOCAL", lambda us: (_civil_from_days(_days(us))[1] + 2) // 3)
+WeekdayLocal = _field_expr_local(
+    "WEEKDAY_LOCAL", lambda us: (_days(us) + 3) % 7)
+YearDayLocal = _field_expr_local(
+    "YEARDAY_LOCAL",
+    lambda us: _days(us) - _days_from_civil(
+        _civil_from_days(_days(us))[0],
+        jnp.ones_like(_days(us)), jnp.ones_like(_days(us))) + 1)
+HourLocal = _field_expr_local(
+    "HOUR_LOCAL", lambda us: _floordiv(us, 3600 * US_PER_SEC) % 24)
+MinuteLocal = _field_expr_local(
+    "MINUTE_LOCAL", lambda us: _floordiv(us, 60 * US_PER_SEC) % 60)
+SecondLocal = _field_expr_local(
+    "SECOND_LOCAL", lambda us: _floordiv(us, US_PER_SEC) % 60)
+MicrosecondLocal = _field_expr_local(
+    "MICROSECOND_LOCAL", lambda us: us % US_PER_SEC)
 
 
 class UnixTimestamp(Expression):
@@ -313,3 +365,161 @@ class DateToDatetime(Expression):
         return BoundExpression(
             Attribute(f"DATE_TO_DATETIME({cb.name})", DataType.DATETIME,
                       cb.nullable), f)
+
+
+# --- DateFormat --------------------------------------------------------------
+
+# finest strftime directive -> bucket granularity in seconds; directives
+# not listed (and thus unknown extensions) conservatively get 1s
+_FMT_GRANULE = {
+    'S': 1, 'T': 1, 'X': 1, 'c': 1, 's': 1, 'r': 1,
+    'M': 60, 'R': 60,
+    'H': 3600, 'I': 3600, 'p': 3600, 'P': 3600, 'k': 3600, 'l': 3600,
+}
+for _c in "aAbBCdDeFgGjmuUVwWxyYnt" + "zZ":  # date-only fields; %z/%Z are
+    _FMT_GRANULE[_c] = 86_400  # constant under gmtime (UTC path; the
+#                                local path rejects %z/%Z at bind)
+
+
+def _format_granule_sec(fmt: str) -> int:
+    """Seconds per output bucket: two instants in the same bucket render
+    identically under ``fmt`` (gmtime fields at or above the granule)."""
+    g = 86_400
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == '%' and i + 1 < len(fmt):
+            c = fmt[i + 1]
+            if c in ('E', 'O') and i + 2 < len(fmt):  # glibc modifiers
+                c = fmt[i + 2]
+                i += 1
+            if c != '%':
+                g = min(g, _FMT_GRANULE.get(c, 1))
+            i += 2
+        else:
+            i += 1
+    return g
+
+
+class DateFormat(Expression):
+    """DATEFORMAT(datetime, format) (reference: date_expressions.h:157-176,
+    date_evaluators.cc:227-265 — strftime of gmtime_r into a 33-byte
+    buffer, so a rendering longer than 32 chars becomes the empty string;
+    DATE input means 00:00:00 of that date).
+
+    Device encoding: the constant format string has a *bucket granularity*
+    (day/hour/minute/second by its finest strftime directive), so with a
+    ``domain=(lo, hi)`` bound on the input (DATE: days; DATETIME:
+    microseconds; lo >= 0) the output string space is the bucket range —
+    built as a bind-time dictionary via the C library's own strftime,
+    evaluation is one LUT gather, out-of-domain live rows raise via the
+    runtime guard.  ``local=True`` (DateFormatLocal) first shifts to
+    local-civil microseconds through the compiled timezone day-LUT
+    (exprs/tz.py); %z/%Z are rejected there (the shifted rendering is
+    civil-naive).  Non-constant formats or missing bounds -> bind fails
+    pointing at the host path (ops/host.py::to_string).
+    """
+
+    DOMAIN_MAX = 1 << 20
+
+    def __init__(self, child, format, domain=None, local=False):
+        from .terminal import Const
+
+        self.child = wrap(child)
+        if isinstance(format, Const):
+            format = format.value
+        if not isinstance(format, str):
+            raise TypeError_(
+                "DATEFORMAT: format must be a constant string on device "
+                "(non-constant formats: ops/host.py::to_string per row)")
+        self.format = format
+        self.domain = domain
+        self.local = local
+
+    def do_bind(self, schema, dicts):
+        import time as _time
+
+        from ..dictionary import Dictionary
+        from ..kernels.lut_gather import take_small
+        from . import tz as _tz
+
+        cb = self.child.do_bind(schema, dicts)
+        if cb.type not in (DataType.DATE, DataType.DATETIME):
+            raise TypeError_(
+                f"DATEFORMAT requires DATE/DATETIME, got {cb.type}")
+        fmt = self.format
+        if self.domain is None:
+            raise TypeError_(
+                "DATEFORMAT of an unbounded column has no dense device "
+                "encoding — pass domain=(lo, hi) or materialize via "
+                "ops/host.py::to_string")
+        tzt = _tz.current_tables() if self.local else None
+        if tzt is not None and any(
+                fmt[i] == '%' and i + 1 < len(fmt) and fmt[i + 1] in 'zZ'
+                for i in range(len(fmt))):
+            raise TypeError_(
+                "DATEFORMAT_LOCAL with %z/%Z has no device encoding "
+                "(zone names need per-row rendering: ops/host.py)")
+        lo, hi = int(self.domain[0]), int(self.domain[1])
+        if lo < 0:
+            raise TypeError_(
+                "DATEFORMAT device path requires domain lo >= 0 "
+                "(the reference truncates pre-epoch instants toward zero)")
+        if cb.type == DataType.DATE:
+            g_in, g_sec = 1, 86_400           # bucket == day value
+        else:
+            g_sec = _format_granule_sec(fmt)
+            g_in = g_sec * US_PER_SEC         # bucket == us // g_in
+        if tzt is not None:
+            # local shift moves an instant by at most +-15h
+            pad = (15 * 3600 * US_PER_SEC) // g_in + 1
+        else:
+            pad = 0
+        blo, bhi = lo // g_in - pad, hi // g_in + pad
+        size = bhi - blo + 1
+        if size <= 0 or size > self.DOMAIN_MAX:
+            raise TypeError_(
+                f"DATEFORMAT domain needs {size} dictionary entries, over "
+                f"the {self.DOMAIN_MAX} budget — coarsen the format or "
+                f"materialize via ops/host.py::to_string")
+
+        def _render(bucket: int) -> str:
+            s = _time.strftime(fmt, _time.gmtime(bucket * g_sec))
+            return s if len(s) <= 32 else ""  # reference 33-byte buffer
+
+        # dedup the renderings (a "%H:%M" over a year has 1440 distinct
+        # strings across 525k buckets) into a sorted — order-preserving —
+        # dictionary + a bucket->code remap LUT
+        import numpy as _np
+
+        rendered = [_render(b) for b in range(blo, bhi + 1)]
+        uniq = sorted(set(rendered))
+        code_of = {s: i for i, s in enumerate(uniq)}
+        remap = jnp.asarray(
+            _np.fromiter((code_of[s] for s in rendered), dtype=_np.int32,
+                         count=size))
+        d = Dictionary(tuple(uniq))
+        lut_name = f"DATEFORMAT{'_LOCAL' if self.local else ''}"
+
+        def f(ctx: EvalContext) -> ExprValue:
+            v = cb.evaluate(ctx)
+            live = v.valid_or_true()
+            raw = v.values.astype(jnp.int64)
+            if cb.type == DataType.DATE:
+                bucket = raw
+            else:
+                us = _tz.local_shift(raw, tzt) if tzt is not None else raw
+                bucket = us // g_in
+            idx = jnp.clip(bucket - blo, 0, size - 1).astype(jnp.int32)
+            oob = live & ((raw < lo) | (raw > hi))
+            ctx.flag_error(
+                f"{lut_name}({cb.name}) value outside declared domain", oob)
+            return ExprValue(take_small(remap, idx), v.valid)
+
+        return BoundExpression(
+            Attribute(f"{lut_name}({cb.name})", DataType.STRING,
+                      cb.nullable), f, d)
+
+
+def DateFormatLocal(child, format, domain=None):
+    """Reference: date_expressions.h:175 (localtime_r rendering)."""
+    return DateFormat(child, format, domain=domain, local=True)

@@ -248,11 +248,11 @@ class StringOffset(Expression):
             needle = self.needle.value
             return _property_expr(
                 "STRING_OFFSET", lambda s: s.find(needle) + 1,
-                DataType.UINT32, np.uint32
+                DataType.INT32, np.int32
             )(self.haystack).do_bind(schema, dicts)
         return _pair_property_expr(
             "STRING_OFFSET", lambda s, n: s.find(n) + 1,
-            DataType.UINT32, np.uint32
+            DataType.INT32, np.int32
         )(self.haystack, self.needle).do_bind(schema, dicts)
 
 
@@ -502,3 +502,14 @@ class ToString(Expression):
 
 Concatenate = Concat  # reference: OPERATOR_CONCATENATE
 SubstringSignaling = Substring  # reference: OPERATOR_SUBSTRING_SIGNALING
+
+
+def TrailingSubstring(child, pos):
+    """SUBSTRING(str, pos) to end of string (reference:
+    string_expressions.cc:132 BoundTrailingSubstring)."""
+    return Substring(child, pos)
+
+
+# ConcatWithSeparator (string_expressions.h:41) is declared "Currently
+# not implemented" in the reference and is omitted here for the same
+# surface (like ParseDateTime and RIGHT/FULL outer joins).

@@ -17,4 +17,5 @@ from .merge import MergeUnionAll
 from .rowid_join import ForeignFilter, RowidMergeJoin
 from .misc import (SharedOperation, Spy, SpyListener, TakeOwnership,
                    format_table)
-from .host import DateFormat, group_concat, to_string
+from .host import group_concat, to_string  # (exprs.DateFormat is the
+# device rendering path; ops.host.DateFormat stays the host fallback)

@@ -7,6 +7,10 @@ Must set env vars BEFORE jax import.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Deterministic *Local date semantics: the engine binds them against the
+# TZ env var (exprs/tz.py); tests that want another zone set it
+# explicitly via set_local_timezone.
+os.environ["TZ"] = "UTC"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -384,7 +384,9 @@ case("REGEXP_REPLACE",
      lambda r: None if r["s1"] is None
      else __import__("re").sub("[0-9]+", "#", r["s1"]))
 
-# ---- date/time (UTC; *Local == UTC divergence documented in PARITY.md) --
+# ---- date/time (*Local cases run under the conftest TZ=UTC pin, where
+# Local == UTC by definition; non-UTC zones: tests/test_tz.py + the
+# date_local golden case) --
 ucase("YEAR", E.Year, "dt", lambda d: date_of(d).year)
 ucase("QUARTER", E.Quarter, "dt",
       lambda d: (date_of(d).month - 1) // 3 + 1)

@@ -358,6 +358,78 @@ def test_golden_tostring():
     assert_tables_match(out, _golden_out("tostring"))
 
 
+def test_golden_stateful():
+    """Cross-row stateful expressions vs the real engine
+    (stateful_expressions.h:30-71): the reference carries per-cursor
+    state across 1024-row views; this engine computes the same semantics
+    as whole-column parallel scans (exprs/stateful.py) — results must be
+    identical row for row."""
+    from supersonic_tpu import (Changed, RunningMinWithFlush, RunningSum,
+                                Smudge, SmudgeIf)
+
+    (t,) = _inputs("stateful")
+    out = execute(Compute(
+        [Changed(col("seq")).as_("chg"),
+         RunningSum(col("v")).as_("rsum"),
+         Smudge(col("v")).as_("smu"),
+         SmudgeIf(col("v"), col("flush")).as_("smuif"),
+         RunningMinWithFlush(col("flush"), col("v")).as_("rmin")],
+        ScanTable(t)))
+    assert_tables_match(out, _golden_out("stateful"))
+
+
+def test_golden_string_ops():
+    """String transforms vs the real engine (string_expressions.h:73-102;
+    string_bound_expressions.cc): MySQL-style Substring incl. negative
+    positions, 1-based StringOffset, StringReplace, and a Concat of two
+    NON-constant string columns — the TPU engine's cross-product
+    dictionary device path."""
+    from supersonic_tpu import (Concat, StringOffset, StringReplace,
+                                Substring)
+
+    (t,) = _inputs("string_ops")
+    out = execute(Compute(
+        [Substring(col("s"), 2, 3).as_("sub"),
+         Substring(col("s"), -3, 2).as_("subn"),
+         StringOffset(col("s"), "a").as_("off"),
+         StringReplace(col("s"), "a", "oo").as_("rep"),
+         Concat(col("s"), "-", col("s2")).as_("cat")],
+        ScanTable(t)))
+    assert_tables_match(out, _golden_out("string_ops"))
+
+
+def test_golden_date_local():
+    """*Local date operators + DateFormat/DateFormatLocal vs the real
+    engine under TZ=America/New_York (golden_dump pins the TZ and renders
+    through localtime_r/gmtime_r + strftime, date_evaluators.cc:204-265).
+    The engine side compiles the same IANA zone into day-LUT offsets
+    (exprs/tz.py); every column must be bit-exact, including the 2024 DST
+    boundary instants the input embeds."""
+    from supersonic_tpu import (DateFormat, DateFormatLocal, DayLocal,
+                                HourLocal, MinuteLocal, MonthLocal,
+                                WeekdayLocal, YearLocal, set_local_timezone)
+
+    (t,) = _inputs("date_local")
+    hi_us = 2_100_000_000 * 1_000_000
+    set_local_timezone("America/New_York")
+    try:
+        out = execute(Compute(
+            [YearLocal(col("t")).as_("y"),
+             MonthLocal(col("t")).as_("mo"),
+             DayLocal(col("t")).as_("dy"),
+             HourLocal(col("t")).as_("h"),
+             MinuteLocal(col("t")).as_("mi"),
+             WeekdayLocal(col("t")).as_("wd"),
+             DateFormat(col("t"), "%Y/%m/%d %a",
+                        domain=(0, hi_us)).as_("fmt"),
+             DateFormatLocal(col("t"), "%Y/%m/%d %a",
+                             domain=(0, hi_us)).as_("fmtl")],
+            ScanTable(t)))
+    finally:
+        set_local_timezone(None)
+    assert_tables_match(out, _golden_out("date_local"))
+
+
 def test_reference_format_roundtrip(tmp_path):
     """write_reference_file emits the same wire format read_reference_file
     parses — the write half of interchange with the C++ FileInputCursor."""
