@@ -825,6 +825,46 @@ void CaseStringOps() {
   RunAndDump("string_ops", Compute(expr, ScanView(table.view())));
 }
 
+// MakeDate / MakeDatetime: mkgmtime_int64 NORMALIZES out-of-range
+// months and days (month 13 -> next January, Feb 30 -> Mar 2,
+// date_evaluators.cc:36-58); MakeDatetime adds hour/minute/second
+// unchecked and NULLs rows whose date part lands before the epoch
+// (date_bound_expressions.cc:123-126).
+void CaseMakeDate() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("y", INT32, NULLABLE));
+  schema.add_attribute(Attribute("m", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("d", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("y2", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("h", INT32, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(888);
+  std::uniform_int_distribution<int32> y_d(2000, 2030);
+  std::uniform_int_distribution<int32> m_d(-5, 20);
+  std::uniform_int_distribution<int32> d_d(-10, 40);
+  std::uniform_int_distribution<int32> y2_d(1969, 1973);
+  std::uniform_int_distribution<int32> h_d(-30, 30);
+  std::uniform_real_distribution<double> nd(0.0, 1.0);
+  for (int i = 0; i < 9000; ++i) {
+    w.AddRow();
+    if (nd(rng) < 0.1) w.Null(); else w.Int32(y_d(rng));
+    // y >= 2000 with m >= -5, d >= -10 keeps every "md" result past the
+    // epoch (MAKEDATE would otherwise FAIL the whole query); y2 straddles
+    // 1970 so "mdt" exercises its NULL-on-pre-epoch path
+    w.Int32(m_d(rng)).Int32(d_d(rng)).Int32(y2_d(rng)).Int32(h_d(rng));
+  }
+  w.CheckSuccess();
+  DumpInput("makedate", 0, table);
+  CompoundExpression* expr = new CompoundExpression();
+  expr->AddAs("md", MakeDate(NamedAttribute("y"), NamedAttribute("m"),
+                             NamedAttribute("d")));
+  expr->AddAs("mdt", MakeDatetime(NamedAttribute("y2"), NamedAttribute("m"),
+                                  NamedAttribute("d"), NamedAttribute("h"),
+                                  ConstInt32(90), ConstInt32(-5)));
+  RunAndDump("makedate", Compute(expr, ScanView(table.view())));
+}
+
 // *Local date operators and DateFormat/DateFormatLocal under a pinned
 // non-UTC timezone: the reference renders these through localtime_r /
 // gmtime_r + strftime (date_evaluators.cc:204-210,227-265).  Run LAST —
@@ -898,6 +938,7 @@ int main(int argc, char** argv) {
   CaseToString();
   CaseStateful();
   CaseStringOps();
+  CaseMakeDate();
   CaseDateLocal();  // last: switches the process TZ
   return 0;
 }

@@ -205,12 +205,26 @@ class FromUnixTime(Expression):
                       cb.nullable), f)
 
 
+def _makedate_us(y, m, d):
+    """Reference mkgmtime_int64 semantics (date_evaluators.cc:36-58):
+    month is NORMALIZED over any integer (month 13 -> next January) and
+    day extrapolates linearly (Feb 30 -> Mar 2; day 0 -> last of prior
+    month); _days_from_civil is linear in the day argument, so the two
+    computations agree for every (normalized-month, any-day) input."""
+    y64 = y.astype(jnp.int64)
+    m64 = m.astype(jnp.int64)
+    real_y = y64 + (m64 - 1) // 12  # jnp // floors, like the +12 adjust
+    real_m = (m64 - 1) % 12 + 1
+    return _days_from_civil(real_y, real_m, d) * US_PER_DAY
+
+
 class MakeDate(Expression):
     """MAKEDATE(year, month, day) -> DATETIME at UTC 0:00 of that date
-    (reference: date_expressions.h:53-56, expression_traits
-    OPERATOR_MAKEDATE output_type INT64/DATETIME).  Invalid dates -> NULL
-    (the reference signals an evaluation failure instead — documented
-    divergence, PARITY.md)."""
+    (reference: date_expressions.h:53-56; mkgmtime_int64 normalization,
+    date_evaluators.cc:36-68).  A pre-1970 result signals an evaluation
+    failure (MakeDateFailer, date_evaluators.cc:271-287; can_fail trait,
+    expression_traits.h:1772) — here the device error flag raised at host
+    sync.  No new NULLs (can_return_null=false)."""
 
     def __init__(self, year, month, day):
         self.year = wrap(year)
@@ -221,26 +235,32 @@ class MakeDate(Expression):
         yb = self.year.do_bind(schema, dicts)
         mb = self.month.do_bind(schema, dicts)
         db = self.day.do_bind(schema, dicts)
+        nullable = yb.nullable or mb.nullable or db.nullable
 
         def f(ctx):
             y = yb.evaluate(ctx)
             m = mb.evaluate(ctx)
             d = db.evaluate(ctx)
-            yv, mv, dv = (y.values.astype(jnp.int64),
-                          m.values.astype(jnp.int64),
-                          d.values.astype(jnp.int64))
-            days = _days_from_civil(yv, mv, dv)
-            # validity: round-trip check catches out-of-range month/day
-            ry, rm, rd = _civil_from_days(days)
-            ok = (ry == yv) & (rm == mv) & (rd == dv)
-            valid = merge_valid(y.valid, m.valid, d.valid, ok)
-            return ExprValue(days * US_PER_DAY, valid)
+            us = _makedate_us(y.values, m.values,
+                              d.values.astype(jnp.int64))
+            valid = merge_valid(y.valid, m.valid, d.valid)
+            live = (jnp.ones(us.shape[0], jnp.bool_) if valid is None
+                    else valid)
+            ctx.flag_error("MAKEDATE result before the epoch",
+                           live & (us < 0))
+            return ExprValue(us, valid)
 
         return BoundExpression(
-            Attribute("MAKEDATE", DataType.DATETIME, True), f)
+            Attribute("MAKEDATE", DataType.DATETIME, nullable), f)
 
 
 class MakeDatetime(Expression):
+    """MAKEDATETIME(y, mo, d, h, mi, s) -> DATETIME (reference:
+    date_bound_expressions.cc:61-142): the date part uses the MakeDate
+    normalization; a pre-1970 date part makes the row NULL (not a
+    failure); hour/minute/second are added unchecked (hour 25 simply
+    rolls into the next day).  Output is always NULLABLE."""
+
     def __init__(self, year, month, day, hour, minute, second):
         self.parts = [wrap(x) for x in (year, month, day, hour, minute,
                                         second)]
@@ -251,12 +271,9 @@ class MakeDatetime(Expression):
         def f(ctx):
             vs = [b.evaluate(ctx) for b in bs]
             y, m, d, hh, mm, ss = [v.values.astype(jnp.int64) for v in vs]
-            days = _days_from_civil(y, m, d)
-            ry, rm, rd = _civil_from_days(days)
-            ok = ((ry == y) & (rm == m) & (rd == d) & (hh >= 0) & (hh < 24)
-                  & (mm >= 0) & (mm < 60) & (ss >= 0) & (ss < 60))
-            us = (days * US_PER_DAY + (hh * 3600 + mm * 60 + ss) * US_PER_SEC)
-            valid = merge_valid(*(v.valid for v in vs), ok)
+            date_us = _makedate_us(y, m, d)
+            us = date_us + (hh * 3600 + mm * 60 + ss) * US_PER_SEC
+            valid = merge_valid(*(v.valid for v in vs), date_us >= 0)
             return ExprValue(us, valid)
 
         return BoundExpression(

@@ -136,11 +136,37 @@ def test_unix_roundtrip():
 
 def test_makedate():
     S = TupleSchema.of(("y", INT64), ("m", INT64), ("d", INT64))
-    data = {"y": [2020, 2020], "m": [2, 13], "d": [29, 1]}
+    # mkgmtime_int64 normalization (date_evaluators.cc:36-58): month 13
+    # rolls into the next year, day past month-end extrapolates linearly
+    data = {"y": [2020, 2020, 2021, 2021], "m": [2, 13, 2, 1],
+            "d": [29, 1, 30, 0]}
     vals = eval_expr(MakeDate(col("y"), col("m"), col("d")), data, S)
     # MAKEDATE returns a DATETIME at UTC 0:00 (date_expressions.h:53-56)
     assert vals[0] == us(2020, 2, 29)
-    assert vals[1] is None  # month 13 -> NULL
+    assert vals[1] == us(2021, 1, 1)   # month 13 -> next January
+    assert vals[2] == us(2021, 3, 2)   # Feb 30 -> Mar 2
+    assert vals[3] == us(2020, 12, 31)  # day 0 -> last of prior month
+
+
+def test_makedate_pre_epoch_signals():
+    from supersonic_tpu import Compute, ScanTable, Table, execute
+    from supersonic_tpu.ops.base import EvaluationError
+
+    S = TupleSchema.of(("y", INT64), ("m", INT64), ("d", INT64))
+    t = Table.from_data(S, {"y": [1969], "m": [12], "d": [31]})
+    # reference: MakeDateFailer fails the evaluation on pre-1970 results
+    # (date_evaluators.cc:271-287)
+    import pytest
+
+    with pytest.raises(EvaluationError):
+        execute(Compute([MakeDate(col("y"), col("m"), col("d")).as_("x")],
+                        ScanTable(t)))
+    # ... while MakeDatetime turns the row into a NULL instead
+    # (date_bound_expressions.cc:123-126)
+    out = eval_expr(MakeDatetime(col("y"), col("m"), col("d"), Const(0),
+                                 Const(0), Const(0)),
+                    {"y": [1969], "m": [12], "d": [31]}, S)
+    assert out == [None]
 
 
 def test_add_days_months():

@@ -398,6 +398,23 @@ def test_golden_string_ops():
     assert_tables_match(out, _golden_out("string_ops"))
 
 
+def test_golden_makedate():
+    """MakeDate/MakeDatetime vs the real engine: mkgmtime_int64
+    NORMALIZES out-of-range months/days (month 13 -> next January, Feb 30
+    -> Mar 2; date_evaluators.cc:36-58); MakeDatetime adds
+    hour/minute/second unchecked and NULLs pre-epoch date parts
+    (date_bound_expressions.cc:123-126)."""
+    from supersonic_tpu import Const, MakeDate, MakeDatetime
+
+    (t,) = _inputs("makedate")
+    out = execute(Compute(
+        [MakeDate(col("y"), col("m"), col("d")).as_("md"),
+         MakeDatetime(col("y2"), col("m"), col("d"), col("h"),
+                      Const(90), Const(-5)).as_("mdt")],
+        ScanTable(t)))
+    assert_tables_match(out, _golden_out("makedate"))
+
+
 def test_golden_date_local():
     """*Local date operators + DateFormat/DateFormatLocal vs the real
     engine under TZ=America/New_York (golden_dump pins the TZ and renders
