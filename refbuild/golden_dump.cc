@@ -862,6 +862,11 @@ void CaseMakeDate() {
   expr->AddAs("mdt", MakeDatetime(NamedAttribute("y2"), NamedAttribute("m"),
                                   NamedAttribute("d"), NamedAttribute("h"),
                                   ConstInt32(90), ConstInt32(-5)));
+  // AddMonths does NOT clamp the day (mkgmtime extrapolation,
+  // date_evaluators.cc:71-83): pin it on month-end-crossing days
+  expr->AddAs("addm", AddMonths(MakeDate(NamedAttribute("y"), ConstInt32(1),
+                                         NamedAttribute("d")),
+                                NamedAttribute("m")));
   RunAndDump("makedate", Compute(expr, ScanView(table.view())));
 }
 

@@ -1,9 +1,12 @@
 """Expression engine public surface (reference: expression/core factories)."""
 from .base import (Alias, AttributeAt, BoundExpression, EvalContext,
-                   EvaluationError, Expression, ExprValue, NamedAttribute, col)
-from .terminal import (Const, ConstBool, ConstDate, ConstDateTime, ConstDouble,
+                   EvaluationError, Expression, ExprValue,
+                   InputAttributeProjection, NamedAttribute, Projection, col)
+from .terminal import (Const, ConstBinary, ConstBool, ConstDataType,
+                       ConstDate, ConstDateTime, ConstDouble,
                        ConstFloat, ConstInt32, ConstInt64, ConstString,
-                       ConstUint32, ConstUint64, Null, RandInt32, Sequence)
+                       ConstUint32, ConstUint64, Null, RandInt32, Sequence,
+                       TypedConst)
 from .arithmetic import (CppDivide, CppDivideNulling, CppDivideSignaling,
                          Divide, DivideNulling, DivideQuiet, DivideSignaling,
                          Minus, Modulus, ModulusNulling, ModulusSignaling,
@@ -24,14 +27,21 @@ from .math import (Abs, Acos, Acosh, Asin, Asinh, Atan, Atan2, Atanh, Ceil,
                    IsInf, IsNaN, IsNormal, Ln,
                    LnNulling, LnSignaling, Log, Log2, Log2Nulling, Log10,
                    Log10Nulling, Pow, PowNulling, PowQuiet, PowSignaling,
+                   Pi, PowerNulling, PowerQuiet, PowerSignaling, RandomDouble,
                    Round, RoundToInt, RoundWithPrecision, Sin, Sinh, Sqrt,
+                   SqrtQuiet, ToDegrees, ToRadians,
                    SqrtNulling, SqrtSignaling, Tan, Tanh, Trunc)
-from .string import (Concat, Concatenate, Length, Ltrim, Rtrim,
+from .string import (Concat, ConcatWithSeparator, Concatenate, Length, Ltrim, Rtrim,
+                     StringContainsCI,
                      StringContains, SubstringSignaling,
                      StringOffset, StringReplace, Substring, ToLower, ToString,
                      TrailingSubstring,
                      ToUpper, Trim)
-from .date import (AddDays, AddMinutes, AddMonths, DateFormat,
+from .date import (AddDay, AddDays, AddMinute, AddMinutes, AddMonth,
+                   AddMonths,
+                   ConstDateTimeFromMicrosecondsSinceEpoch,
+                   ConstDateTimeFromSecondsSinceEpoch, Now, ParseDateTime,
+                   DateFormat,
                    DateFormatLocal, DateToDatetime, Day, DayLocal,
                    FromUnixTime, Hour, HourLocal, MakeDate, MakeDatetime,
                    Microsecond, MicrosecondLocal, Minute, MinuteLocal, Month,
@@ -44,4 +54,5 @@ from .stateful import (Changed, RunningMinWithFlush, RunningSum, Smudge,
                        SmudgeIf)
 from .regexp import (RegexpExtract, RegexpFullMatch, RegexpPartialMatch,
                      RegexpReplace)
-from .hashing import Fingerprint, Hash
+from .hashing import (Fingerprint, Hash, SupersonicFingerprint,
+                      SupersonicHash)

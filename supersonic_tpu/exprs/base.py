@@ -204,3 +204,35 @@ def bind_children(schema: TupleSchema, dicts: dict,
 
 def expr_name(op: str, children: Sequence[BoundExpression]) -> str:
     return f"{op}({', '.join(c.name for c in children)})"
+
+
+def InputAttributeProjection(projector):
+    """Expressions projecting the input through a single-source projector
+    (reference: projecting_expressions.h:46; multi-attribute results are
+    the engine's expression LISTS — Compute accepts them directly).
+    Accepts an ops.project.Projector, an attribute name, or a sequence of
+    names; returns one Expression per projected attribute (a bare
+    Expression for the single-attribute case)."""
+    if isinstance(projector, str):
+        return NamedAttribute(projector)
+    if isinstance(projector, (list, tuple)):
+        return [NamedAttribute(n) for n in projector]
+    exprs = []
+    for src, dst in projector.items:
+        e = (AttributeAt(src) if isinstance(src, int)
+             else NamedAttribute(src))
+        exprs.append(e if dst is None else Alias(dst, e))
+    return exprs[0] if len(exprs) == 1 else exprs
+
+
+def Projection(sources, projector):
+    """Rename/reorder a list of sub-expressions through a projector
+    (reference: projecting_expressions.h:71-74).  ``sources`` is a
+    sequence of Expressions; positional projector entries select from it,
+    named renames apply by output name."""
+    sources = list(sources)
+    out = []
+    for src, dst in projector.items:
+        e = sources[src] if isinstance(src, int) else NamedAttribute(src)
+        out.append(e if dst is None else Alias(dst, e))
+    return out[0] if len(out) == 1 else out

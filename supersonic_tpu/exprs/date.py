@@ -322,8 +322,11 @@ class AddMinutes(Expression):
 
 
 class AddMonths(Expression):
-    """AddMonths clamps day-of-month into the target month's length
-    (reference: date_evaluators.cc AddMonths)."""
+    """ADD_MONTHS (reference: date_evaluators.cc:71-83): the day-of-month
+    is NOT clamped — mkgmtime_int64 extrapolates linearly, so
+    2020-01-31 + 1 month = 2020-03-02 (Feb 31).  The time-of-day offset
+    is preserved; a pre-epoch date part collapses to mkgmtime's -1s
+    sentinel, quietly (ArithmeticExpressionTraits: no failer/nuller)."""
 
     def __init__(self, child, months):
         self.child = wrap(child)
@@ -340,19 +343,9 @@ class AddMonths(Expression):
             days = _days(us)
             tod = us - days * US_PER_DAY
             y, m, d = _civil_from_days(days)
-            total = (y * 12 + (m - 1)) + mm.values.astype(jnp.int64)
-            ny = total // 12
-            nm = total % 12 + 1
-            # clamp day to target month length
-            first_next = _days_from_civil(
-                jnp.where(nm == 12, ny + 1, ny),
-                jnp.where(nm == 12, jnp.ones_like(nm), nm + 1),
-                jnp.ones_like(nm))
-            first_this = _days_from_civil(ny, nm, jnp.ones_like(nm))
-            month_len = first_next - first_this
-            nd = jnp.minimum(d, month_len)
-            out = _days_from_civil(ny, nm, nd) * US_PER_DAY + tod
-            return ExprValue(out, merge_valid(v.valid, mm.valid))
+            md = _makedate_us(y, m + mm.values.astype(jnp.int64), d)
+            md = jnp.where(md < 0, -US_PER_SEC, md)  # mkgmtime -1 sentinel
+            return ExprValue(md + tod, merge_valid(v.valid, mm.valid))
 
         return BoundExpression(
             Attribute(f"ADD_MONTHS({cb.name})", DataType.DATETIME,
@@ -540,3 +533,60 @@ class DateFormat(Expression):
 def DateFormatLocal(child, format, domain=None):
     """Reference: date_expressions.h:175 (localtime_r rendering)."""
     return DateFormat(child, format, domain=domain, local=True)
+
+
+# --- singular add + const/Now factories (date_expressions.h:55-150) ---------
+
+def AddDay(child):
+    """Add one day (reference: date_expressions.h AddDay)."""
+    from .terminal import Const
+
+    return AddDays(child, Const(1))
+
+
+def AddMinute(child):
+    """Add one minute (reference: date_expressions.h AddMinute)."""
+    from .terminal import Const
+
+    return AddMinutes(child, Const(1))
+
+
+def AddMonth(child):
+    """Add one month (reference: date_expressions.h AddMonth)."""
+    from .terminal import Const
+
+    return AddMonths(child, Const(1))
+
+
+def ConstDateTimeFromMicrosecondsSinceEpoch(value):
+    """reference: date_expressions.h:36-39."""
+    from .terminal import Const
+
+    return Const(int(value), DataType.DATETIME)
+
+
+def ConstDateTimeFromSecondsSinceEpoch(value):
+    """reference: date_expressions.h:32-35 (whole seconds)."""
+    from .terminal import Const
+
+    return Const(int(value) * US_PER_SEC, DataType.DATETIME)
+
+
+def Now():
+    """DATETIME constant from the current time — the time Now() is
+    CALLED, not evaluation time (reference: date_expressions.h:41-43)."""
+    import time as _time
+
+    from .terminal import Const
+
+    return Const(int(_time.time() * US_PER_SEC), DataType.DATETIME)
+
+
+def ParseDateTime(format, e):
+    """Declared at date_expressions.h:80 but UNIMPLEMENTED in the
+    reference (no definition is linked); rejected here for the same
+    surface.  Datetime parsing from strings: exprs.ParseStringNulling to
+    DATETIME (the types_infrastructure parser path)."""
+    raise TypeError_(
+        "ParseDateTime is unimplemented in the reference engine; use "
+        "ParseStringNulling/ParseStringQuiet with output type DATETIME")

@@ -66,3 +66,33 @@ class Fingerprint(Expression):
             return ExprValue(_mix32(h).astype(jnp.uint64), None)
 
         return BoundExpression(Attribute(name, DataType.UINT64, False), fn)
+
+
+SupersonicFingerprint = Fingerprint  # reference: hashing_expressions.h:28
+#   (the "Supersonic" prefix avoided a google3 util/hash name collision)
+
+
+class SupersonicHash(Expression):
+    """HASH(e, seed) -> UINT64 (reference: hashing_expressions.h:35-36,
+    Hash64StringWithSeed-style seeded hash).  Hash VALUES intentionally
+    differ from the reference (SURVEY §1.1: only the mixing contract
+    matters); the seed is folded into the per-value mix."""
+
+    def __init__(self, child, seed):
+        self.child = wrap(child)
+        self.seed = wrap(seed)
+
+    def do_bind(self, schema, dicts):
+        cb = self.child.do_bind(schema, dicts)
+        sb = self.seed.do_bind(schema, dicts)
+
+        def fn(ctx: EvalContext) -> ExprValue:
+            h, _ = _hash_one(cb, ctx)
+            s = sb.evaluate(ctx)
+            sh = _mix32(_fold32(monotone_code(s.values, sb.type)))
+            out = _mix32(h ^ sh)
+            return ExprValue(out.astype(jnp.uint64), None)
+
+        return BoundExpression(
+            Attribute(f"HASH({cb.name}, {sb.name})", DataType.UINT64,
+                      False), fn)

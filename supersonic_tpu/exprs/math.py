@@ -118,32 +118,54 @@ class Log(Expression):
                       bb.nullable or xb.nullable), f)
 
 
-class Pow(Expression):
-    """POWER(base, exponent); quiet IEEE semantics."""
+def _pow_expr(policy: str):
+    """POWER(base, exponent) with the reference's three failure policies
+    (expression_traits.h:1329-1370): the domain violation is base < 0
+    with a NON-INTEGER exponent — quiet keeps C pow's NaN, nulling turns
+    the row NULL (FirstColumnNegativeAndSecondNonIntegerNuller),
+    signaling fails the evaluation (...Failer)."""
 
-    def __init__(self, base, exponent):
-        self.base = wrap(base)
-        self.exponent = wrap(exponent)
+    class _Pow(Expression):
+        def __init__(self, base, exponent):
+            self.base = wrap(base)
+            self.exponent = wrap(exponent)
 
-    def do_bind(self, schema, dicts):
-        bb = self.base.do_bind(schema, dicts)
-        eb = self.exponent.do_bind(schema, dicts)
+        def do_bind(self, schema, dicts):
+            bb = self.base.do_bind(schema, dicts)
+            eb = self.exponent.do_bind(schema, dicts)
+            nullable = (bb.nullable or eb.nullable
+                        or policy == "nulling")
 
-        def f(ctx):
-            b = bb.evaluate(ctx)
-            e = eb.evaluate(ctx)
-            y = jnp.power(b.values.astype(jnp.float64),
-                          e.values.astype(jnp.float64))
-            return ExprValue(y, merge_valid(b.valid, e.valid))
+            def f(ctx):
+                b = bb.evaluate(ctx)
+                e = eb.evaluate(ctx)
+                bd = b.values.astype(jnp.float64)
+                ed = e.values.astype(jnp.float64)
+                y = jnp.power(bd, ed)
+                valid = merge_valid(b.valid, e.valid)
+                if policy != "quiet":
+                    bad = (bd < 0) & (ed != jnp.floor(ed))
+                    if policy == "nulling":
+                        valid = merge_valid(valid, ~bad)
+                    else:
+                        live = (bad if valid is None else (bad & valid))
+                        ctx.flag_error(
+                            f"POW({bb.name}, {eb.name}): negative base "
+                            "with non-integer exponent", live)
+                return ExprValue(y, valid)
 
-        return BoundExpression(
-            Attribute(f"POW({bb.name}, {eb.name})", DataType.DOUBLE,
-                      bb.nullable or eb.nullable), f)
+            return BoundExpression(
+                Attribute(f"POW({bb.name}, {eb.name})", DataType.DOUBLE,
+                          nullable), f)
+
+    _Pow.__name__ = f"Pow{policy.title()}"
+    return _Pow
 
 
-PowSignaling = Pow
-PowNulling = Pow
-PowQuiet = Pow
+PowQuiet = _pow_expr("quiet")
+PowNulling = _pow_expr("nulling")
+PowSignaling = _pow_expr("signaling")
+Pow = PowQuiet
 
 
 def _rounding(op_name: str, fn: Callable):
@@ -428,3 +450,44 @@ Log2Signaling = _unary_float("LOG2_SIGNALING", jnp.log2,
 
 
 SqrtQuiet = Sqrt  # reference: OPERATOR_SQRT_QUIET
+
+
+def Pi():
+    """DOUBLE constant pi (reference: math_expressions.h Pi)."""
+    import math as _math
+
+    from .terminal import Const
+
+    return Const(_math.pi, DataType.DOUBLE)
+
+
+# reference naming variants (math_expressions.h Power* == Pow*)
+PowerSignaling = PowSignaling
+PowerNulling = PowNulling
+PowerQuiet = PowQuiet
+
+ToDegrees = _unary_float("TO_DEGREES", lambda x: x * (180.0 / jnp.pi))
+ToRadians = _unary_float("TO_RADIANS", lambda x: x * (jnp.pi / 180.0))
+
+
+class RandomDouble(Expression):
+    """Uniform [0, 1) DOUBLE per row (reference: math_expressions.h:128-130
+    — declared there but never implemented; implemented here with the
+    same contract as RandInt32: deterministic per (seed, row index))."""
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+
+    def do_bind(self, schema, dicts):
+        import jax as _jax
+
+        seed = self.seed
+
+        def fn(ctx: EvalContext) -> ExprValue:
+            cap = ctx.table.capacity
+            key = _jax.random.PRNGKey(seed)
+            vals = _jax.random.uniform(key, (cap,), dtype=jnp.float64)
+            return ExprValue(vals, None)
+
+        return BoundExpression(
+            Attribute("RANDOM_DOUBLE", DataType.DOUBLE, False), fn)

@@ -513,3 +513,37 @@ def TrailingSubstring(child, pos):
 # ConcatWithSeparator (string_expressions.h:41) is declared "Currently
 # not implemented" in the reference and is omitted here for the same
 # surface (like ParseDateTime and RIGHT/FULL outer joins).
+
+
+class StringContainsCI(Expression):
+    """Case-insensitive CONTAINS (reference: string_expressions.h:94-98 —
+    implemented there by lowercasing both sides)."""
+
+    def __init__(self, haystack, needle):
+        self.haystack = wrap(haystack)
+        self.needle = wrap(needle)
+
+    def do_bind(self, schema, dicts):
+        if isinstance(self.needle, Const):
+            needle = str(self.needle.value).lower()
+            return _property_expr(
+                "CONTAINS_CI", lambda s: needle in s.lower(),
+                DataType.BOOL, np.bool_
+            )(self.haystack).do_bind(schema, dicts)
+        return _pair_property_expr(
+            "CONTAINS_CI", lambda s, n: n.lower() in s.lower(),
+            DataType.BOOL, np.bool_
+        )(self.haystack, self.needle).do_bind(schema, dicts)
+
+
+def ConcatWithSeparator(separator: str, *args):
+    """CONCAT with a separator between the arguments (reference:
+    string_expressions.h:36-41 — declared "Currently not implemented"
+    there; implemented here as Concat with interleaved constants, same
+    NULL semantics as Concat)."""
+    parts = []
+    for i, a in enumerate(args):
+        if i:
+            parts.append(Const(separator))
+        parts.append(a)
+    return Concat(*parts)

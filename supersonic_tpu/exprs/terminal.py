@@ -121,3 +121,22 @@ class RandInt32(Expression):
             return ExprValue(bits, None)
 
         return BoundExpression(Attribute("RANDINT32", DataType.INT32, False), fn)
+
+
+def ConstBinary(v):
+    """reference: terminal_expressions.h ConstBinary."""
+    return Const(v, DataType.BINARY)
+
+
+def ConstDataType(v):
+    """A DATA_TYPE-valued constant (reference: terminal_expressions.h;
+    the 13th DataType — stored as its enum code)."""
+    from ..types import DataType as _DT
+
+    code = list(_DT).index(v) if isinstance(v, _DT) else int(v)
+    return Const(code, DataType.DATA_TYPE)
+
+
+def TypedConst(type_: DataType, value):
+    """reference: terminal_expressions.h TypedConst<type>(value)."""
+    return Const(value, type_)

@@ -1,14 +1,18 @@
 from .base import (BindContext, BoundOperation, Operation, RunContext,
                    bind_plan, compile_plan, execute, set_debug_checks)
-from .scan import ScanTable, ScanTableWithSelection
+from .scan import (ScanTable, ScanTableWithSelection, ScanView,
+                   ScanViewWithSelection)
 from .project import Project, Projector
 from .compute import Compute
 from .filter import Filter, compact_by_mask, compaction_indices
 from .limit import Limit
 from .generate import Generate
 from .coalesce import Coalesce
-from .sort import ExtendedSort, Sort, SortKey, SortOrder, sort_permutation
-from .aggregate import (AggregateClusters, Aggregation, AggregationSpecification,
+from .sort import (ExtendedSort, Sort, SortKey, SortOrder,
+                   SortWithTempDirPrefix, sort_permutation)
+from .aggregate import (AggregateClusters,
+                        AggregateClustersWithSpecifiedOutputBlockSize,
+                        Aggregation, AggregationSpecification,
                         AggSpec, BestEffortGroupAggregate, GroupAggregate,
                         GroupAggregateOptions, HybridGroupAggregate,
                         ScalarAggregate)

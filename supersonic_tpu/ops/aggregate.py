@@ -1128,3 +1128,12 @@ class AggregateClusters(Operation):
                 None, rctx, pre_sorted=True, rerank=False)
 
         return BoundOperation(out_schema, out_dicts, fn, out_cap)
+
+
+def AggregateClustersWithSpecifiedOutputBlockSize(
+        group_by, specification, block_size, child):
+    """reference: aggregate.h AggregateClustersWithSpecifiedOutputBlockSize
+    — the block size caps per-view output; here it is the static output
+    capacity."""
+    return AggregateClusters(group_by, specification, child,
+                             out_capacity=int(block_size))

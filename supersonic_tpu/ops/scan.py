@@ -116,3 +116,8 @@ class ScanTableWithSelection(Operation):
 
         return BoundOperation(self.table.schema, dict(self.table.dicts), fn,
                               sel.shape[0])
+
+
+# reference naming (scan_view.h:24-40): a caller-owned View == a Table here
+ScanView = ScanTable
+ScanViewWithSelection = ScanTableWithSelection

@@ -253,3 +253,14 @@ class ExtendedSort(Operation):
 
         return BoundOperation(cb.schema, cb.dicts, fn, out_cap,
                               stats=dict(cb.stats))
+
+
+def SortWithTempDirPrefix(order, child, result_projector=None,
+                          memory_limit=None,
+                          temporary_directory_prefix=None):
+    """reference: sort.h:94-98.  Device sorts are HBM-resident under the
+    static memory plan, so the in-operation spill path never triggers;
+    beyond-HBM inputs go through io/external.py::ExternalSorter, which
+    honors ``temporary_directory_prefix``.  Signature-compatible wrapper
+    over Sort (the prefix and limit are accepted and unused here)."""
+    return Sort(order, child, result_projector)

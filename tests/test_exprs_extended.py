@@ -170,10 +170,12 @@ def test_makedate_pre_epoch_signals():
 
 
 def test_add_days_months():
-    data = {"t": [us(2020, 1, 31)]}
-    assert eval_expr(Day(AddDays(col("t"), Const(1))), data, DT) == [1]
+    data = {"t": [us(2020, 1, 31), us(2021, 1, 31)]}
+    assert eval_expr(Day(AddDays(col("t"), Const(1))), data, DT) == [1, 1]
     out = eval_expr(AddMonths(col("t"), Const(1)), data, DT)
-    assert out == [us(2020, 2, 29)]  # clamped to Feb 29
+    # reference mkgmtime extrapolates, it does NOT clamp
+    # (date_evaluators.cc:71-83): Jan 31 + 1mo = "Feb 31" = Mar 2/3
+    assert out == [us(2020, 3, 2), us(2021, 3, 3)]
 
 
 ST = TupleSchema.of(("v", INT64), ("f", BOOL))
@@ -339,3 +341,22 @@ def test_bitwise_andnot_and_date_to_datetime():
     # 2 days after epoch -> 1970-01-03T00:00:00 in microseconds
     assert eval_expr(DateToDatetime(col("d")), {"d": [2]}, D) == \
         [2 * 86_400 * 1_000_000]
+
+
+def test_pow_policies():
+    """Reference POW policies (expression_traits.h:1329-1370): the domain
+    violation is negative base with NON-integer exponent."""
+    from supersonic_tpu import (Compute, PowNulling, PowQuiet, PowSignaling,
+                                ScanTable, Table, execute)
+    from supersonic_tpu.ops.base import EvaluationError
+
+    S = TupleSchema.of(("b", DOUBLE), ("e", DOUBLE))
+    data = {"b": [2.0, -2.0, -2.0], "e": [3.0, 2.0, 0.5]}
+    q = eval_expr(PowQuiet(col("b"), col("e")), data, S)
+    assert q[0] == 8.0 and q[1] == 4.0 and math.isnan(q[2])
+    n = eval_expr(PowNulling(col("b"), col("e")), data, S)
+    assert n == [8.0, 4.0, None]
+    t = Table.from_data(S, data)
+    with pytest.raises(EvaluationError):
+        execute(Compute([PowSignaling(col("b"), col("e")).as_("s")],
+                        ScanTable(t)))

@@ -404,13 +404,15 @@ def test_golden_makedate():
     -> Mar 2; date_evaluators.cc:36-58); MakeDatetime adds
     hour/minute/second unchecked and NULLs pre-epoch date parts
     (date_bound_expressions.cc:123-126)."""
-    from supersonic_tpu import Const, MakeDate, MakeDatetime
+    from supersonic_tpu import AddMonths, Const, MakeDate, MakeDatetime
 
     (t,) = _inputs("makedate")
     out = execute(Compute(
         [MakeDate(col("y"), col("m"), col("d")).as_("md"),
          MakeDatetime(col("y2"), col("m"), col("d"), col("h"),
-                      Const(90), Const(-5)).as_("mdt")],
+                      Const(90), Const(-5)).as_("mdt"),
+         AddMonths(MakeDate(col("y"), Const(1), col("d")),
+                   col("m")).as_("addm")],
         ScanTable(t)))
     assert_tables_match(out, _golden_out("makedate"))
 
