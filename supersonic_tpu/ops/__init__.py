@@ -18,6 +18,7 @@ from .aggregate import (AggregateClusters,
                         ScalarAggregate)
 from .hash_join import HashJoin, JoinType, KeyUniqueness
 from .merge import MergeUnionAll
+from .union import UnionAll
 from .rowid_join import ForeignFilter, RowidMergeJoin
 from .misc import (SharedOperation, Spy, SpyListener, TakeOwnership,
                    format_table)

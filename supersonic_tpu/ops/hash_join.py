@@ -34,11 +34,16 @@ from ..kernels.lut_gather import take_small
 
 
 class JoinType(enum.Enum):
-    """reference: proto/supersonic.proto:77-83 (only INNER and LEFT_OUTER
-    are implemented, matching hash_join.h:37)."""
+    """reference: proto/supersonic.proto:77-83.  The reference implements
+    only INNER and LEFT_OUTER (hash_join.h:37 marks RIGHT_OUTER and
+    FULL_OUTER "not supported yet"); this engine implements all four —
+    RIGHT_OUTER as a mirrored LEFT_OUTER, FULL_OUTER as
+    LEFT_OUTER ∪ NULL-padded anti-join rows (see HashJoin.bind)."""
 
     INNER = "INNER"
     LEFT_OUTER = "LEFT_OUTER"
+    RIGHT_OUTER = "RIGHT_OUTER"
+    FULL_OUTER = "FULL_OUTER"
 
 
 class KeyUniqueness(enum.Enum):
@@ -259,6 +264,11 @@ class HashJoin(Operation):
         # that already reduce over masks (GroupAggregate, Sort) fold the
         # mask into their pad key, saving a full payload-sort compaction
         # (the same fusion contract as unwrap_filters).
+        if self.join_type in (JoinType.RIGHT_OUTER, JoinType.FULL_OUTER):
+            if _masked:
+                raise SchemaError(
+                    "masked join binding supports INNER/LEFT_OUTER only")
+            return self._bind_outer_rewrite(ctx)
         if _masked and self.uniqueness != KeyUniqueness.UNIQUE:
             raise SchemaError("masked join binding requires a UNIQUE rhs")
         from .filter import bind_predicates, keep_mask, unwrap_filters
@@ -793,6 +803,81 @@ class HashJoin(Operation):
         # planner stats: projected lhs/rhs columns keep their bounds
         # (gathers preserve the value set; LEFT_OUTER adds NULLs only)
         out_stats = {}
+        return self._finish_bind(out_schema, out_dicts, fn, out_cap,
+                                 out_stats, lpairs, rpairs, lb, rb)
+
+    def _bind_outer_rewrite(self, ctx: BindContext) -> BoundOperation:
+        """RIGHT_OUTER / FULL_OUTER by construction from the implemented
+        join forms (the reference declares both in JoinType but never
+        implements them — hash_join.h:37).
+
+        RIGHT_OUTER(l, r) == mirror of LEFT_OUTER(r, l) with the output
+        columns re-ordered to (lhs..., rhs...).  The mirrored build side
+        (the original lhs) has unknown key multiplicity -> NOT_UNIQUE.
+
+        FULL_OUTER(l, r) == LEFT_OUTER(l, r) ∪ the NULL-lhs-padded rhs
+        rows with no live lhs key match; the anti mask comes from a
+        LEFT_OUTER probe of rhs against the DISTINCT lhs keys carrying a
+        non-null marker constant (unmatched rows surface a NULL marker).
+        Pure operator composition: UnionAll's dynamic-update-slice
+        concatenation and the existing join/group machinery do the work.
+        """
+        from .project import Project
+        from ..types import DataType as _DT
+
+        lsch = self.lhs.bind(ctx).schema
+        rsch = self.rhs.bind(ctx).schema
+        lpairs = self.lhs_projector.resolve(lsch)
+        rpairs = self.rhs_projector.resolve(rsch)
+        order = [dst for _, dst in lpairs] + [dst for _, dst in rpairs]
+        if self.join_type == JoinType.RIGHT_OUTER:
+            mirrored = HashJoin(
+                JoinType.LEFT_OUTER, self.rhs_keys, self.lhs_keys,
+                self.rhs, self.lhs, KeyUniqueness.NOT_UNIQUE,
+                lhs_projector=self.rhs_projector,
+                rhs_projector=self.lhs_projector,
+                out_capacity=self.out_capacity,
+                allow_dense_lookup=self.allow_dense_lookup)
+            return Project(Projector.named(*order), mirrored).bind(ctx)
+        # FULL_OUTER
+        from .aggregate import GroupAggregate
+        from .compute import Compute
+        from .filter import Filter
+        from .union import UnionAll
+        from ..exprs import Const, IsNull, Null, col as _col
+
+        marker = "__full_outer_m"
+        if marker in rsch.names() or marker in lsch.names():
+            raise SchemaError(f"column name {marker!r} is reserved")
+        left_part = HashJoin(
+            JoinType.LEFT_OUTER, self.lhs_keys, self.rhs_keys,
+            self.lhs, self.rhs, self.uniqueness,
+            lhs_projector=self.lhs_projector,
+            rhs_projector=self.rhs_projector,
+            out_capacity=self.out_capacity,
+            allow_dense_lookup=self.allow_dense_lookup)
+        distinct_keys = GroupAggregate(self.lhs_keys, [], self.lhs)
+        build = Compute(
+            [_col(k) for k in self.lhs_keys]
+            + [Const(True).as_(marker)], distinct_keys)
+        marker_join = HashJoin(
+            JoinType.LEFT_OUTER, self.rhs_keys, self.lhs_keys,
+            self.rhs, build, KeyUniqueness.UNIQUE,
+            lhs_projector=self.rhs_projector,
+            rhs_projector=Projector.named(marker),
+            allow_dense_lookup=self.allow_dense_lookup)
+        anti = Filter(IsNull(_col(marker)), marker_join)
+        pad_exprs = []
+        for src, dst in lpairs:
+            a = lsch.lookup(src)
+            pad_exprs.append(Null(a.type).as_(dst))
+        for src, dst in rpairs:
+            pad_exprs.append(_col(dst))
+        padded = Compute(pad_exprs, anti)
+        return UnionAll(left_part, padded).bind(ctx)
+
+    def _finish_bind(self, out_schema, out_dicts, fn, out_cap, out_stats,
+                     lpairs, rpairs, lb, rb) -> BoundOperation:
         for src, dst in lpairs:
             if src in lb.stats:
                 out_stats[dst] = lb.stats[src]

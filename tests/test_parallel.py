@@ -246,3 +246,29 @@ def test_dist_group_aggregate_quota_pregroup_stays_exact():
             dist_group_aggregate(mesh, dist, ["fk"], spec, options=opts))
     want = execute(GroupAggregate(["fk"], spec, ScanTable(fact)))
     assert sorted(got.to_pylist()) == sorted(want.to_pylist())
+
+
+def test_full_outer_dist_join():
+    """FULL_OUTER distributes through dist_hash_join unchanged: both
+    sides repartition by key hash, so a shard-local unmatched row is
+    globally unmatched (ops/hash_join.py::_bind_outer_rewrite runs per
+    shard)."""
+    mesh = make_mesh()
+    lhs = Table.from_data(
+        TupleSchema.of(("k", DataType.INT64, False),
+                       ("lv", DataType.INT64, False)),
+        {"k": [1, 2, 2, 99], "lv": [10, 20, 21, 990]})
+    rhs = Table.from_data(
+        TupleSchema.of(("k2", DataType.INT64, False),
+                       ("w", DataType.INT64, False)),
+        {"k2": [2, 3, 4], "w": [200, 300, 400]})
+    for jt in (JoinType.RIGHT_OUTER, JoinType.FULL_OUTER):
+        expected = execute(HashJoin(jt, ["k"], ["k2"],
+                                    ScanTable(lhs), ScanTable(rhs),
+                                    KeyUniqueness.UNIQUE))
+        got = collect_table(dist_hash_join(
+            mesh, jt, ["k"], ["k2"],
+            distribute_table(lhs, mesh), distribute_table(rhs, mesh),
+            KeyUniqueness.UNIQUE, out_cap_per_peer=32))
+        assert sorted(got.to_pylist(), key=str) == \
+            sorted(expected.to_pylist(), key=str), jt
