@@ -156,3 +156,43 @@ def test_union_all_schema_mismatch():
     with pytest.raises(SchemaError):
         execute(UnionAll(ScanTable(Table.from_data(A, {"a": [1]})),
                          ScanTable(Table.from_data(B, {"b": [1]}))))
+
+
+def test_outer_joins_capacity_sweep():
+    """OperationTest-style sweep (testing/operation_testing.py): the
+    outer-join rewrite and UnionAll must not leak capacity padding into
+    results at any input capacity."""
+    from supersonic_tpu.testing.operation_testing import OperationTest
+
+    L = TupleSchema.of(("k", DataType.INT64, True), ("lv", DataType.INT64))
+    R = TupleSchema.of(("rk", DataType.INT64, True), ("rv", DataType.INT64))
+    ldata = {"k": [1, 2, 2, None], "lv": [10, 20, 21, 40]}
+    rdata = {"rk": [2, 3, None], "rv": [200, 300, 999]}
+
+    t = OperationTest()
+    t.add_input(L, ldata)
+    t.add_input(R, rdata)
+    t.set_ignore_row_order()
+    t.set_expected_result([
+        (2, 20, 2, 200), (2, 21, 2, 200),
+        (None, None, 3, 300), (None, None, None, 999)])
+    t.execute(lambda l, r: HashJoin(JoinType.RIGHT_OUTER, ["k"], ["rk"],
+                                    l, r))
+
+    t2 = OperationTest()
+    t2.add_input(L, ldata)
+    t2.add_input(R, rdata)
+    t2.set_ignore_row_order()
+    t2.set_expected_result([
+        (1, 10, None, None), (2, 20, 2, 200), (2, 21, 2, 200),
+        (None, 40, None, None),
+        (None, None, 3, 300), (None, None, None, 999)])
+    t2.execute(lambda l, r: HashJoin(JoinType.FULL_OUTER, ["k"], ["rk"],
+                                     l, r))
+
+    t3 = OperationTest()
+    t3.add_input(L, ldata)
+    t3.add_input(L, {"k": [7], "lv": [70]})
+    t3.set_expected_result([
+        (1, 10), (2, 20), (2, 21), (None, 40), (7, 70)])
+    t3.execute(lambda a, b: UnionAll(a, b))
