@@ -83,7 +83,7 @@ def kernel_fullcontract(g_ref, v1_ref, v2_ref, o1_ref, o2_ref, *, k_pad):
 
 
 def run_variant(label, kernel, g2, v2a, v2b, k_pad):
-    f = pl.pallas_call(
+    f0 = pl.pallas_call(
         functools.partial(kernel, k_pad=k_pad),
         grid=(g2.shape[0] // SUBLANES,),
         in_specs=[pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
@@ -94,7 +94,8 @@ def run_variant(label, kernel, g2, v2a, v2b, k_pad):
     )
 
     def fn(c, g2, v2a, v2b):
-        o1, o2 = f(g2, v2a + c, v2b)
+        with jax.enable_x64(False):  # match the production kernel call
+            o1, o2 = f0(g2, v2a + c.astype(jnp.float32), v2b)
         return o1.sum() + o2.sum()
 
     timed(label, fn, g2, v2a, v2b)
@@ -125,5 +126,91 @@ def main():
                 kernel_fullcontract, g2, v2, o2, k_pad)
 
 
+# --- unified one-hot: dots + match reqs share the per-sublane compare ---
+
+def kernel_unified(g_ref, v1_ref, v2_ref, p_ref, o1_ref, o2_ref, op_ref,
+                   *, k_pad):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        o1_ref[:] = jnp.zeros_like(o1_ref)
+        o2_ref[:] = jnp.zeros_like(o2_ref)
+        op_ref[:] = jnp.full_like(op_ref, 2**31 - 1)
+
+    g = g_ref[:]
+    v1 = v1_ref[:]
+    v2 = v2_ref[:]
+    p = p_ref[:]
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, k_pad), 1)
+    a1 = jnp.zeros((1, k_pad), jnp.float32)
+    a2 = jnp.zeros((1, k_pad), jnp.float32)
+    ap = jnp.full((1, k_pad), 2**31 - 1, jnp.int32)
+    for s in range(SUBLANES):
+        ohb = g[s, :][:, None] == k_iota        # [L, K] bool, shared
+        oh = ohb.astype(jnp.float32)
+        a1 = a1 + jax.lax.dot_general(
+            v1[s:s + 1, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a2 = a2 + jax.lax.dot_general(
+            v2[s:s + 1, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        sel = jnp.where(ohb, p[s, :][:, None], jnp.int32(2**31 - 1))
+        ap = jnp.minimum(ap, jnp.min(sel, axis=0, keepdims=True))
+    o1_ref[:] = o1_ref[:] + a1
+    o2_ref[:] = o2_ref[:] + a2
+    op_ref[:] = jnp.minimum(op_ref[:], ap)
+
+
+def run_unified(label, g2, v2a, v2b, p2, k_pad):
+    f0 = pl.pallas_call(
+        functools.partial(kernel_unified, k_pad=k_pad),
+        grid=(g2.shape[0] // SUBLANES,),
+        in_specs=[pl.BlockSpec((SUBLANES, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec((1, k_pad), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, k_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((1, k_pad), jnp.int32)],
+    )
+
+    def fn(c, g2, v2a, v2b, p2):
+        with jax.enable_x64(False):
+            o1, o2, op = f0(g2, v2a + c.astype(jnp.float32), v2b, p2)
+        return o1.sum() + o2.sum() + op.sum().astype(jnp.float32)
+
+    timed(label, fn, g2, v2a, v2b, p2)
+
+
+def main3():
+    rng = np.random.default_rng(0)
+    k_pad = 128
+    g = jnp.asarray(rng.integers(0, K, N).astype(np.int32))
+    v = jnp.asarray(rng.random(N, np.float32))
+    ones = jnp.ones(N, jnp.float32)
+    pos = jnp.asarray(np.arange(N, dtype=np.int32))
+    g2 = g.reshape(-1, LANES)
+    v2 = v.reshape(-1, LANES)
+    o2 = ones.reshape(-1, LANES)
+    p2 = pos.reshape(-1, LANES)
+
+    from supersonic_tpu.kernels.segment_reduce import segment_reduce_multi
+
+    def current3(c, g, v, pos):
+        r = segment_reduce_multi(
+            [(v + c, "sum"), ((v * 0 + 1).astype(jnp.int32), "count"),
+             (pos, "min")], g, K)
+        return (r[0].sum() + r[1].sum().astype(jnp.float32)
+                + r[2].sum().astype(jnp.float32))
+
+    timed("current multi (sum + count + min-pos)", current3, g, v, pos)
+    run_unified("unified one-hot (sum + count + min-pos)",
+                g2, v2, o2, p2, k_pad)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "3":
+        main3()
+    else:
+        main()

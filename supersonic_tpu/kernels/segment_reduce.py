@@ -140,6 +140,50 @@ def _multi_kernel(g_ref, *refs, k_pad: int, modes, inits, dots):
     g = g_ref[:]
     vs = [v_refs[j][:] for j in range(nreq)]
     dot_reqs = [j for j in range(nreq) if dots[j]]
+    match_reqs_all = [j for j in range(nreq) if not dots[j]]
+    if dot_reqs and match_reqs_all and k_pad == LANES:
+        # unified per-sublane pass: the boolean one-hot is built ONCE per
+        # sublane and shared by every request — the f32 sums ride it as
+        # MXU dots, the min/max/int-sum requests as masked VPU reduces.
+        # Splitting into separate dot/match passes costs a second full
+        # compare stream (the dominant term); sharing removes it.
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, k_pad), 1)
+        daccs = {j: jnp.zeros((1, k_pad), jnp.float32) for j in dot_reqs}
+        maccs = {j: jnp.full((1, k_pad), inits[j], vs[j].dtype)
+                 for j in match_reqs_all}
+        for s in range(SUBLANES):
+            ohb = g[s, :][:, None] == k_iota          # [L, K] shared
+            oh = ohb.astype(jnp.float32)
+            for j in dot_reqs:
+                daccs[j] = daccs[j] + jax.lax.dot_general(
+                    vs[j][s:s + 1, :], oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            for j in match_reqs_all:
+                v = vs[j]
+                sel = jnp.where(ohb, v[s, :][:, None],
+                                jnp.asarray(inits[j], v.dtype))
+                if modes[j] == "sum":
+                    red = jnp.sum(sel, axis=0, keepdims=True,
+                                  dtype=sel.dtype)
+                    maccs[j] = maccs[j] + red
+                elif modes[j] == "min":
+                    red = jnp.min(sel, axis=0, keepdims=True)
+                    maccs[j] = jnp.minimum(maccs[j], red)
+                else:
+                    red = jnp.max(sel, axis=0, keepdims=True)
+                    maccs[j] = jnp.maximum(maccs[j], red)
+        for j in dot_reqs:
+            o_refs[j][:] = o_refs[j][:] + daccs[j]
+        for j in match_reqs_all:
+            if modes[j] == "sum":
+                o_refs[j][0, :] = o_refs[j][0, :] + maccs[j][0, :]
+            elif modes[j] == "min":
+                o_refs[j][0, :] = jnp.minimum(o_refs[j][0, :],
+                                              maccs[j][0, :])
+            else:
+                o_refs[j][0, :] = jnp.maximum(o_refs[j][0, :],
+                                              maccs[j][0, :])
+        return
     if dot_reqs:
         # f32 sums ride the MXU: per sublane, one-hot [L, K] built once
         # and shared across requests; each request adds one [1,L]@[L,K]

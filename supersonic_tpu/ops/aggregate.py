@@ -312,7 +312,8 @@ def _dense_domain(cb, names, key_attrs, specs, schema_in, options):
 
 def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
                              out_dicts, out_schema, out_cap, K,
-                             guarded, rctx: RunContext, keep=None):
+                             guarded, rctx: RunContext, keep=None,
+                             ordered=True):
     """Dense-domain group-by: per-group accumulators held in VMEM by the
     Pallas segmented-reduce kernel (kernels/segment_reduce.py) — no sort,
     no compaction; O(rows) streaming + O(K) finalization.  This is the
@@ -364,8 +365,14 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
                            valid.astype(jnp.int32), "count")
 
     _ask(("count_all",), live.astype(jnp.int32), "count")
-    _ask(("first_pos",), jnp.where(live, pos, jnp.int32(2**31 - 1)),
-         "min")
+    if ordered:
+        # first-appearance rank reproduces the reference's insertion
+        # order (RowHashSet appends unique keys in arrival order).  An
+        # order-insensitive consumer (Sort) drops this request — the MIN
+        # rides the kernel's masked-reduce path and costs about as much
+        # as all the MXU-dot aggregates combined.
+        _ask(("first_pos",), jnp.where(live, pos, jnp.int32(2**31 - 1)),
+             "min")
     for s in specs:
         agg = s.aggregation
         if agg == Aggregation.COUNT and s.input is None:
@@ -405,7 +412,8 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
         return _results[_memo[key]]
 
     count_all = _got(("count_all",))
-    first_pos = _got(("first_pos",))
+    first_pos = (_got(("first_pos",)) if ordered
+                 else jnp.arange(K, dtype=jnp.int32))
     present = count_all > 0
     num_groups = jnp.sum(present.astype(jnp.int32))
     rctx.error_flags.append(
@@ -904,7 +912,12 @@ class GroupAggregate(Operation):
         self.child = child
         self.options = options or GroupAggregateOptions()
 
-    def bind(self, ctx: BindContext) -> BoundOperation:
+    def bind(self, ctx: BindContext,
+             _unordered: bool = False) -> BoundOperation:
+        # _unordered: the consumer re-orders rows anyway (Sort binds its
+        # GroupAggregate child with this), so the insertion-order
+        # re-rank — and the dense path's first_pos kernel request — are
+        # dropped; groups come out in key/slot order instead.
         from .filter import bind_predicates, keep_mask, unwrap_filters
         from .hash_join import HashJoin, KeyUniqueness
         inner, preds = unwrap_filters(self.child)
@@ -971,12 +984,14 @@ class GroupAggregate(Operation):
                 dims, K, guarded = dense
                 return _dense_grouped_aggregate(
                     t, dims, specs, schema_in, out_dicts,
-                    out_schema, out_cap, K, guarded, rctx, keep=keep)
+                    out_schema, out_cap, K, guarded, rctx, keep=keep,
+                    ordered=not _unordered)
             if keep is not None:
                 live_count = jnp.sum(keep.astype(jnp.int32))
             return _grouped_aggregate(
                 t, names, specs, schema_in, out_dicts, out_schema, out_cap,
-                max_keys, rctx, pre_sorted=False, rerank=True, keep=keep,
+                max_keys, rctx, pre_sorted=False, rerank=not _unordered,
+                keep=keep,
                 live_count=live_count, soft_key_limit=soft_limit)
 
         # key column keeps its value bounds through grouping

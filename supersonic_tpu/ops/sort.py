@@ -124,6 +124,7 @@ class Sort(Operation):
         self.result_projector = result_projector
 
     def bind(self, ctx: BindContext) -> BoundOperation:
+        from .aggregate import GroupAggregate
         from .filter import bind_predicates, keep_mask, unwrap_filters
         from .hash_join import HashJoin, KeyUniqueness
         inner, preds = unwrap_filters(self.child)
@@ -132,7 +133,17 @@ class Sort(Operation):
         # payload-sort compaction; this sort moves the rows anyway.
         masked_join = (isinstance(inner, HashJoin)
                        and inner.uniqueness == KeyUniqueness.UNIQUE)
-        cb = inner.bind(ctx, _masked=True) if masked_join else inner.bind(ctx)
+        if masked_join:
+            cb = inner.bind(ctx, _masked=True)
+        elif isinstance(inner, GroupAggregate):
+            # this sort re-orders the rows anyway: the aggregate may skip
+            # its insertion-order re-rank (and the dense path's first_pos
+            # kernel request).  Tie order among equal sort keys becomes
+            # key-order instead of insertion-order — the reference makes
+            # no tie promise either (sort.cc uses unstable std::sort).
+            cb = inner.bind(ctx, _unordered=True)
+        else:
+            cb = inner.bind(ctx)
         bound_preds = bind_predicates(preds, cb)
         for k in self.order.keys:
             cb.schema.lookup(k.name)
