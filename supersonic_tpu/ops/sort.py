@@ -266,12 +266,85 @@ class ExtendedSort(Operation):
                               stats=dict(cb.stats))
 
 
-def SortWithTempDirPrefix(order, child, result_projector=None,
-                          memory_limit=None,
-                          temporary_directory_prefix=None):
-    """reference: sort.h:94-98.  Device sorts are HBM-resident under the
-    static memory plan, so the in-operation spill path never triggers;
-    beyond-HBM inputs go through io/external.py::ExternalSorter, which
-    honors ``temporary_directory_prefix``.  Signature-compatible wrapper
-    over Sort (the prefix and limit are accepted and unused here)."""
-    return Sort(order, child, result_projector)
+def sort_working_set_bytes(schema: TupleSchema, capacity: int,
+                           num_keys: int) -> int:
+    """Device-memory estimate for sorting ``capacity`` rows of ``schema``:
+    every column (plus a validity byte per nullable column) rides a
+    multi-operand ``lax.sort`` both as input and output, and each sort key
+    contributes a monotone key-code operand (ops/keys.py)."""
+    from ..types import physical_dtype
+
+    row = 0
+    for a in schema:
+        row += int(physical_dtype(a.type).itemsize)
+        if a.nullable:
+            row += 1
+    row += 8 * max(num_keys, 1)  # key-code operands (<=u64 each)
+    return 2 * capacity * row  # sort holds operands + results
+
+
+class SortWithTempDirPrefix(Operation):
+    """Sort honoring the reference's ``buffer_memory_limit`` contract
+    (reference: sort.h:89-98 — inputs beyond the limit degrade to an
+    external merge sort over disk-spilled runs, sort.cc:467-571).
+
+    TPU redesign: when the estimated device working set fits
+    ``memory_limit`` (or no limit is given), this is exactly ``Sort`` —
+    one in-HBM ``lax.sort``.  Otherwise the child plan is executed on its
+    own, streamed through ``io/external.py::ExternalSorter`` (device-sorted
+    runs of ``memory_limit`` bytes spilled under
+    ``temporary_directory_prefix``, k-way merged on read-back), and the
+    sorted result re-enters the plan as a leaf.  The limit is never
+    silently ignored.
+    """
+
+    def __init__(self, order, child, result_projector=None,
+                 memory_limit=None, temporary_directory_prefix=None):
+        self.order = order if isinstance(order, SortOrder) else SortOrder(order)
+        self.child = child
+        self.result_projector = result_projector
+        self.memory_limit = memory_limit
+        self.temp_prefix = temporary_directory_prefix
+
+    def bind(self, ctx: BindContext) -> BoundOperation:
+        if self.memory_limit is None:
+            return Sort(self.order, self.child,
+                        self.result_projector).bind(ctx)
+        # Probe the child's shape in a throwaway context (bind is pure up
+        # to leaf registration; execute() itself re-binds for flag names).
+        probe = self.child.bind(BindContext())
+        need = sort_working_set_bytes(probe.schema, probe.capacity,
+                                      len(self.order.keys))
+        if need <= int(self.memory_limit):
+            return Sort(self.order, self.child,
+                        self.result_projector).bind(ctx)
+        # Spill path: a host/disk boundary by definition.  Chunk rows so
+        # each device-sorted run stays under the limit.
+        from math import ceil
+
+        from .base import execute
+        from .scan import ScanTable
+        from ..io.external import ExternalSorter
+
+        row_bytes = max(1, need // max(2 * probe.capacity, 1) * 2)
+        run_rows = max(1, int(self.memory_limit) // row_bytes)
+        src = execute(self.child)
+        import numpy as np
+
+        cols = src.to_numpy()
+        n = int(src.num_rows)
+        with ExternalSorter(src.schema, self.order, run_rows,
+                            self.temp_prefix) as sorter:
+            for start in range(0, max(n, 1), run_rows):
+                stop = min(start + run_rows, n)
+                if stop <= start:
+                    break
+                sorter.write_rows({name: list(vals[start:stop])
+                                   for name, vals in cols.items()})
+            sorted_host = sorter.result()
+        out: Operation = ScanTable(sorted_host)
+        if self.result_projector is not None:
+            from .project import Project
+
+            out = Project(self.result_projector, out)
+        return out.bind(ctx)

@@ -136,3 +136,36 @@ def test_native_merge_float_desc_and_uint64():
     whole = Table.from_data(schema, big)
     want = execute(Sort(order, ScanTable(whole))).to_pylist()
     assert got == want
+
+
+def test_sort_with_memory_limit_spills_and_matches():
+    """reference: sort.h:89-98 — a memory_limit below the working set must
+    degrade to the external (spill) path, never be silently ignored."""
+    tables = make_tables(n_rows=400, n_tables=1, seed=11)
+    t = tables[0]
+    from supersonic_tpu import SortWithTempDirPrefix
+
+    want = execute(Sort(ORDER, ScanTable(t))).to_pylist()
+    # ~400 rows x ~40 B/row working set >> 2 KB limit -> must spill
+    got = execute(SortWithTempDirPrefix(
+        ORDER, ScanTable(t), memory_limit=2048,
+        temporary_directory_prefix="/tmp"))
+    got_rows = got.to_pylist()
+    assert [(r[0], r[1]) for r in got_rows] == [(r[0], r[1]) for r in want]
+    assert sorted(map(repr, got_rows)) == sorted(map(repr, want))
+
+
+def test_sort_with_ample_memory_limit_stays_on_device():
+    tables = make_tables(n_rows=100, n_tables=1, seed=12)
+    t = tables[0]
+    from supersonic_tpu import SortWithTempDirPrefix
+    from supersonic_tpu.ops.base import BindContext
+
+    op = SortWithTempDirPrefix(ORDER, ScanTable(t), memory_limit=1 << 30)
+    ctx = BindContext()
+    op.bind(ctx)
+    # device path: exactly the child's one leaf, no host-sorted rescan leaf
+    assert len(ctx.leaves) == 1 and ctx.leaves[0] is t
+    want = execute(Sort(ORDER, ScanTable(t))).to_pylist()
+    got = execute(op).to_pylist()
+    assert got == want
