@@ -914,6 +914,96 @@ void CaseDateLocal() {
   RunAndDump("date_local", Compute(expr, ScanView(table.view())));
 }
 
+// CONCAT aggregation: per-group "," join in input order, NULL inputs
+// skipped, all-NULL group -> NULL (aggregation_operators.h:235-283);
+// non-string input stringified via PrintTyped (column_aggregator.cc:496+).
+void CaseConcatAgg() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("k", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("s", STRING, NULLABLE));
+  schema.add_attribute(Attribute("v", INT64, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(404);
+  std::uniform_int_distribution<int32> key_d(0, 40);
+  std::uniform_int_distribution<int> word_d(0, 9);
+  std::uniform_real_distribution<double> null_d(0.0, 1.0);
+  std::uniform_int_distribution<int64> val_d(-1000000, 1000000);
+  const char* words[10] = {"ruby", "opal", "jade", "onyx", "pearl",
+                           "topaz", "agate", "beryl", "coral", "flint"};
+  for (int i = 0; i < 4000; ++i) {
+    int32 k = key_d(rng);
+    w.AddRow().Int32(k);
+    // key 7: all inputs NULL -> NULL concat result for that group
+    if (k == 7 || null_d(rng) < 0.15) w.Null();
+    else w.String(words[word_d(rng)]);
+    w.Int64(val_d(rng));
+  }
+  w.CheckSuccess();
+  DumpInput("concat_agg", 0, table);
+
+  AggregationSpecification* spec = new AggregationSpecification();
+  spec->AddAggregation(CONCAT, "s", "cs");
+  spec->AddAggregationWithDefinedOutputType(CONCAT, "v", "cv", STRING);
+  spec->AddAggregation(SUM, "v", "sv");
+  RunAndDump("concat_agg",
+             GroupAggregate(ProjectNamedAttribute("k"), spec, NULL,
+                            ScanView(table.view())));
+}
+
+// ENUM (value map, tuple_schema.h:42) and BINARY (var-length wire path,
+// file_io.cc:77-101) routed through group-by + sort; enums sort/compare
+// by value number (types_infrastructure.cc:511-514).
+void CaseEnumBinary() {
+  EnumDefinition metal;
+  CHECK(metal.AddEntry(0, "iron").is_success());
+  CHECK(metal.AddEntry(1, "zinc").is_success());
+  CHECK(metal.AddEntry(2, "gold").is_success());
+  CHECK(metal.AddEntry(3, "lead").is_success());
+  CHECK(metal.AddEntry(4, "tin").is_success());
+  TupleSchema schema;
+  schema.add_attribute(Attribute("e", metal, NULLABLE));
+  schema.add_attribute(Attribute("b", BINARY, NULLABLE));
+  schema.add_attribute(Attribute("v", INT64, NOT_NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(505);
+  std::uniform_int_distribution<int32> e_d(0, 4);
+  std::uniform_int_distribution<int> b_d(0, 5);
+  std::uniform_real_distribution<double> null_d(0.0, 1.0);
+  std::uniform_int_distribution<int64> val_d(-5000, 5000);
+  const char* blobs[6] = {"\x00\x01", "ab", "\xff", "a", "zz\x00z", "q"};
+  const size_t blob_len[6] = {2, 2, 1, 1, 4, 1};
+  for (int i = 0; i < 6000; ++i) {
+    w.AddRow();
+    if (null_d(rng) < 0.08) w.Null();
+    else w.Set<ENUM>(e_d(rng));
+    if (null_d(rng) < 0.12) w.Null();
+    else {
+      int bi = b_d(rng);
+      w.Binary(StringPiece(blobs[bi], blob_len[bi]));
+    }
+    w.Int64(val_d(rng));
+  }
+  w.CheckSuccess();
+  DumpInput("enum_binary", 0, table);
+
+  AggregationSpecification* spec = new AggregationSpecification();
+  spec->AddAggregation(SUM, "v", "sv");
+  spec->AddAggregation(COUNT, "b", "cb");
+  std::vector<std::string> keys;
+  keys.push_back("e");
+  keys.push_back("b");
+  SortOrder* order = new SortOrder();
+  order->OrderByNamedAttribute("e", ASCENDING);
+  order->OrderByNamedAttribute("b", ASCENDING);
+  RunAndDump("enum_binary",
+             Sort(order, ProjectAllAttributes(),
+                  std::numeric_limits<size_t>::max(),
+                  GroupAggregate(ProjectNamedAttributes(keys), spec, NULL,
+                                 ScanView(table.view()))));
+}
+
 }  // namespace
 
 int main(int argc, char** argv) {
@@ -944,6 +1034,8 @@ int main(int argc, char** argv) {
   CaseStateful();
   CaseStringOps();
   CaseMakeDate();
+  CaseConcatAgg();
+  CaseEnumBinary();
   CaseDateLocal();  // last: switches the process TZ
   return 0;
 }

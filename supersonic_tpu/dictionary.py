@@ -47,6 +47,48 @@ class Dictionary:
         return all(self.values[i] <= self.values[i + 1] for i in range(len(self.values) - 1))
 
 
+class DeferredDictionary(Dictionary):
+    """Dictionary whose values are produced by the RUN, not the bind
+    (reference analogue: CONCAT aggregation output strings, which the
+    reference assembles per group at execution —
+    aggregation_operators.h:235-283).
+
+    Created empty at bind time so the column can flow through the plan as
+    int32 codes; ``execute()`` resolves it from device aux outputs after
+    the program runs.  NOT order-preserving: code order is group-key
+    order, not lexicographic — sorting/grouping/joining on such a column
+    is rejected at bind (see ops/keys.py).  Re-executing the same bound
+    plan re-resolves the dictionary in place (cursor-like single-use
+    results, matching the reference's consumed-cursor contract)."""
+
+    def __init__(self):
+        object.__setattr__(self, "values", ())
+        object.__setattr__(self, "resolved", False)
+
+    def resolve(self, values) -> None:
+        object.__setattr__(self, "values", tuple(values))
+        object.__setattr__(self, "resolved", True)
+
+    def _check(self):
+        if not self.resolved:
+            raise RuntimeError(
+                "deferred dictionary not resolved — CONCAT results are "
+                "only available after execute() has run the plan")
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        self._check()
+        return super().decode(codes)
+
+    def lookup(self, value) -> int:
+        self._check()
+        return super().lookup(value)
+
+    def is_sorted(self) -> bool:
+        # never order-preserving, even when the resolved values happen
+        # to be sorted: consumers must not rely on code order
+        return False
+
+
 def encode(values, null_sentinel=None) -> tuple[np.ndarray, np.ndarray, Dictionary]:
     """Encode a python/numpy sequence of strings into (codes, valid, dict).
 

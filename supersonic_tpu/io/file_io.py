@@ -286,6 +286,7 @@ _FIXED_SIZES = {
     DataType.INT32: 4, DataType.UINT32: 4, DataType.FLOAT: 4,
     DataType.DATE: 4, DataType.INT64: 8, DataType.UINT64: 8,
     DataType.DOUBLE: 8, DataType.DATETIME: 8, DataType.BOOL: 1,
+    DataType.ENUM: 4,  # int32 value number (tuple_schema.h:42)
 }
 
 

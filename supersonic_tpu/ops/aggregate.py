@@ -33,6 +33,7 @@ run id, preserving encounter order without a re-rank.
 """
 from __future__ import annotations
 
+import dataclasses
 import enum
 from dataclasses import dataclass
 from typing import Optional, Sequence
@@ -135,6 +136,14 @@ def _resolve_output_attr(spec: AggSpec, schema: TupleSchema) -> Attribute:
     if spec.input is None:
         raise SchemaError(f"{spec.aggregation} needs an input column")
     in_attr = schema.lookup(spec.input)
+    if spec.aggregation == Aggregation.CONCAT:
+        # CONCAT of any input type yields STRING (reference:
+        # column_aggregator.cc:496-530 factory, AggregationOperator<CONCAT,
+        # InputType, STRING> aggregation_operators.h:235)
+        t = spec.output_type or DataType.STRING
+        if t != DataType.STRING:
+            raise SchemaError("CONCAT output type must be STRING")
+        return Attribute(spec.output, t, nullable=True)
     t = spec.output_type or in_attr.type
     return Attribute(spec.output, t, nullable=True)
 
@@ -220,6 +229,26 @@ def _diff(x: jnp.ndarray) -> jnp.ndarray:
     x[g] - x[g-1] (x[0] as is)."""
     prev = jnp.concatenate([jnp.zeros(1, x.dtype), x[:-1]])
     return x - prev
+
+
+@dataclasses.dataclass
+class DeferredConcat:
+    """Host-materialization record for one CONCAT aggregate: static
+    metadata + traced ``aux`` arrays (per input row in group-sorted
+    order: group id, value, include-mask) that become extra program
+    outputs.  ``execute()`` assembles the per-group strings from the
+    realized aux and resolves ``dict_obj`` in place (reference:
+    AggregationOperator<CONCAT> per-group byte assembly,
+    aggregation_operators.h:235-283; "," separator, NULLs skipped,
+    all-NULL group -> NULL)."""
+
+    name: str
+    dict_obj: "object"          # DeferredDictionary created at bind
+    separator: str
+    distinct: bool
+    input_type: DataType
+    input_dict: "object"        # input column Dictionary or None
+    aux: dict                   # traced: gid, vals, valid, num_groups
 
 
 def _pass_key(spec: AggSpec):
@@ -691,6 +720,36 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
             valid = ((jnp.ones(cap, jnp.bool_) if valid is None else valid)
                      & live_s)
             weight = valid
+            if agg == Aggregation.CONCAT:
+                # CONCAT rides the stable base pass (within-group rows in
+                # input order = the reference's append order).  Device
+                # work: per-group non-null counts (output validity) + the
+                # aux arrays for the host byte assembly; the output
+                # column is the group's run id — a code into a deferred
+                # dictionary resolved by execute() (ops/host.py).
+                if max_keys is not None:
+                    raise SchemaError(
+                        "CONCAT with max_unique_keys_in_result is not "
+                        "supported (overflow-group append order is "
+                        "undefined across the clamp)")
+                wcs = jnp.cumsum(weight.astype(jnp.int32))
+                end_cols[f"w_{oname}"] = Column(wcs, None)
+                gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+                rctx.deferred.append(DeferredConcat(
+                    name=oname, dict_obj=out_dicts[oname], separator=",",
+                    distinct=bool(s.distinct),
+                    input_type=schema_in.lookup(s.input).type,
+                    input_dict=t.dicts.get(s.input),
+                    aux={"gid": gid, "vals": vals, "valid": weight,
+                         "num_groups": num_groups}))
+
+                def fin_concat(e, st, o=oname):
+                    nv = _diff(e[f"w_{o}"].values)
+                    return Column(jnp.arange(ext_cap, dtype=jnp.int32),
+                                  nv > 0)
+
+                finalize.append((oname, a, fin_concat))
+                continue
             if s.distinct:
                 vcode2 = monotone_code(vals, schema_in.lookup(s.input).type)
                 same = ((~boundary) & (vcode2 == jnp.roll(vcode2, 1))
@@ -763,11 +822,6 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                                  odt=odt: Column(
                                      e[f"l_{o}"].values.astype(odt),
                                      e[f"lv_{o}"].values)))
-            elif agg == Aggregation.CONCAT:
-                raise NotImplementedError(
-                    "CONCAT aggregation runs on host — use group_concat "
-                    "(variable-length strings have no dense device "
-                    "encoding)")
             else:
                 raise SchemaError(f"unknown aggregation {agg}")
 
@@ -939,6 +993,15 @@ class GroupAggregate(Operation):
         for s_ in specs:
             if s_.input is not None and s_.input in cb.dicts:
                 out_dicts[s_.output] = cb.dicts[s_.input]
+        # CONCAT outputs get a deferred dictionary: codes are group run
+        # ids; the strings exist only after the run (resolved by
+        # execute() — reference: per-group byte assembly,
+        # aggregation_operators.h:235-283)
+        for s_ in specs:
+            if s_.aggregation == Aggregation.CONCAT:
+                from ..dictionary import DeferredDictionary
+
+                out_dicts[s_.output] = DeferredDictionary()
         opts = self.options
         out_cap = opts.estimated_result_row_count or cb.capacity
         if opts.max_unique_keys_in_result:
@@ -1099,12 +1162,31 @@ class ScalarAggregate(Operation):
                     v = jnp.take(c2.values, idx)
                     ok = jnp.take(c2.valid_or_true(), idx) & (n > 0)
                     cols[s.output] = Column(v.astype(odt)[None], ok[None])
+                elif agg == Aggregation.CONCAT:
+                    # one group = the whole input, rows in input order
+                    # (reference: aggregate_scalar.cc result_index_map
+                    # all zeros); byte assembly deferred to execute()
+                    rctx.deferred.append(DeferredConcat(
+                        name=s.output, dict_obj=out_dicts[s.output],
+                        separator=",", distinct=bool(s.distinct),
+                        input_type=schema_in.lookup(s.input).type,
+                        input_dict=t.dicts.get(s.input),
+                        aux={"gid": jnp.zeros(t.capacity, jnp.int32),
+                             "vals": c.values, "valid": valid,
+                             "num_groups": jnp.int32(1)}))
+                    cols[s.output] = Column(jnp.zeros(1, jnp.int32),
+                                            jnp.any(valid)[None])
                 else:
                     raise NotImplementedError(f"scalar {agg}")
             return Table(out_schema, cols, 1, out_dicts)
 
         out_dicts = {s_.output: cb.dicts[s_.input] for s_ in specs
                      if s_.input is not None and s_.input in cb.dicts}
+        for s_ in specs:
+            if s_.aggregation == Aggregation.CONCAT:
+                from ..dictionary import DeferredDictionary
+
+                out_dicts[s_.output] = DeferredDictionary()
         return BoundOperation(out_schema, out_dicts, fn, 1)
 
 
@@ -1133,6 +1215,15 @@ class AggregateClusters(Operation):
         for s_ in specs:
             if s_.input is not None and s_.input in cb.dicts:
                 out_dicts[s_.output] = cb.dicts[s_.input]
+        # CONCAT outputs get a deferred dictionary: codes are group run
+        # ids; the strings exist only after the run (resolved by
+        # execute() — reference: per-group byte assembly,
+        # aggregation_operators.h:235-283)
+        for s_ in specs:
+            if s_.aggregation == Aggregation.CONCAT:
+                from ..dictionary import DeferredDictionary
+
+                out_dicts[s_.output] = DeferredDictionary()
         out_cap = self.out_capacity or cb.capacity
         schema_in = cb.schema
 

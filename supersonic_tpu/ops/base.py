@@ -29,6 +29,11 @@ class RunContext:
 
     leaf_tables: list  # Tables for each leaf, in bind order
     error_flags: list = field(default_factory=list)
+    # host-materialization work registered during the trace (CONCAT
+    # aggregation string assembly): entries carry static metadata plus an
+    # ``aux`` dict of traced arrays returned as extra program outputs;
+    # ``execute()`` resolves them after the device run (ops/host.py)
+    deferred: list = field(default_factory=list)
 
     def eval_context(self, table: Table) -> EvalContext:
         return EvalContext(table, self.error_flags)
@@ -143,8 +148,14 @@ def compile_plan(op: Operation):
             flags = jnp.stack([f for _, f in ctx.error_flags])
         else:
             flags = jnp.zeros(0, dtype=jnp.bool_)
+        run.deferred = list(ctx.deferred)
+        if ctx.deferred:
+            # deferred host work (CONCAT assembly): aux arrays become
+            # extra program outputs so execute() can read them back
+            return out, flags, [d.aux for d in ctx.deferred]
         return out, flags
 
+    run.deferred = []
     return run, bound, leaves
 
 
@@ -155,7 +166,8 @@ def execute(op: Operation, check_errors: bool = True, jit: bool = True) -> Table
     (e.g. best-effort quota clamping) surfaced via ``warnings.warn``."""
     run, bound, leaves = compile_plan(op)
     runner = jax.jit(run) if jit else run
-    table, flags = runner(leaves)
+    res = runner(leaves)
+    table, flags = res[0], res[1]
     if check_errors and flags.shape[0]:
         flags_host = jax.device_get(flags)
         if flags_host.any():
@@ -173,6 +185,10 @@ def execute(op: Operation, check_errors: bool = True, jit: bool = True) -> Table
             if bad:
                 raise EvaluationError(
                     f"evaluation failed: {', '.join(bad)}")
+    if len(res) > 2:
+        from .host import resolve_deferred
+
+        resolve_deferred(run.deferred, res[2])
     return table
 
 

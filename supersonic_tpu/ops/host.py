@@ -19,6 +19,106 @@ from .base import Operation, execute
 from .scan import ScanTable
 
 
+def resolve_deferred(entries, aux_values) -> None:
+    """Resolve deferred CONCAT dictionaries after a device run
+    (ops/base.py::execute).  ``entries`` are the DeferredConcat records
+    captured at trace time; ``aux_values`` the realized aux arrays."""
+    for m, aux in zip(entries, aux_values):
+        _assemble_concat(m, aux)
+
+
+def _ref_print(v, type_: DataType) -> str:
+    """Reference PrintTyped formats (types_infrastructure.cc:45-110):
+    ints decimal, BOOL TRUE/FALSE, DATE %Y/%m/%d, DATETIME
+    %Y/%m/%d-%H:%M:%S, floats shortest round-trip (SimpleFtoa/Dtoa),
+    ENUM printed as its int code (types_infrastructure.cc:79-83)."""
+    import datetime
+
+    if type_ == DataType.BOOL:
+        return "TRUE" if v else "FALSE"
+    if type_ == DataType.DATE:
+        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+        return d.strftime("%Y/%m/%d")
+    if type_ == DataType.DATETIME:
+        dt = (datetime.datetime(1970, 1, 1)
+              + datetime.timedelta(microseconds=int(v)))
+        return dt.strftime("%Y/%m/%d-%H:%M:%S")
+    if type_ in (DataType.FLOAT, DataType.DOUBLE):
+        return repr(float(v))
+    return str(int(v))
+
+
+def _assemble_concat(m, aux) -> None:
+    """Per-group string assembly for one CONCAT aggregate (reference:
+    AggregationOperator<CONCAT> loop, aggregation_operators.h:235-283 —
+    "," separator, NULL inputs skipped, values via PrintTyped).  Rows in
+    ``aux`` arrive group-clustered (gid non-decreasing) with in-group
+    rows in input order; invalid/dead rows are excluded by ``valid``."""
+    import numpy as np
+
+    from .. import native
+
+    gid = np.asarray(aux["gid"])
+    vals = np.asarray(aux["vals"])
+    valid = np.asarray(aux["valid"]).astype(bool)
+    ng = max(int(np.asarray(aux["num_groups"])), 0)
+    if ng == 0:
+        m.dict_obj.resolve(())
+        return
+
+    if m.input_dict is not None:
+        dvals = m.input_dict.values  # STRING: str values; BINARY: bytes
+        payloads = ([v if isinstance(v, bytes) else str(v).encode()
+                     for v in dvals] or [b""])
+        codes = np.clip(vals.astype(np.int32), 0, len(payloads) - 1)
+    else:
+        uniq, inv = np.unique(vals, return_inverse=True)
+        payloads = [_ref_print(u, m.input_type).encode()
+                    for u in uniq] or [b""]
+        codes = inv.astype(np.int32).reshape(-1)
+
+    # group start offsets over the clustered rows: dead rows carry the
+    # last live gid but valid=False, so they contribute nothing
+    starts_full = np.concatenate([
+        np.searchsorted(gid, np.arange(ng)),
+        np.array([len(gid)], dtype=np.int64)]).astype(np.int64)
+
+    res = None
+    if native.available():
+        lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64,
+                              count=len(payloads))
+        offsets = np.zeros(len(payloads) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=offsets[1:])
+        res = native.concat_groups(b"".join(payloads), offsets, codes,
+                                   valid, starts_full, m.separator.encode(),
+                                   m.distinct)
+    if res is not None:
+        blob, lens = res
+        out_off = np.zeros(ng + 1, dtype=np.int64)
+        np.cumsum(np.maximum(lens, 0), out=out_off[1:])
+        strings = ["" if lens[i] < 0
+                   else blob[out_off[i]:out_off[i + 1]].decode(
+                       errors="surrogateescape")
+                   for i in range(ng)]
+    else:
+        sep = m.separator.encode()
+        strings = []
+        for g in range(ng):
+            parts = []
+            seen = set()
+            for r in range(int(starts_full[g]), int(starts_full[g + 1])):
+                if not valid[r]:
+                    continue
+                c = int(codes[r])
+                if m.distinct:
+                    if c in seen:
+                        continue
+                    seen.add(c)
+                parts.append(payloads[c])
+            strings.append(sep.join(parts).decode(errors="surrogateescape"))
+    m.dict_obj.resolve(strings)
+
+
 def group_concat(table_or_plan, group_by: Sequence[str], input_col: str,
                  output: str, separator: str = ",",
                  distinct: bool = False) -> Table:

@@ -49,6 +49,21 @@ def descending_code(code: jnp.ndarray) -> jnp.ndarray:
     return ~code
 
 
+def _check_keyable(table: Table, name: str) -> None:
+    """Sort/group/join keys need order-preserving (or at least
+    value-unique) codes; a CONCAT result's deferred dictionary is
+    neither — its codes are group ids assigned before the strings exist."""
+    from ..dictionary import DeferredDictionary
+    from ..schema import SchemaError
+
+    d = table.dicts.get(name)
+    if isinstance(d, DeferredDictionary):
+        raise SchemaError(
+            f"column {name!r} holds a runtime-resolved CONCAT result; it "
+            "cannot be used as a sort/group/join key (codes are not "
+            "order-preserving). Materialize the result first.")
+
+
 def key_operands(table: Table, names: list[str], ascendings: list[bool],
                  pad_mask=None):
     """Build the lax.sort operand list for the given key columns.
@@ -67,6 +82,7 @@ def key_operands(table: Table, names: list[str], ascendings: list[bool],
     pad = pad_mask.astype(jnp.int32)
     operands = [pad]
     for name, asc in zip(names, ascendings):
+        _check_keyable(table, name)
         attr = table.schema.lookup(name)
         colm = table.columns[name]
         code = monotone_code(colm.values, attr.type)
@@ -92,6 +108,7 @@ def group_code_columns(table: Table, names: list[str]):
     None for non-nullable columns (code equality suffices)."""
     pairs = []
     for name in names:
+        _check_keyable(table, name)
         attr = table.schema.lookup(name)
         colm = table.columns[name]
         code = monotone_code(colm.values, attr.type)

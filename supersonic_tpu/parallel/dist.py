@@ -162,6 +162,12 @@ def run_local_plan(plan_builder: Callable[[Table], "object"],
     bound, leaves = bind_plan(plan)
     ctx = RunContext(leaves)
     out = bound.run(ctx)
+    if ctx.deferred:
+        from ..schema import SchemaError
+        raise SchemaError(
+            "CONCAT aggregation requires host materialization and cannot "
+            "run inside a distributed plan shard; aggregate locally after "
+            "collect_table, or use ops.host.group_concat")
     if ctx.error_flags:
         names = [n for n, _ in ctx.error_flags]
         flags = jnp.stack([f for _, f in ctx.error_flags])
@@ -348,6 +354,12 @@ def combine_specification(spec: AggregationSpecification,
     out = AggregationSpecification()
     for s in spec.specs:
         agg = s.aggregation
+        if agg == Aggregation.CONCAT:
+            from ..schema import SchemaError
+            raise SchemaError(
+                "CONCAT partial aggregates cannot be combined across "
+                "partitions (order-sensitive, variable-length); compute "
+                "CONCAT after collecting, or via ops.host.group_concat")
         if agg == Aggregation.COUNT:
             out.add(AggSpec(Aggregation.SUM, s.output, s.output,
                             s.output_type or None))

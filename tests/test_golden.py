@@ -42,11 +42,26 @@ SUM, MIN, MAX, COUNT = (Aggregation.SUM, Aggregation.MIN, Aggregation.MAX,
                         Aggregation.COUNT)
 
 
+# ENUM value maps are out-of-band in the FileSink wire format (the schema
+# itself is out-of-band, file_io.cc:319); these mirror the definitions in
+# refbuild/golden_dump.cc by column name.
+from supersonic_tpu import Attribute, EnumDefinition
+
+GOLDEN_ENUMS = {
+    "e": EnumDefinition(("iron", "zinc", "gold", "lead", "tin")),
+}
+
+
 def _parse_schema(spec: str) -> TupleSchema:
     attrs = []
     for part in spec.split(","):
         name, typ, nul = part.rsplit(":", 2)
-        attrs.append((name, DataType(typ), nul == "Y"))
+        t = DataType(typ)
+        if t == DataType.ENUM:
+            attrs.append(Attribute(name, t, nul == "Y",
+                                   enum=GOLDEN_ENUMS[name]))
+        else:
+            attrs.append((name, t, nul == "Y"))
     return TupleSchema.of(*attrs)
 
 
@@ -461,3 +476,32 @@ def test_reference_format_roundtrip(tmp_path):
             write_reference_file(t, str(p))
             t2 = read_reference_file(schema, str(p))
             assert_tables_match(t2, t)
+
+
+def test_golden_concat_agg():
+    """In-plan CONCAT aggregation vs the C++ engine: "," separator, NULL
+    inputs skipped, all-NULL group NULL, INT64 values stringified
+    (aggregation_operators.h:235-283, column_aggregator.cc:496+)."""
+    (t,) = _inputs("concat_agg")
+    out = execute(GroupAggregate(
+        ["k"],
+        [AggSpec(Aggregation.CONCAT, "s", "cs"),
+         AggSpec(Aggregation.CONCAT, "v", "cv"),
+         AggSpec(SUM, "v", "sv")],
+        ScanTable(t)))
+    # INT64 SUM wraps exactly; CONCAT byte-exact -> fully bit-exact.
+    assert_tables_match(out, _golden_out("concat_agg"), sort_by=[0])
+
+
+def test_golden_enum_binary():
+    """ENUM (value-number compare, types_infrastructure.cc:511-514) and
+    BINARY (var-length wire path, file_io.cc:77-101) through
+    group-by + sort."""
+    (t,) = _inputs("enum_binary")
+    out = execute(Sort(
+        [SortKey("e"), SortKey("b")],
+        GroupAggregate(["e", "b"],
+                       [AggSpec(SUM, "v", "sv"),
+                        AggSpec(COUNT, "b", "cb")],
+                       ScanTable(t))))
+    assert_tables_match(out, _golden_out("enum_binary"))
