@@ -17,8 +17,10 @@
 #include <string>
 
 #include "supersonic/supersonic.h"
+#include "supersonic/cursor/core/merge_union_all.h"
 #include "supersonic/cursor/core/scan_view.h"
 #include "supersonic/cursor/infrastructure/table.h"
+#include "supersonic/cursor/infrastructure/writer.h"
 #include "supersonic/utils/exception/failureor.h"
 
 using namespace supersonic;  // NOLINT
@@ -55,6 +57,12 @@ struct Bench {
   BufferAllocator* alloc;
   std::unique_ptr<Table> fact;
   std::unique_ptr<Table> dim;
+  std::unique_ptr<Table> dim8;      // 1M rows, 125k keys x 8 dups
+  std::unique_ptr<Table> fact8;     // 8M rows, fk in [0, 125k)
+  std::unique_ptr<Table> fact2m;    // 8M rows, fk in [0, 2M) (half miss)
+  std::unique_ptr<Table> fact_str;  // 8M rows, 50 string keys
+  std::unique_ptr<Table> sorted_a;  // 4M rows sorted by (g ASC, v DESC)
+  std::unique_ptr<Table> sorted_b;
 
   void BuildData() {
     std::mt19937 rng(42);
@@ -85,6 +93,78 @@ struct Bench {
       dim->Set<INT32>(0, row, i);
       dim->Set<INT32>(1, row, g_d(rng));
     }
+
+    // NOT_UNIQUE build side: 125k distinct keys, each duplicated 8x
+    const int kDupKeys = kDimRows / 8;
+    dim8.reset(new Table(dim_schema, alloc));
+    dim8->ReserveRowCapacity(kDimRows);
+    for (int i = 0; i < kDimRows; ++i) {
+      rowid_t row = dim8->AddRow();
+      dim8->Set<INT32>(0, row, i / 8);
+      dim8->Set<INT32>(1, row, g_d(rng));
+    }
+    std::uniform_int_distribution<int32> fk8_d(0, kDupKeys - 1);
+    fact8.reset(new Table(fact->schema(), alloc));
+    fact8->ReserveRowCapacity(kFactRows);
+    std::uniform_int_distribution<int32> fk2m_d(0, 2 * kDimRows - 1);
+    fact2m.reset(new Table(fact->schema(), alloc));
+    fact2m->ReserveRowCapacity(kFactRows);
+    for (int i = 0; i < kFactRows; ++i) {
+      rowid_t row = fact8->AddRow();
+      fact8->Set<INT32>(0, row, fk8_d(rng));
+      fact8->Set<FLOAT>(1, row, v_d(rng));
+      fact8->Set<INT32>(2, row, g_d(rng));
+      row = fact2m->AddRow();
+      fact2m->Set<INT32>(0, row, fk2m_d(rng));
+      fact2m->Set<FLOAT>(1, row, v_d(rng));
+      fact2m->Set<INT32>(2, row, g_d(rng));
+    }
+
+    // STRING group-by key: 50 distinct department-style strings
+    static const char* kWords[50] = {
+      "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+      "hotel", "india", "juliett", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+      "victor", "whiskey", "xray", "yankee", "zulu", "amber", "bronze",
+      "copper", "dune", "ember", "flint", "granite", "harbor", "island",
+      "jade", "krypton", "lagoon", "meadow", "nickel", "onyx", "prairie",
+      "quartz", "ridge", "summit", "tundra", "umber", "valley", "willow",
+      "zenith"};
+    std::uniform_int_distribution<int> word_d(0, 49);
+    TupleSchema str_schema;
+    str_schema.add_attribute(Attribute("k", STRING, NOT_NULLABLE));
+    str_schema.add_attribute(Attribute("v", FLOAT, NOT_NULLABLE));
+    fact_str.reset(new Table(str_schema, alloc));
+    fact_str->ReserveRowCapacity(kFactRows);
+    for (int i = 0; i < kFactRows; ++i) {
+      rowid_t row = fact_str->AddRow();
+      fact_str->Set<STRING>(0, row, StringPiece(kWords[word_d(rng)]));
+      fact_str->Set<FLOAT>(1, row, v_d(rng));
+    }
+
+    // two pre-sorted 4M halves for the merge-union workload
+    sorted_a.reset(MaterializeSortedHalf(0));
+    sorted_b.reset(MaterializeSortedHalf(1));
+  }
+
+  Table* MaterializeSortedHalf(int which) {
+    View half(fact->schema());
+    half.ResetFromSubRange(fact->view(), which * (kFactRows / 2),
+                           kFactRows / 2);
+    SortOrder* order = new SortOrder();
+    order->OrderByNamedAttribute("g", ASCENDING);
+    order->OrderByNamedAttribute("v", DESCENDING);
+    std::unique_ptr<Operation> op(
+        Sort(order, ProjectAllAttributes(), 1LL << 62, ScanView(half)));
+    op->SetBufferAllocator(alloc, false);
+    std::unique_ptr<Cursor> cursor(SucceedOrDie(op->CreateCursor()));
+    Table* out = new Table(fact->schema(), alloc);
+    out->ReserveRowCapacity(kFactRows / 2);
+    TableSink sink(out);
+    Writer writer(cursor.release());
+    SucceedOrDie(writer.WriteAll(&sink));
+    SucceedOrDie(sink.Finalize());
+    return out;
   }
 
   Operation* FilterOp() {
@@ -116,6 +196,37 @@ struct Bench {
     return new HashJoinOperation(
         INNER, ProjectNamedAttribute("fk"), ProjectNamedAttribute("pk"),
         result, UNIQUE, lhs, rhs);
+  }
+
+  // rhs multiset probe (row_hash_set.cc:581-599) / LEFT_OUTER NULL
+  // emission (hash_join.cc:801-806)
+  Operation* JoinVariant(Operation* lhs, Operation* rhs, JoinType jt,
+                         KeyUniqueness uniq) {
+    CompoundMultiSourceProjector* result = new CompoundMultiSourceProjector();
+    result->add(0, ProjectNamedAttribute("v"));
+    result->add(1, ProjectNamedAttribute("w"));
+    return new HashJoinOperation(
+        jt, ProjectNamedAttribute("fk"), ProjectNamedAttribute("pk"),
+        result, uniq, lhs, rhs);
+  }
+
+  Operation* GroupByStrOp() {
+    AggregationSpecification* agg = new AggregationSpecification();
+    agg->AddAggregation(SUM, "v", "sv");
+    GroupAggregateOptions* options = new GroupAggregateOptions();
+    options->set_estimated_result_row_count(64);
+    return GroupAggregate(ProjectNamedAttribute("k"), agg, options,
+                          ScanView(fact_str->view()));
+  }
+
+  Operation* MergeUnionOp() {
+    SortOrder* order = new SortOrder();
+    order->OrderByNamedAttribute("g", ASCENDING);
+    order->OrderByNamedAttribute("v", DESCENDING);
+    std::vector<Operation*> children;
+    children.push_back(ScanView(sorted_a->view()));
+    children.push_back(ScanView(sorted_b->view()));
+    return MergeUnionAll(order, children);
   }
 
   // bench.py's headline pipeline: filter -> join -> group-by(64) -> sort.
@@ -178,6 +289,18 @@ int main(int argc, char** argv) {
             bench.JoinOp(ScanView(bench.fact->view()),
                          ScanView(bench.dim->view())),
             kFactRows);
+  bench.Run("join 8M NOT_UNIQUE dup8",
+            bench.JoinVariant(ScanView(bench.fact8->view()),
+                              ScanView(bench.dim8->view()),
+                              INNER, NOT_UNIQUE),
+            kFactRows);
+  bench.Run("join 8M LEFT_OUTER",
+            bench.JoinVariant(ScanView(bench.fact2m->view()),
+                              ScanView(bench.dim->view()),
+                              LEFT_OUTER, UNIQUE),
+            kFactRows);
+  bench.Run("groupby_str 8M->50", bench.GroupByStrOp(), kFactRows);
+  bench.Run("merge_union 2x4M", bench.MergeUnionOp(), kFactRows);
   bench.Run("pipeline 8M", bench.PipelineOp(), kFactRows);
   return 0;
 }

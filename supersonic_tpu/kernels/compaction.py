@@ -39,8 +39,10 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 SUBLANES = 256                  # rows per tile
 TILE = SUBLANES * LANES         # 32768 elements per tile
-SEQ_MIN_K = 8                   # smallest group height merged sequentially
-MAX_PAYLOADS = 8
+SEQ_MIN_K = 32                  # smallest group height merged sequentially
+# (swept on v5e, 8M rows x 3 payloads: k=2 5.9ms, 4 3.5, 8 2.7, 16 2.1,
+#  32 2.0, 64 3.0, 256 6.7 — hybrid beats both extremes)
+MAX_PAYLOADS = 12
 
 
 def _round_up(x: int, m: int) -> int:
@@ -239,14 +241,19 @@ def _kernel(off_ref, m_ref, *refs, n_payloads: int, seq_min_k: int):
         up2 = jnp.concatenate([jnp.zeros((1, LANES), z.dtype), zg], axis=0)
         rot = jnp.where(lane1 >= a, up1, up2)
         first = jnp.where(lane1[0:1] < a, carry[j][:], rot[0:1])
-        stage[j][:] = jnp.concatenate([first, rot[1:]], axis=0)
+        # stage is S+8 rows: DMA sizes must be whole (8,128) sublane
+        # tiles — odd row counts produce flaky transfers (measured);
+        # the 7 trailing garbage rows are overwritten by later tiles
+        # (tile write-tops are monotone) or lie beyond the row count.
+        stage[j][0:S + 1, :] = jnp.concatenate([first, rot[1:]], axis=0)
+        stage[j][S + 1:S + 8, :] = jnp.zeros((7, LANES), z.dtype)
         carry[j][:] = stage[j][pl.ds(u_star, 1), :]
         dma = pltpu.make_async_copy(
-            stage[j], out_refs[j].at[pl.ds(row0, S + 1), :], sems.at[j])
+            stage[j], out_refs[j].at[pl.ds(row0, S + 8), :], sems.at[j])
         dma.start()
     for j in range(n_payloads):
         pltpu.make_async_copy(
-            stage[j], out_refs[j].at[pl.ds(row0, S + 1), :], sems.at[j]
+            stage[j], out_refs[j].at[pl.ds(row0, S + 8), :], sems.at[j]
         ).wait()
 
 
@@ -271,7 +278,7 @@ def compact_kernel(payloads, mask, out_cap: int):
     tile_counts = jnp.sum(m2.reshape(nt, TILE), axis=1, dtype=jnp.int32)
     offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
                             jnp.cumsum(tile_counts, dtype=jnp.int32)])
-    out_rows = n_pad // LANES + SUBLANES + 1
+    out_rows = n_pad // LANES + SUBLANES + 8
     ins = []
     for p in payloads:
         assert jnp.dtype(p.dtype).itemsize == 4, p.dtype
@@ -286,7 +293,7 @@ def compact_kernel(payloads, mask, out_cap: int):
         out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_pay,
         scratch_shapes=(
             [pltpu.VMEM((SUBLANES, LANES), p.dtype) for p in payloads]
-            + [pltpu.VMEM((SUBLANES + 1, LANES), p.dtype) for p in payloads]
+            + [pltpu.VMEM((SUBLANES + 8, LANES), p.dtype) for p in payloads]
             + [pltpu.VMEM((1, LANES), p.dtype) for p in payloads]
             + [pltpu.VMEM((SUBLANES, LANES), jnp.int32)]
             + [pltpu.SemaphoreType.DMA((n_pay,))]
@@ -309,3 +316,61 @@ def compact_kernel(payloads, mask, out_cap: int):
 
 def supported_dtype(dtype) -> bool:
     return jnp.dtype(dtype).itemsize == 4
+
+
+def split_words(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """64-bit array -> (lo, hi) u32 words.  This direction of
+    ``bitcast_convert_type`` is the one the x64 rewriter implements
+    (index 0 = low word)."""
+    w = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return w[..., 0], w[..., 1]
+
+
+def combine_words(lo: jnp.ndarray, hi: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(lo, hi) u32 words -> 64-bit array of ``dtype`` WITHOUT the
+    reverse bitcast: ``bitcast_convert_type(u32[n,2], 64-bit)`` hits an
+    unimplemented case in the x64 rewriter when its result feeds further
+    computation (observed on v5e).  Integers recombine with exact signed
+    arithmetic (all bit patterns).  f64 is re-carved via ldexp: exact
+    for normals/zeros/infinities; NaNs collapse to the canonical NaN and
+    subnormals flush to +-0 where the backend flushes them in arithmetic
+    (XLA CPU does; every arithmetic op in the engine already has that
+    behavior there, so compaction matches the pipeline around it)."""
+    dt = jnp.dtype(dtype)
+    if dt == jnp.dtype(jnp.uint64):
+        u = (hi.astype(jnp.uint64) * jnp.uint64(1 << 32)
+             + lo.astype(jnp.uint64))
+        return jax.lax.optimization_barrier(u)
+    if dt == jnp.dtype(jnp.int64):
+        hi_s = jax.lax.bitcast_convert_type(hi, jnp.int32)
+        v = (hi_s.astype(jnp.int64) * jnp.int64(1 << 32)
+             + lo.astype(jnp.int64))
+        return jax.lax.optimization_barrier(v)
+    assert dt == jnp.dtype(jnp.float64), dt
+    s = jnp.where((hi >> 31) != 0, -1.0, 1.0)
+    e = ((hi >> 20) & jnp.uint32(0x7FF)).astype(jnp.int32)
+    mhi = (hi & jnp.uint32(0xFFFFF)).astype(jnp.float64)
+    mant = mhi * 4294967296.0 + lo.astype(jnp.float64)  # exact, < 2^52
+    frac = mant * float(2.0 ** -52)
+    normal = (frac + 1.0) * _exact_pow2(e - 1023)
+    subnorm = frac * float(2.0 ** -1022)
+    special = jnp.where(mant == 0.0, jnp.inf, jnp.nan)
+    mag = jnp.where(e == 0, subnorm,
+                    jnp.where(e == 2047, special, normal))
+    return s * mag
+
+
+def _exact_pow2(k: jnp.ndarray) -> jnp.ndarray:
+    """Exact f64 2**k for integer k in [-1023, 1023], via
+    square-and-multiply over power-of-two CONSTANTS (each multiply is an
+    exact scale; no ldexp — jnp.ldexp internally bitcasts s64, which the
+    x64 rewriter cannot handle in-context on this backend)."""
+    neg = k < 0
+    a = jnp.where(neg, -k, k)
+    y = jnp.ones(k.shape, jnp.float64)
+    for j in range(10):  # bits 0..9 cover |k| <= 1023
+        cpos = float(2.0 ** (1 << j))
+        cneg = float(2.0 ** -(1 << j))
+        c = jnp.where(neg, cneg, cpos)
+        y = y * jnp.where(((a >> j) & 1) != 0, c, 1.0)
+    return y

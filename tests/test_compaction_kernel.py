@@ -1,0 +1,103 @@
+"""Pallas compaction kernel tests (kernels/compaction.py).
+
+On the CPU test backend the kernel runs in interpret mode; the engine's
+compact_arrays only routes through it on TPU, so these tests drive the
+kernel directly and compare against the XLA sort-based scheme.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from supersonic_tpu.kernels.compaction import TILE, compact_kernel
+from supersonic_tpu.ops.filter import compact_arrays
+
+
+@pytest.mark.parametrize("n,sel", [
+    (TILE * 2 + 5000, 0.5),
+    (TILE, 0.0),
+    (70000, 1.0),
+    (50000, 0.03),
+    (1000, 0.4),
+])
+def test_kernel_matches_reference(n, sel):
+    rng = np.random.default_rng(int(n + sel * 100))
+    m = rng.random(n) < sel
+    x = rng.integers(-2**31, 2**31 - 1, n, dtype=np.int32)
+    y = rng.random(n).astype(np.float32)
+    (cx, cy), cnt = compact_kernel(
+        [jnp.asarray(x), jnp.asarray(y)], jnp.asarray(m), n)
+    cx, cy, cnt = np.asarray(cx), np.asarray(cy), int(cnt)
+    wx, wy = x[m], y[m]
+    assert cnt == wx.size
+    np.testing.assert_array_equal(cx[:cnt], wx)
+    np.testing.assert_array_equal(cy[:cnt], wy)
+
+
+def test_kernel_matches_sort_path():
+    n = TILE * 3 + 777
+    rng = np.random.default_rng(9)
+    m = rng.random(n) < 0.37
+    pays = [jnp.asarray(rng.integers(0, 10**9, n).astype(np.int32)),
+            jnp.asarray(rng.random(n).astype(np.float32))]
+    mask = jnp.asarray(m)
+    want = compact_arrays(list(pays), mask, n)
+    got, cnt = compact_kernel(list(pays), mask, n)
+    cnt = int(cnt)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w)[:cnt],
+                                      np.asarray(g)[:cnt])
+
+
+def test_split_combine_words_roundtrip():
+    """64-bit payloads ride the kernel as u32 word pairs; the recombine
+    must be bit-exact for integers and for f64 normals/zeros/infs
+    (subnormals flush where the backend's arithmetic flushes them;
+    NaN payloads canonicalize)."""
+    from supersonic_tpu.kernels.compaction import combine_words, split_words
+
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2**64, 50000, dtype=np.uint64)
+    for dt in (np.int64, np.uint64):
+        x = bits.view(dt)
+        lo, hi = split_words(jnp.asarray(x))
+        np.testing.assert_array_equal(
+            np.asarray(combine_words(lo, hi, jnp.dtype(dt))), x)
+    f = rng.random(50000) * 2e308 - 1e308  # normals across the range
+    f = np.concatenate([f, [0.0, -0.0, np.inf, -np.inf, np.nan,
+                            np.finfo(np.float64).max,
+                            np.finfo(np.float64).tiny]])
+    lo, hi = split_words(jnp.asarray(f))
+    y = np.asarray(combine_words(lo, hi, jnp.float64))
+    nn = ~np.isnan(f)
+    np.testing.assert_array_equal(y[nn], f[nn])
+    assert np.isnan(y[~nn]).all()
+    assert np.signbit(y[-6])  # -0.0 keeps its sign
+
+
+def test_filter_compaction_64bit_payloads():
+    """compact_arrays must agree between kernel split/recombine dtypes
+    and the sort path (exercised via direct kernel call on CPU)."""
+    from supersonic_tpu.kernels.compaction import (combine_words,
+                                                   compact_kernel,
+                                                   split_words)
+
+    n = TILE + 321
+    rng = np.random.default_rng(4)
+    m = rng.random(n) < 0.6
+    i64 = rng.integers(-2**62, 2**62, n)
+    f64 = rng.random(n) * 1e6 - 5e5
+    b = rng.random(n) < 0.5
+    lo1, hi1 = split_words(jnp.asarray(i64))
+    lo2, hi2 = split_words(jnp.asarray(f64))
+    res, cnt = compact_kernel(
+        [lo1, hi1, lo2, hi2, jnp.asarray(b).astype(jnp.int32)],
+        jnp.asarray(m), n)
+    cnt = int(cnt)
+    gi = np.asarray(combine_words(res[0], res[1], jnp.int64))[:cnt]
+    gf = np.asarray(combine_words(res[2], res[3], jnp.float64))[:cnt]
+    gb = np.asarray(res[4])[:cnt] != 0
+    np.testing.assert_array_equal(gi, i64[m])
+    np.testing.assert_array_equal(gf, f64[m])
+    np.testing.assert_array_equal(gb, b[m])
