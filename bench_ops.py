@@ -156,6 +156,80 @@ def main(n=8_000_000, m=1_000_000):
                  lhs_projector=Projector.named("v"),
                  rhs_projector=Projector.named(*[f"w{i}" for i in range(6)])),
         perturb_all(), n)
+
+    # --- the C++ baseline's previously-unmeasured paths (VERDICT r2 #2):
+    # NOT_UNIQUE dup~8, LEFT_OUTER, string-key group-by, merge-union ---
+    dup_keys = m // 8
+    dim8 = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("w", DataType.INT32, False)),
+        {"pk": (np.arange(m, dtype=np.int32) // 8),
+         "w": rng.integers(0, 64, m).astype(np.int32)})
+    fact8 = Table.from_data(
+        fact.schema,
+        {"fk": rng.integers(0, dup_keys, n).astype(np.int32),
+         "v": rng.random(n, dtype=np.float32),
+         "g": rng.integers(0, 64, n).astype(np.int32)})
+    results["join_dup8"] = bench(
+        "join 8M NOT_UNIQUE dup8",
+        HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact8),
+                 ScanTable(dim8), KeyUniqueness.NOT_UNIQUE,
+                 lhs_projector=Projector.named("v"),
+                 rhs_projector=Projector.named("w"),
+                 out_capacity=8 * n),
+        perturb_all(), n)
+    fact2m = Table.from_data(
+        fact.schema,
+        {"fk": rng.integers(0, 2 * m, n).astype(np.int32),
+         "v": rng.random(n, dtype=np.float32),
+         "g": rng.integers(0, 64, n).astype(np.int32)})
+    results["join_left"] = bench(
+        "join 8M LEFT_OUTER",
+        HashJoin(JoinType.LEFT_OUTER, ["fk"], ["pk"], ScanTable(fact2m),
+                 ScanTable(dim), KeyUniqueness.UNIQUE,
+                 lhs_projector=Projector.named("v"),
+                 rhs_projector=Projector.named("w")),
+        perturb_all(), n)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliett", "kilo", "lima", "mike",
+             "november", "oscar", "papa", "quebec", "romeo", "sierra",
+             "tango", "uniform", "victor", "whiskey", "xray", "yankee",
+             "zulu", "amber", "bronze", "copper", "dune", "ember",
+             "flint", "granite", "harbor", "island", "jade", "krypton",
+             "lagoon", "meadow", "nickel", "onyx", "prairie", "quartz",
+             "ridge", "summit", "tundra", "umber", "valley", "willow",
+             "zenith"]
+    warr = np.array(words, dtype=object)
+    fact_str = Table.from_data(
+        TupleSchema.of(("k", DataType.STRING, False),
+                       ("v", DataType.FLOAT, False)),
+        {"k": list(warr[rng.integers(0, 50, n)]),
+         "v": rng.random(n, dtype=np.float32)})
+    results["groupby_str"] = bench(
+        "groupby_str 8M->50",
+        GroupAggregate(["k"], [AggSpec(Aggregation.SUM, "v", "sv")],
+                       ScanTable(fact_str),
+                       GroupAggregateOptions(estimated_result_row_count=64)),
+        perturb_all(), n)
+    from supersonic_tpu import MergeUnionAll
+
+    half = n // 2
+    ga = rng.integers(0, 64, half).astype(np.int32)
+    gb = rng.integers(0, 64, half).astype(np.int32)
+    va = rng.random(half, dtype=np.float32)
+    vb = rng.random(half, dtype=np.float32)
+    pa = np.lexsort((-va, ga))
+    pb = np.lexsort((-vb, gb))
+    sorted_a = Table.from_data(
+        TupleSchema.of(("g", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"g": ga[pa], "v": va[pa]})
+    sorted_b = Table.from_data(sorted_a.schema, {"g": gb[pb], "v": vb[pb]})
+    results["merge_union"] = bench(
+        "merge_union 2x4M",
+        MergeUnionAll([("g", True), ("v", False)],
+                      [ScanTable(sorted_a), ScanTable(sorted_b)]),
+        perturb_all(), n)
     return results
 
 
