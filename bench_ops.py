@@ -21,10 +21,17 @@ def timed_plan(plan_builder, leaves_perturb, iters=8):
     def chained(leaves):
         def body(carry, _):
             out, flags = run(leaves_perturb(leaves, carry))
-            first = jax.tree_util.tree_leaves(out)[0]
             # carry must not be provably zero or XLA hoists the whole
-            # body out of the scan as loop-invariant
-            return (first.ravel()[0].astype(jnp.float32) * 1e-30), None
+            # body out of the scan as loop-invariant; fold EVERY output
+            # leaf (a checksum on one column lets XLA elide operators
+            # that column doesn't depend on — e.g. a LEFT_OUTER UNIQUE
+            # join preserves the lhs columns verbatim)
+            s = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                head = leaf.ravel()[:4096].astype(jnp.float32)
+                w = (jnp.arange(head.shape[0]) % 13).astype(jnp.float32)
+                s = s + jnp.dot(head, w)
+            return (s * 1e-30).astype(jnp.float32), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
         return c
