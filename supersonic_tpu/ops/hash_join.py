@@ -223,6 +223,115 @@ def _fat_lut_probe(rt: Table, srcs, scat, pslot, pin, rng: int,
     return out, matched
 
 
+def _try_spread_expansion(lt, lpairs, rpairs, rb, rt, build_perm, eff,
+                          offsets, lower, count, out_cap, left_outer,
+                          out_schema, out_dicts):
+    """Multi-match expansion via the Pallas spread kernel
+    (kernels/spread.py) instead of per-output-row gathers: sources = lhs
+    rows with eff>0 (compacted by the compaction kernel), their lanes
+    spread to [base, base+eff) runs — no 8M..64M-index lhs gather, no
+    qrow scatter+cummax.  Returns None when ineligible (CPU backend,
+    small output, f64 lhs columns, too many lanes)."""
+    import jax as _jax
+
+    from ..kernels import compaction, spread as spread_mod
+
+    if (_jax.default_backend() == "cpu"
+            or out_cap < 2 * spread_mod.TILE):
+        return None
+    lsub = _subset(lt, [s for s, _ in lpairs])
+    base_l = (offsets - eff).astype(jnp.int32)
+    # per-source lanes: lhs columns (+validity), d = lower - base,
+    # match count for LEFT_OUTER
+    lanes: list = []
+    spec: list = []  # (kind, name_or_None, dtype)
+    for name in lsub.schema.names():
+        c = lsub.columns[name]
+        size = jnp.dtype(c.values.dtype).itemsize
+        if c.values.dtype == jnp.float64:
+            return None  # no f64 transport (no bitcast on this backend)
+        if size == 4:
+            spec.append(("pass", name, c.values.dtype))
+            lanes.append(c.values)
+        elif size == 8:
+            lo_w, hi_w = compaction.split_words(c.values)
+            spec.append(("wide", name, c.values.dtype))
+            lanes.append(lo_w)
+            lanes.append(hi_w)
+        else:
+            spec.append(("narrow", name, c.values.dtype))
+            lanes.append(c.values.astype(jnp.int32))
+        if c.valid is not None:
+            spec.append(("valid", name, jnp.bool_))
+            lanes.append(c.valid.astype(jnp.int32))
+    spec.append(("d", None, jnp.int32))
+    lanes.append((lower.astype(jnp.int32) - base_l))
+    if left_outer:
+        spec.append(("cnt", None, jnp.int32))
+        lanes.append(count.astype(jnp.int32))
+    n_lanes = len(lanes) + 1  # + base lane through the compaction
+    if n_lanes > spread_mod.MAX_PAYLOADS:
+        return None
+    lcap = lt.capacity
+    src_mask = eff > 0
+    n_src = jnp.sum(src_mask.astype(jnp.int32))
+    compacted = compaction.compact_kernel(lanes + [base_l], src_mask,
+                                          lcap)[0]
+    base_c = compacted[-1]
+    # dead tail must stay sorted for the tile-bound searchsorted
+    base_c = jnp.where(jnp.arange(lcap) < n_src, base_c,
+                       jnp.int32(2**31 - 1))
+    spread_lanes = spread_mod.spread_kernel(compacted[:-1], base_c,
+                                            out_cap)
+    # reassemble per-output-row columns
+    cols_by_name: dict = {}
+    valid_by_name: dict = {}
+    d_vals = None
+    cnt_vals = None
+    i = 0
+    for kind, name, dtype in spec:
+        if kind == "pass":
+            cols_by_name[name] = spread_lanes[i]
+            i += 1
+        elif kind == "wide":
+            cols_by_name[name] = compaction.combine_words(
+                spread_lanes[i], spread_lanes[i + 1], dtype)
+            i += 2
+        elif kind == "narrow":
+            cols_by_name[name] = spread_lanes[i].astype(dtype)
+            i += 1
+        elif kind == "valid":
+            valid_by_name[name] = spread_lanes[i] != 0
+            i += 1
+        elif kind == "d":
+            d_vals = spread_lanes[i]
+            i += 1
+        else:  # cnt
+            cnt_vals = spread_lanes[i]
+            i += 1
+    n_out = jnp.minimum(jnp.maximum(offsets[-1], 0), out_cap)
+    out_pos = jnp.arange(out_cap, dtype=jnp.int32)
+    live_out = out_pos < n_out
+    bpos = out_pos + d_vals
+    if left_outer:
+        has_match = cnt_vals > 0
+    else:
+        has_match = live_out
+    rsorted = gather_table(_subset(rt, [s for s, _ in rpairs]),
+                           build_perm, rt.num_rows)
+    ridx = jnp.where(has_match & live_out, bpos, -1)
+    rgath = gather_table(rsorted, ridx, n_out, fill_invalid=left_outer)
+    cols = {}
+    for src, dst in lpairs:
+        cols[dst] = Column(cols_by_name[src], valid_by_name.get(src))
+    for src, dst in rpairs:
+        c = rgath.columns[src]
+        if left_outer and c.valid is None:
+            c = Column(c.values, jnp.ones(out_cap, dtype=jnp.bool_))
+        cols[dst] = c
+    return Table(out_schema, cols, n_out, out_dicts)
+
+
 def _subset(t: Table, names) -> Table:
     """View of ``t`` restricted to ``names`` (no data movement).  Keeps
     row movement (gathers, compaction payload sorts) from paying for
@@ -737,6 +846,11 @@ class HashJoin(Operation):
             total = offsets[-1]
             rctx.error_flags.append(
                 ("join result overflow", total > out_cap))
+            spread_out = _try_spread_expansion(
+                lt, lpairs, rpairs, rb, rt, build_perm, eff, offsets,
+                lower, count, out_cap, left_outer, out_schema, out_dicts)
+            if spread_out is not None:
+                return spread_out
             # expansion: output j belongs to the lhs row whose output range
             # [base, base+eff) covers j.  searchsorted lowers to ~23 serial
             # HBM-gather rounds on TPU (~1.6s at 8M rows); instead scatter
