@@ -463,3 +463,26 @@ def test_concat_via_serialization():
         {"aggregation": "concat", "input": "s", "output": "cs"}])
     out = execute(GroupAggregate(["g"], spec, ScanTable(t)))
     assert out.to_pylist() == [(1, "x,z"), (2, "y")]
+
+
+def test_concat_clustered_and_formats():
+    """CONCAT in AggregateClusters (streaming runs stay separate) and
+    reference PrintTyped formats for BOOL/DATE inputs
+    (types_infrastructure.cc:45-110)."""
+    from supersonic_tpu import AggregateClusters
+
+    t = Table.from_data(
+        TupleSchema.of(("g", INT64), ("s", STRING, True)),
+        {"g": [1, 1, 2, 2, 1], "s": ["a", "b", "c", None, "d"]})
+    out = execute(AggregateClusters(
+        ["g"], [AggSpec(Aggregation.CONCAT, "s", "cs")], ScanTable(t)))
+    assert out.to_pylist() == [(1, "a,b"), (2, "c"), (1, "d")]
+
+    t2 = Table.from_data(
+        TupleSchema.of(("g", INT64), ("b", DataType.BOOL, True),
+                       ("d", DataType.DATE, True)),
+        {"g": [1, 1], "b": [True, False], "d": [0, 365]})
+    out2 = execute(GroupAggregate(
+        ["g"], [AggSpec(Aggregation.CONCAT, "b", "cb"),
+                AggSpec(Aggregation.CONCAT, "d", "cd")], ScanTable(t2)))
+    assert out2.to_pylist() == [(1, "TRUE,FALSE", "1970/01/01,1971/01/01")]
