@@ -945,6 +945,9 @@ void CaseConcatAgg() {
   AggregationSpecification* spec = new AggregationSpecification();
   spec->AddAggregation(CONCAT, "s", "cs");
   spec->AddAggregationWithDefinedOutputType(CONCAT, "v", "cv", STRING);
+  // DISTINCT CONCAT: per-key value dedup in first-encounter order
+  // (DistinctAggregator, column_aggregator.cc:308-343)
+  spec->AddDistinctAggregation(CONCAT, "s", "csd");
   spec->AddAggregation(SUM, "v", "sv");
   RunAndDump("concat_agg",
              GroupAggregate(ProjectNamedAttribute("k"), spec, NULL,

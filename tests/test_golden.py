@@ -487,6 +487,7 @@ def test_golden_concat_agg():
         ["k"],
         [AggSpec(Aggregation.CONCAT, "s", "cs"),
          AggSpec(Aggregation.CONCAT, "v", "cv"),
+         AggSpec(Aggregation.CONCAT, "s", "csd", distinct=True),
          AggSpec(SUM, "v", "sv")],
         ScanTable(t)))
     # INT64 SUM wraps exactly; CONCAT byte-exact -> fully bit-exact.
