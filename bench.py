@@ -105,9 +105,18 @@ def tpu_pipeline(fact, dim):
                  "v": vcol._replace(values=vcol.values + carry)},
                 fact_t.num_rows, fact_t.dicts)
             out, flags = run([perturbed] + leaves[1:])
-            # not provably zero => body can't be hoisted out of the scan
-            return (out.columns["sv"].values[0].astype(jnp.float32)
-                    * 1e-30), None
+            # not provably zero => body can't be hoisted out of the scan.
+            # Fold EVERY output column order-sensitively: a checksum that
+            # reads one element lets XLA dead-code-eliminate unread
+            # columns (e.g. the COUNT aggregate) and simplify the sort —
+            # under-measuring the plan (found in round 3; bench_ops.py's
+            # harness had the same fix).
+            s = jnp.float32(0)
+            for c in out.columns.values():
+                head = c.values[:64].astype(jnp.float32)
+                w = (jnp.arange(head.shape[0]) % 13).astype(jnp.float32)
+                s = s + jnp.dot(head, w)
+            return (s * 1e-30).astype(jnp.float32), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)
         return c
