@@ -111,11 +111,14 @@ def tpu_pipeline(fact, dim):
             # columns (e.g. the COUNT aggregate) and simplify the sort —
             # under-measuring the plan (found in round 3; bench_ops.py's
             # harness had the same fix).
+            # Fold the FULL column (not a prefix): a sliced sorted prefix
+            # is TopK-rewritable, which would let a partial sort stand in
+            # for the real one inside the timing loop (VERDICT r3 weak #4).
             s = jnp.float32(0)
             for c in out.columns.values():
-                head = c.values[:64].astype(jnp.float32)
-                w = (jnp.arange(head.shape[0]) % 13).astype(jnp.float32)
-                s = s + jnp.dot(head, w)
+                flat = c.values.ravel().astype(jnp.float32)
+                w = (jnp.arange(flat.shape[0]) % 13).astype(jnp.float32)
+                s = s + jnp.dot(flat, w)
             return (s * 1e-30).astype(jnp.float32), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=ITERS)

@@ -26,11 +26,17 @@ def timed_plan(plan_builder, leaves_perturb, iters=8):
             # leaf (a checksum on one column lets XLA elide operators
             # that column doesn't depend on — e.g. a LEFT_OUTER UNIQUE
             # join preserves the lhs columns verbatim)
+            # The fold must read the FULL column order-sensitively: a
+            # sliced prefix of a sorted output is exactly what XLA's
+            # sort-simplifier/TopK rewriter targets, so a partial read
+            # would let a partial sort substitute inside the timing loop
+            # (VERDICT r3 weak #4).  One fused position-weighted pass per
+            # leaf costs ~1 read — negligible vs the operator.
             s = jnp.float32(0)
             for leaf in jax.tree_util.tree_leaves(out):
-                head = leaf.ravel()[:4096].astype(jnp.float32)
-                w = (jnp.arange(head.shape[0]) % 13).astype(jnp.float32)
-                s = s + jnp.dot(head, w)
+                flat = leaf.ravel().astype(jnp.float32)
+                w = (jnp.arange(flat.shape[0]) % 13).astype(jnp.float32)
+                s = s + jnp.dot(flat, w)
             return (s * 1e-30).astype(jnp.float32), None
 
         c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)

@@ -954,6 +954,50 @@ void CaseConcatAgg() {
                             ScanView(table.view())));
 }
 
+// CONCAT of FLOAT/DOUBLE inputs: values stringified via PrintTyped ->
+// SimpleFtoa/SimpleDtoa — "%.6g"/"%.15g" with a round-trip retry at
+// "%.8g"/"%.17g" (utils/strings/numbers.cc:1249-1297).  Special values
+// are chosen to hit both the short form and the retry.
+void CaseConcatFloat() {
+  TupleSchema schema;
+  schema.add_attribute(Attribute("k", INT32, NOT_NULLABLE));
+  schema.add_attribute(Attribute("f", FLOAT, NULLABLE));
+  schema.add_attribute(Attribute("d", DOUBLE, NULLABLE));
+  Table table(schema, Alloc());
+  TableRowWriter w(&table);
+  std::mt19937 rng(606);
+  std::uniform_int_distribution<int32> key_d(0, 20);
+  std::uniform_real_distribution<double> null_d(0.0, 1.0);
+  std::uniform_real_distribution<double> v_d(-10.0, 10.0);
+  const float f_special[8] = {0.1f, 2.0f, 1e-7f, 1234567.0f, -0.0f,
+                              3.14159274f, 16777216.0f, 1e30f};
+  const double d_special[8] = {0.1, 2.0, 1e-17, 1.0 / 3.0, -0.0,
+                               3.141592653589793, 9007199254740993.0,
+                               1e300};
+  std::uniform_int_distribution<int> sp_d(0, 7);
+  for (int i = 0; i < 3000; ++i) {
+    int32 k = key_d(rng);
+    w.AddRow().Int32(k);
+    double r = null_d(rng);
+    if (r < 0.1) w.Null();
+    else if (r < 0.4) w.Float(f_special[sp_d(rng)]);
+    else w.Float(static_cast<float>(v_d(rng)));
+    r = null_d(rng);
+    if (r < 0.1) w.Null();
+    else if (r < 0.4) w.Double(d_special[sp_d(rng)]);
+    else w.Double(v_d(rng));
+  }
+  w.CheckSuccess();
+  DumpInput("concat_float", 0, table);
+
+  AggregationSpecification* spec = new AggregationSpecification();
+  spec->AddAggregationWithDefinedOutputType(CONCAT, "f", "cf", STRING);
+  spec->AddAggregationWithDefinedOutputType(CONCAT, "d", "cd", STRING);
+  RunAndDump("concat_float",
+             GroupAggregate(ProjectNamedAttribute("k"), spec, NULL,
+                            ScanView(table.view())));
+}
+
 // ENUM (value map, tuple_schema.h:42) and BINARY (var-length wire path,
 // file_io.cc:77-101) routed through group-by + sort; enums sort/compare
 // by value number (types_infrastructure.cc:511-514).
@@ -1038,6 +1082,7 @@ int main(int argc, char** argv) {
   CaseStringOps();
   CaseMakeDate();
   CaseConcatAgg();
+  CaseConcatFloat();
   CaseEnumBinary();
   CaseDateLocal();  // last: switches the process TZ
   return 0;

@@ -27,24 +27,67 @@ def resolve_deferred(entries, aux_values) -> None:
         _assemble_concat(m, aux)
 
 
+def _fmt_float(v) -> str:
+    """FloatToBuffer (utils/strings/numbers.cc:1273-1297): "%.6g", retried
+    at "%.8g" when the printed form does not parse back to the same
+    float32.  C's varargs promote the float to double before snprintf, so
+    formatting the widened Python float is bit-identical."""
+    import numpy as np
+
+    f = np.float32(v)
+    s = "%.6g" % float(f)
+    try:
+        ok = np.float32(s) == f
+    except ValueError:
+        ok = False
+    return s if ok else ("%.8g" % float(f))
+
+
+def _fmt_double(v) -> str:
+    """DoubleToBuffer (utils/strings/numbers.cc:1249-1271): "%.15g",
+    retried at "%.17g" when strtod does not round-trip."""
+    d = float(v)
+    s = "%.15g" % d
+    try:
+        ok = float(s) == d
+    except ValueError:
+        ok = False
+    return s if ok else ("%.17g" % d)
+
+
 def _ref_print(v, type_: DataType) -> str:
-    """Reference PrintTyped formats (types_infrastructure.cc:45-110):
+    """Reference PrintTyped formats (types_infrastructure.cc:45-130):
     ints decimal, BOOL TRUE/FALSE, DATE %Y/%m/%d, DATETIME
-    %Y/%m/%d-%H:%M:%S, floats shortest round-trip (SimpleFtoa/Dtoa),
-    ENUM printed as its int code (types_infrastructure.cc:79-83)."""
+    %Y/%m/%d-%H:%M:%S (micros truncated toward zero like C++ int
+    division, "NULL" when strftime fails on out-of-range time_t —
+    types_infrastructure.cc:92-114), floats shortest round-trip
+    (SimpleFtoa/SimpleDtoa), ENUM printed as its int code
+    (types_infrastructure.cc:79-83)."""
     import datetime
 
     if type_ == DataType.BOOL:
         return "TRUE" if v else "FALSE"
     if type_ == DataType.DATE:
-        d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+        try:
+            d = datetime.date(1970, 1, 1) + datetime.timedelta(days=int(v))
+        except OverflowError:
+            return "NULL"
         return d.strftime("%Y/%m/%d")
     if type_ == DataType.DATETIME:
-        dt = (datetime.datetime(1970, 1, 1)
-              + datetime.timedelta(microseconds=int(v)))
+        # C++: time_t time = value / 1000000 — truncation toward zero,
+        # NOT floor (differs for negative values not on a second boundary)
+        usec = int(v)
+        secs = usec // 1000000 if usec >= 0 else -((-usec) // 1000000)
+        try:
+            dt = (datetime.datetime(1970, 1, 1)
+                  + datetime.timedelta(seconds=secs))
+        except OverflowError:
+            return "NULL"
         return dt.strftime("%Y/%m/%d-%H:%M:%S")
-    if type_ in (DataType.FLOAT, DataType.DOUBLE):
-        return repr(float(v))
+    if type_ == DataType.FLOAT:
+        return _fmt_float(v)
+    if type_ == DataType.DOUBLE:
+        return _fmt_double(v)
     return str(int(v))
 
 
@@ -145,6 +188,7 @@ def group_concat(table_or_plan, group_by: Sequence[str], input_col: str,
         return fast
     cols = src.to_numpy()
     n = int(src.num_rows)
+    in_type = src.schema.lookup(input_col).type
     order: list = []
     groups: dict = {}
     for i in range(n):
@@ -155,7 +199,7 @@ def group_concat(table_or_plan, group_by: Sequence[str], input_col: str,
         v = cols[input_col][i]
         if v is None:
             continue
-        s = v if isinstance(v, str) else str(v)
+        s = v if isinstance(v, str) else _ref_print(v, in_type)
         if distinct and s in groups[key]:
             continue
         groups[key].append(s)
@@ -214,8 +258,9 @@ def _group_concat_fast(src: Table, names: Sequence[str], input_col: str,
         payloads = [v if binary else v.encode() for v in d.values] or [b""]
         codes = np.clip(vals.astype(np.int32), 0, len(payloads) - 1)
     else:
+        in_type = src.schema.lookup(input_col).type
         uniq, inv = np.unique(vals, return_inverse=True)
-        payloads = [str(u).encode() for u in uniq] or [b""]
+        payloads = [_ref_print(u, in_type).encode() for u in uniq] or [b""]
         codes = inv.astype(np.int32)
     lengths = np.fromiter((len(p) for p in payloads), dtype=np.int64,
                           count=len(payloads))
@@ -310,6 +355,8 @@ def to_string(table_or_plan, input_col: str, output: str,
         elif isinstance(v, bool):
             # reference: "TRUE"/"FALSE" (types_infrastructure.cc:75-77)
             out_vals.append("TRUE" if v else "FALSE")
+        elif attr.type in (DataType.FLOAT, DataType.DOUBLE):
+            out_vals.append(_ref_print(v, attr.type))
         else:
             out_vals.append(str(v))
     data = {a.name: list(cols[a.name]) for a in src.schema}

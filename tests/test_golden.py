@@ -494,6 +494,20 @@ def test_golden_concat_agg():
     assert_tables_match(out, _golden_out("concat_agg"), sort_by=[0])
 
 
+def test_golden_concat_float():
+    """CONCAT of FLOAT/DOUBLE inputs vs the C++ engine: values rendered
+    via SimpleFtoa/SimpleDtoa — "%.6g"/"%.15g" with round-trip retry at
+    "%.8g"/"%.17g" (utils/strings/numbers.cc:1249-1297) — so the string
+    results are byte-exact, including the retry-form values."""
+    (t,) = _inputs("concat_float")
+    out = execute(GroupAggregate(
+        ["k"],
+        [AggSpec(Aggregation.CONCAT, "f", "cf"),
+         AggSpec(Aggregation.CONCAT, "d", "cd")],
+        ScanTable(t)))
+    assert_tables_match(out, _golden_out("concat_float"), sort_by=[0])
+
+
 def test_golden_enum_binary():
     """ENUM (value-number compare, types_infrastructure.cc:511-514) and
     BINARY (var-length wire path, file_io.cc:77-101) through
