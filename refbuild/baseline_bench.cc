@@ -252,12 +252,13 @@ struct Bench {
     return Sort(order, ProjectAllAttributes(), 1LL << 62, grouped);
   }
 
-  void Run(const char* name, Operation* op, double input_rows) {
+  void Run(const char* name, Operation* op, double input_rows,
+           int reps = 3) {
     std::unique_ptr<Operation> owned(op);
     owned->SetBufferAllocator(alloc, false);
     double best = 1e30;
     size_t rows = 0;
-    for (int rep = 0; rep < 3; ++rep) {
+    for (int rep = 0; rep < reps; ++rep) {
       double t0 = NowSec();
       std::unique_ptr<Cursor> cursor(SucceedOrDie(owned->CreateCursor()));
       rows = Drain(cursor.get());
@@ -270,9 +271,98 @@ struct Bench {
   }
 };
 
+// BASELINE.json config-scale workloads (VERDICT r3 next #4): the exact
+// shapes scripts/compile_times.py runs on the TPU —
+//   config 3: sort 100M rows (k int32 uniform [0,2^30), v f32) by
+//             (k ASC, v DESC)
+//   config 4: join probe 100M (fk in [0,1M), v f32) x build 1M UNIQUE,
+//             project (v, w)
+// Run separately (--big) so the 8M sweep stays quick; best-of-1 — the
+// reference is deterministic and minutes-long runs don't jitter at the
+// margins that matter here.
+struct BigBench {
+  BufferAllocator* alloc;
+  static const int64 kBigRows = 100LL * 1000 * 1000;
+  std::unique_ptr<Table> big;    // (k, v) for config 3
+  std::unique_ptr<Table> probe;  // (fk, v) for config 4
+  std::unique_ptr<Table> dim;    // (pk, w) 1M
+
+  void BuildData() {
+    std::mt19937 rng(42);
+    std::uniform_int_distribution<int32> k_d(0, (1 << 30) - 1);
+    std::uniform_int_distribution<int32> fk_d(0, kDimRows - 1);
+    std::uniform_int_distribution<int32> g_d(0, kGroups - 1);
+    std::uniform_real_distribution<float> v_d(0.0f, 1.0f);
+
+    TupleSchema big_schema;
+    big_schema.add_attribute(Attribute("k", INT32, NOT_NULLABLE));
+    big_schema.add_attribute(Attribute("v", FLOAT, NOT_NULLABLE));
+    big.reset(new Table(big_schema, alloc));
+    big->ReserveRowCapacity(kBigRows);
+    for (int64 i = 0; i < kBigRows; ++i) {
+      rowid_t row = big->AddRow();
+      big->Set<INT32>(0, row, k_d(rng));
+      big->Set<FLOAT>(1, row, v_d(rng));
+    }
+
+    TupleSchema probe_schema;
+    probe_schema.add_attribute(Attribute("fk", INT32, NOT_NULLABLE));
+    probe_schema.add_attribute(Attribute("v", FLOAT, NOT_NULLABLE));
+    probe.reset(new Table(probe_schema, alloc));
+    probe->ReserveRowCapacity(kBigRows);
+    for (int64 i = 0; i < kBigRows; ++i) {
+      rowid_t row = probe->AddRow();
+      probe->Set<INT32>(0, row, fk_d(rng));
+      probe->Set<FLOAT>(1, row, v_d(rng));
+    }
+
+    TupleSchema dim_schema;
+    dim_schema.add_attribute(Attribute("pk", INT32, NOT_NULLABLE));
+    dim_schema.add_attribute(Attribute("w", INT32, NOT_NULLABLE));
+    dim.reset(new Table(dim_schema, alloc));
+    dim->ReserveRowCapacity(kDimRows);
+    for (int i = 0; i < kDimRows; ++i) {
+      rowid_t row = dim->AddRow();
+      dim->Set<INT32>(0, row, i);
+      dim->Set<INT32>(1, row, g_d(rng));
+    }
+  }
+
+  Operation* SortOp() {
+    SortOrder* order = new SortOrder();
+    order->OrderByNamedAttribute("k", ASCENDING);
+    order->OrderByNamedAttribute("v", DESCENDING);
+    return Sort(order, ProjectAllAttributes(), 1LL << 62,
+                ScanView(big->view()));
+  }
+
+  Operation* JoinOp() {
+    CompoundMultiSourceProjector* result = new CompoundMultiSourceProjector();
+    result->add(0, ProjectNamedAttribute("v"));
+    result->add(1, ProjectNamedAttribute("w"));
+    return new HashJoinOperation(
+        INNER, ProjectNamedAttribute("fk"), ProjectNamedAttribute("pk"),
+        result, UNIQUE, ScanView(probe->view()), ScanView(dim->view()));
+  }
+};
+
 }  // namespace
 
 int main(int argc, char** argv) {
+  if (argc > 1 && std::string(argv[1]) == "--big") {
+    BigBench big;
+    big.alloc = HeapBufferAllocator::Get();
+    double t0 = NowSec();
+    big.BuildData();
+    fprintf(stderr, "big data build: %.1f s\n", NowSec() - t0);
+    Bench runner;
+    runner.alloc = big.alloc;
+    runner.Run("sort 100M (config 3)", big.SortOp(),
+               (double)BigBench::kBigRows, 1);
+    runner.Run("join 100M x 1M (config 4)", big.JoinOp(),
+               (double)BigBench::kBigRows, 1);
+    return 0;
+  }
   Bench bench;
   bench.alloc = HeapBufferAllocator::Get();
   double t0 = NowSec();
