@@ -118,13 +118,35 @@ class ExternalSorter:
                                         dir=temporary_directory_prefix)
         self._runs: list[str] = []
         self._buffer: list[dict] = []
+        self._raw: list[tuple] = []
         self._buffered = 0
 
     # -- write side (reference: SorterSink / Writer) -----------------------
     def write(self, table: Table) -> None:
-        cols = table.to_numpy()
-        self._buffer.append({n: list(cols[n]) for n in self.schema.names()})
-        self._buffered += int(table.num_rows)
+        """Feed a Table's live rows.  Raw columnar path: values/validity
+        buffer as numpy arrays (no per-row Python boxing — the spill path
+        exists for large inputs).  STRING/BINARY columns keep their codes;
+        dictionaries merge at flush."""
+        n = int(table.num_rows)
+        if n == 0:
+            return
+        piece: dict = {}
+        for attr in self.schema:
+            c = table.columns[attr.name]
+            vals = np.asarray(c.values)[:n]
+            valid = (None if c.valid is None
+                     else np.asarray(c.valid)[:n].astype(bool))
+            piece[attr.name] = (vals, valid)
+        self.write_arrays(piece, dict(table.dicts), n)
+
+    def write_arrays(self, cols: dict, dicts: dict, n: int) -> None:
+        """Low-level raw feed: ``cols[name] = (values, valid_or_None)``
+        numpy arrays of length ``n``; ``dicts`` the dictionary objects for
+        any STRING/BINARY columns (codes interpreted against them)."""
+        if n == 0:
+            return
+        self._raw.append((n, cols, dicts))
+        self._buffered += n
         if self._buffered >= self.limit:
             self._flush()
 
@@ -137,15 +159,70 @@ class ExternalSorter:
     def _buffer_table(self) -> Optional[Table]:
         if not self._buffered:
             return None
-        merged = {n: [] for n in self.schema.names()}
-        for part in self._buffer:
-            for n in merged:
-                merged[n].extend(part[n])
-        return Table.from_data(self.schema, merged)
+        from .. import dictionary as dict_mod
+
+        tables: list[Table] = []
+        if self._raw:
+            # merge dictionaries across raw pieces (identical objects --
+            # the common case: every piece from one source table -- merge
+            # as identity)
+            merged_dicts: dict = {}
+            remaps: list[dict] = [dict() for _ in self._raw]
+            for attr in self.schema:
+                if attr.type not in (DataType.STRING, DataType.BINARY):
+                    continue
+                base = self._raw[0][2][attr.name]
+                maps: list = [None]
+                for _, _, dicts in self._raw[1:]:
+                    d = dicts[attr.name]
+                    if d is base and all(m is None for m in maps):
+                        maps.append(None)
+                        continue
+                    base, ra, rb = dict_mod.merge(base, d)
+                    ra = np.asarray(ra)
+                    maps = [ra if m is None else ra[m] for m in maps]
+                    maps.append(np.asarray(rb))
+                merged_dicts[attr.name] = base
+                for i, m in enumerate(maps):
+                    if m is not None:
+                        remaps[i][attr.name] = m
+            import jax.numpy as jnp
+
+            from ..batch import Column
+
+            total = sum(n for n, _, _ in self._raw)
+            cols: dict = {}
+            for attr in self.schema:
+                vparts, vldparts = [], []
+                for i, (n, piece, _) in enumerate(self._raw):
+                    v, vld = piece[attr.name]
+                    if attr.name in remaps[i]:
+                        r = remaps[i][attr.name]
+                        v = r[np.clip(v, 0, len(r) - 1)]
+                    vparts.append(np.asarray(v))
+                    if attr.nullable:
+                        vldparts.append(np.ones(n, bool) if vld is None
+                                        else vld)
+                vals = jnp.asarray(np.concatenate(vparts))
+                valid = (jnp.asarray(np.concatenate(vldparts))
+                         if attr.nullable else None)
+                cols[attr.name] = Column(vals, valid)
+            tables.append(Table(self.schema, cols, total, merged_dicts))
+        if self._buffer:
+            merged = {n: [] for n in self.schema.names()}
+            for part in self._buffer:
+                for n in merged:
+                    merged[n].extend(part[n])
+            tables.append(Table.from_data(self.schema, merged))
+        if len(tables) == 1:
+            return tables[0]
+        from ..batch import concat_tables
+
+        return concat_tables(tables)
 
     def _flush(self) -> None:
         t = self._buffer_table()
-        self._buffer, self._buffered = [], 0
+        self._buffer, self._raw, self._buffered = [], [], 0
         if t is None:
             return
         sorted_t = sort_table(t, self.order)  # one device lax.sort
@@ -159,7 +236,7 @@ class ExternalSorter:
         of run files + the last in-memory run; reference: sort.cc:366-392
         BoundMergeUnionAll over file cursors)."""
         last = self._buffer_table()
-        self._buffer, self._buffered = [], 0
+        self._buffer, self._raw, self._buffered = [], [], 0
         if not self._runs:
             if last is not None:
                 yield sort_table(last, self.order)
@@ -211,7 +288,7 @@ class ExternalSorter:
         if not native.available() or not self._runs:
             return None
         last = self._buffer_table()
-        self._buffer, self._buffered = [], 0
+        self._buffer, self._raw, self._buffered = [], [], 0
         runs = [file_io.load(p) for p in self._runs]
         if last is not None:
             runs.append(sort_table(last, self.order))

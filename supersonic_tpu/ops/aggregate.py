@@ -1080,12 +1080,234 @@ class BestEffortGroupAggregate(GroupAggregate):
 
 
 class HybridGroupAggregate(GroupAggregate):
-    """Disk-capable group-by (reference: aggregate_groups.cc:1146
-    HybridGroupAggregate): pregroup -> DISTINCT column-group transform ->
-    disk sort -> combine.  Under the TPU engine's static HBM budgeting
-    nothing spills: the sort+scan GroupAggregate already handles arbitrary
-    cardinality and multi-column DISTINCT in memory, so Hybrid is
-    semantically the same operator (retained for API parity)."""
+    """Disk-capable group-by (reference: HybridGroupAggregate,
+    aggregate_groups.cc:1146; design comment :491-534): chunked pregroup
+    -> external sort on the (extended) key -> clustered combine.
+
+    Without a ``memory_quota`` the in-HBM GroupAggregate already handles
+    arbitrary cardinality and multi-column DISTINCT, so Hybrid degrades to
+    exactly that operator.  WITH a quota, inputs whose distinct-key
+    working set exceeds the budget COMPLETE the aggregation (strict
+    GroupAggregate raises; BestEffort emits partial groups):
+
+      1. the input is pregrouped on device in quota-sized chunks (each
+         chunk's distinct keys necessarily fit the chunk, so every device
+         pass respects the quota) — the reference's best-effort pregroup
+         (aggregate_groups.cc:989);
+      2. DISTINCT aggregates add their input columns to the pregroup key
+         (the reference's hybrid-group transform, hybrid_group_utils.h:
+         20-66), so distinct values dedup through the sort;
+      3. chunk results spill through ``io/external.ExternalSorter``
+         (quota-bounded device-sorted runs, k-way merged on read-back —
+         the reference's disk sort, aggregate_groups.cc:513-516);
+      4. the sorted stream is combined in quota-sized batches (cluster
+         boundaries held back) by ``AggregateClusters`` with the
+         partial-aggregate algebra — COUNT recombines via SUM
+         (aggregate_groups.cc:545-590).
+
+    Output order is key-sorted (the reference's hybrid output follows its
+    disk-sort order too, not insertion order).  CONCAT cannot be combined
+    across partial groups and raises; FIRST/LAST mixed with DISTINCT
+    aggregates would lose input order through the extended-key sort and
+    raise.  ``temporary_directory_prefix``: reference aggregate.h:311.
+    """
+
+    def __init__(self, group_by: Sequence[str], specification, child,
+                 options: GroupAggregateOptions | None = None,
+                 temporary_directory_prefix=None):
+        super().__init__(group_by, specification, child, options)
+        self.temp_prefix = temporary_directory_prefix
+
+    def bind(self, ctx: BindContext,
+             _unordered: bool = False) -> BoundOperation:
+        opts = self.options
+        if opts.memory_quota is None:
+            return super().bind(ctx, _unordered)
+        import numpy as np
+
+        from .base import compile_plan, materialize_child
+        from .scan import ScanTable
+        from .sort import SortOrder
+        from ..batch import Column, Table, concat_tables
+        from ..io.external import ExternalSorter
+
+        names = list(self.group_by)
+        specs = self.spec.specs
+        has_distinct = any(s.distinct for s in specs)
+        for s in specs:
+            if s.aggregation == Aggregation.CONCAT:
+                raise SchemaError(
+                    "CONCAT partial aggregates cannot be combined across "
+                    "spilled chunks (order-sensitive, variable-length); "
+                    "use GroupAggregate within memory or "
+                    "ops.host.group_concat")
+            if has_distinct and s.aggregation in (
+                    Aggregation.FIRST, Aggregation.LAST):
+                raise SchemaError(
+                    "FIRST/LAST cannot be combined with DISTINCT "
+                    "aggregates under a spilling HybridGroupAggregate "
+                    "(the extended-key disk sort loses input order)")
+
+        # host/disk boundary: the child materializes once (single bind —
+        # the reference's hybrid cursor likewise drains its child through
+        # the pregroup before any output, aggregate_groups.cc:332-431)
+        src = materialize_child(self.child)
+
+        # extended pregroup key: group key + DISTINCT input columns
+        ext_names = list(names)
+        for s in specs:
+            if s.distinct and s.input not in ext_names:
+                ext_names.append(s.input)
+        pre_spec = AggregationSpecification(
+            [s for s in specs if not s.distinct])
+        key_attrs = [src.schema.lookup(n) for n in ext_names]
+        pre_agg_attrs = [_resolve_output_attr(s, src.schema)
+                         for s in pre_spec.specs]
+        pre_schema = TupleSchema(key_attrs + pre_agg_attrs)
+        chunk_rows = _quota_rows(opts.memory_quota, pre_schema)
+
+        # one compiled pregroup program reused across same-shaped chunks
+        need = list(dict.fromkeys(
+            ext_names + [s.input for s in specs
+                         if s.input is not None and not s.distinct]))
+        sub_schema = TupleSchema([src.schema.lookup(n) for n in need])
+        sub_dicts = {n: src.dicts[n] for n in need if n in src.dicts}
+        n_in = int(src.num_rows)
+        host_cols = {}
+        for nm in need:
+            c = src.columns[nm]
+            vals = np.asarray(c.values)[:n_in]
+            valid = (None if c.valid is None
+                     else np.asarray(c.valid)[:n_in].astype(bool))
+            host_cols[nm] = (vals, valid)
+
+        def chunk_table(start: int) -> Table:
+            stop = min(start + chunk_rows, n_in)
+            rows = stop - start
+            pad = chunk_rows - rows
+            cols = {}
+            for nm in need:
+                vals, valid = host_cols[nm]
+                v = vals[start:stop]
+                if pad:
+                    v = np.concatenate([v, np.zeros(pad, vals.dtype)])
+                vld = None
+                if valid is not None:
+                    w = valid[start:stop]
+                    if pad:
+                        w = np.concatenate([w, np.zeros(pad, bool)])
+                    vld = jnp.asarray(w)
+                cols[nm] = Column(jnp.asarray(v), vld)
+            return Table(sub_schema, cols, rows, sub_dicts,
+                         cap_hint=chunk_rows)
+
+        placeholder = Table(
+            sub_schema,
+            {nm: Column(jnp.zeros(chunk_rows, host_cols[nm][0].dtype),
+                        None if host_cols[nm][1] is None
+                        else jnp.zeros(chunk_rows, jnp.bool_))
+             for nm in need},
+            0, sub_dicts, cap_hint=chunk_rows)
+        pre_run, _pre_bound, _pre_leaves = compile_plan(GroupAggregate(
+            ext_names, pre_spec, ScanTable(placeholder),
+            GroupAggregateOptions(estimated_result_row_count=chunk_rows)))
+        jpre = jax.jit(pre_run)
+
+        with ExternalSorter(pre_schema, SortOrder(ext_names), chunk_rows,
+                            self.temp_prefix) as sorter:
+            for start in range(0, n_in, chunk_rows):
+                pre_t, _flags = jpre([chunk_table(start)])
+                sorter.write(pre_t)
+            merged = sorter.result()
+
+        # combine the sorted partials in quota-sized batches; batch
+        # boundaries never split an extended-key cluster (partials of one
+        # (key, distinct-value) group number at most #runs, far below a
+        # batch), so per-batch DISTINCT dedup is exact
+        final_specs = []
+        for s in specs:
+            if s.distinct:
+                final_specs.append(s)
+            elif s.aggregation == Aggregation.COUNT:
+                final_specs.append(AggSpec(
+                    Aggregation.SUM, s.output, s.output,
+                    s.output_type or DataType.UINT64))
+            else:
+                final_specs.append(AggSpec(
+                    s.aggregation, s.output, s.output, s.output_type))
+        m_rows = int(merged.num_rows)
+        outputs = []
+        start = 0
+        ext_vals = {nm: np.asarray(merged.columns[nm].values)[:m_rows]
+                    for nm in ext_names}
+        ext_valid = {
+            nm: (None if merged.columns[nm].valid is None
+                 else np.asarray(merged.columns[nm].valid)[:m_rows])
+            for nm in ext_names}
+
+        def same_ext_key(i: int, j: int) -> bool:
+            for nm in ext_names:
+                vld = ext_valid[nm]
+                if vld is not None:
+                    if vld[i] != vld[j]:
+                        return False
+                    if not vld[i]:
+                        continue  # NULL == NULL regardless of payload
+                if ext_vals[nm][i] != ext_vals[nm][j]:
+                    return False
+            return True
+
+        while start < m_rows:
+            stop = min(start + max(chunk_rows, 2), m_rows)
+            # extend FORWARD to the next ext-key cluster boundary so a
+            # (key, distinct-value) group never splits across batches
+            # (cluster size <= #runs + 1, so the overshoot is bounded)
+            while stop < m_rows and same_ext_key(stop - 1, stop):
+                stop += 1
+            batch_cols = {}
+            rows = stop - start
+            for attr in pre_schema:
+                c = merged.columns[attr.name]
+                v = jnp.asarray(np.asarray(c.values)[start:stop])
+                vld = (None if c.valid is None
+                       else jnp.asarray(np.asarray(c.valid)[start:stop]))
+                batch_cols[attr.name] = Column(v, vld)
+            batch = Table(pre_schema, batch_cols, rows, dict(merged.dicts),
+                          cap_hint=rows)
+            # eager: batch shapes vary (cluster-boundary extension), so a
+            # jit per batch would compile per shape
+            outputs.append(materialize_child(AggregateClusters(
+                names, final_specs, ScanTable(batch)), jit=False))
+            start = stop
+
+        if not outputs:
+            key_out = [src.schema.lookup(n) for n in names]
+            agg_out = [_resolve_output_attr(s, src.schema) for s in specs]
+            empty = Table.empty(TupleSchema(key_out + agg_out))
+            return ScanTable(empty).bind(ctx)
+        if len(outputs) == 1:
+            final = outputs[0]
+        else:
+            # batch boundaries can split a group-key cluster; one more
+            # clustered pass with the batch-combine algebra (DISTINCT
+            # batches saw disjoint value sets, so COUNT DISTINCT
+            # recombines via SUM)
+            merge_specs = []
+            for s in specs:
+                if s.aggregation == Aggregation.COUNT:
+                    merge_specs.append(AggSpec(
+                        Aggregation.SUM, s.output, s.output,
+                        s.output_type or DataType.UINT64))
+                else:
+                    # SUM/MIN/MAX (distinct batches saw disjoint values,
+                    # so plain re-aggregation is exact); FIRST/LAST keep
+                    # batch order == sorted order
+                    merge_specs.append(AggSpec(
+                        s.aggregation, s.output, s.output, s.output_type))
+            cat = concat_tables(outputs)
+            final = materialize_child(AggregateClusters(
+                names, merge_specs, ScanTable(cat)), jit=False)
+        return ScanTable(final).bind(ctx)
 
 
 class ScalarAggregate(Operation):

@@ -194,3 +194,36 @@ def execute(op: Operation, check_errors: bool = True, jit: bool = True) -> Table
 
 def default_capacity(*caps: int) -> int:
     return max(caps) if caps else 1
+
+
+def materialize_child(op: Operation, check_errors: bool = True,
+                      jit: bool = True) -> Table:
+    """Run a subtree to a concrete host-resident Table — the
+    materialization boundary used by host/disk-boundary operators
+    (external sort spill, hybrid aggregation).  The reference's cursor
+    protocol has the same boundaries (HashJoin's build drains its whole
+    rhs inside CreateCursor, hash_join.cc:604; the external sort spills
+    whole runs, sort.cc:467).  Unlike ``execute(op)`` from inside another
+    bind, this binds the subtree exactly ONCE (no throwaway probe
+    context), so stateful children (Shared/Spy) see a single bind.
+    ``jit=False`` runs the plan eagerly — for many small same-schema
+    host batches of varying shape a jit would compile per shape."""
+    run, bound, leaves = compile_plan(op)
+    res = (jax.jit(run) if jit else run)(leaves)
+    table, flags = res[0], res[1]
+    if check_errors and flags.shape[0]:
+        flags_host = jax.device_get(flags)
+        if flags_host.any():
+            ctx = RunContext(list(leaves))
+            bound.run(ctx)
+            names = [n for (n, _) in ctx.error_flags]
+            raised = [names[i] for i, f in enumerate(flags_host) if f]
+            bad = [n for n in raised if not n.startswith("warning:")]
+            if bad:
+                raise EvaluationError(
+                    f"evaluation failed: {', '.join(bad)}")
+    if len(res) > 2:
+        from .host import resolve_deferred
+
+        resolve_deferred(run.deferred, res[2])
+    return table

@@ -318,29 +318,39 @@ class SortWithTempDirPrefix(Operation):
         if need <= int(self.memory_limit):
             return Sort(self.order, self.child,
                         self.result_projector).bind(ctx)
-        # Spill path: a host/disk boundary by definition.  Chunk rows so
-        # each device-sorted run stays under the limit.
-        from math import ceil
+        # Spill path: a host/disk boundary by definition (the reference's
+        # external sort likewise materializes runs inside its cursor,
+        # sort.cc:467-571).  The child executes exactly once via
+        # materialize_child (no second bind); run feeding streams raw
+        # numpy column slices — no per-row Python boxing.
+        import numpy as np
 
-        from .base import execute
+        from .base import materialize_child
         from .scan import ScanTable
         from ..io.external import ExternalSorter
 
         row_bytes = max(1, need // max(2 * probe.capacity, 1) * 2)
         run_rows = max(1, int(self.memory_limit) // row_bytes)
-        src = execute(self.child)
-        import numpy as np
-
-        cols = src.to_numpy()
+        src = materialize_child(self.child)
         n = int(src.num_rows)
+        host_cols = {}
+        for attr in src.schema:
+            c = src.columns[attr.name]
+            vals = np.asarray(c.values)[:n]
+            valid = (None if c.valid is None
+                     else np.asarray(c.valid)[:n].astype(bool))
+            host_cols[attr.name] = (vals, valid)
         with ExternalSorter(src.schema, self.order, run_rows,
                             self.temp_prefix) as sorter:
             for start in range(0, max(n, 1), run_rows):
                 stop = min(start + run_rows, n)
                 if stop <= start:
                     break
-                sorter.write_rows({name: list(vals[start:stop])
-                                   for name, vals in cols.items()})
+                sorter.write_arrays(
+                    {name: (v[start:stop],
+                            None if vld is None else vld[start:stop])
+                     for name, (v, vld) in host_cols.items()},
+                    dict(src.dicts), stop - start)
             sorted_host = sorter.result()
         out: Operation = ScanTable(sorted_host)
         if self.result_projector is not None:

@@ -111,3 +111,93 @@ def test_best_effort_enforce_quota_is_strict():
                                     ScanTable(t), opts)
     with pytest.raises(EvaluationError, match="overflow"):
         execute(plan)
+
+
+# --- HybridGroupAggregate: beyond-quota spill path (reference:
+# aggregate_groups.cc:1146, design :491-534) ---------------------------------
+
+from supersonic_tpu import HybridGroupAggregate  # noqa: E402
+
+
+def _as_sorted_rows(t):
+    return sorted(t.to_pylist())
+
+
+def test_hybrid_spills_beyond_quota_to_full_result(tmp_path):
+    """Distinct-key set far exceeds the quota: the strict operator raises,
+    Hybrid completes via chunked pregroup -> disk sort -> clustered
+    combine (COUNT recombined via SUM, aggregate_groups.cc:545-590)."""
+    t = make_table(n=900, keys=300)
+    specs = [AggSpec(SUM, "v", "sv"), AggSpec(COUNT, "v", "c"),
+             AggSpec(MIN, "v", "mn"), AggSpec(MAX, "v", "mx")]
+    quota = out_row_width() * 40  # ~40 rows, 300 keys needed
+    with pytest.raises(EvaluationError):
+        execute(GroupAggregate(["k"], specs, ScanTable(t),
+                               GroupAggregateOptions(memory_quota=quota)))
+    got = execute(HybridGroupAggregate(
+        ["k"], specs, ScanTable(t),
+        GroupAggregateOptions(memory_quota=quota),
+        temporary_directory_prefix=str(tmp_path)))
+    want = execute(GroupAggregate(["k"], specs, ScanTable(t)))
+    assert _as_sorted_rows(got) == _as_sorted_rows(want)
+
+
+def test_hybrid_without_quota_is_plain_group_aggregate():
+    t = make_table(n=300, keys=40)
+    got = execute(HybridGroupAggregate(["k"], [AggSpec(SUM, "v", "sv")],
+                                       ScanTable(t)))
+    want = execute(GroupAggregate(["k"], [AggSpec(SUM, "v", "sv")],
+                                  ScanTable(t)))
+    assert got.to_pylist() == want.to_pylist()
+
+
+def test_hybrid_distinct_rides_extended_key(tmp_path):
+    """DISTINCT aggregates join the pregroup key (the reference's
+    hybrid-group transform, hybrid_group_utils.h:20-66): COUNT DISTINCT /
+    SUM DISTINCT stay exact through the spill."""
+    rng = np.random.default_rng(11)
+    n = 700
+    t = Table.from_data(
+        TupleSchema.of(("k", DataType.INT64, False),
+                       ("v", DataType.INT64, False)),
+        {"k": rng.integers(0, 120, n), "v": rng.integers(0, 12, n)})
+    specs = [AggSpec(COUNT, "v", "cd", distinct=True),
+             AggSpec(Aggregation.SUM, "v", "sd", distinct=True),
+             AggSpec(SUM, "v", "sv"),
+             AggSpec(COUNT, "v", "c")]
+    got = execute(HybridGroupAggregate(
+        ["k"], specs, ScanTable(t),
+        GroupAggregateOptions(memory_quota=out_row_width() * 40),
+        temporary_directory_prefix=str(tmp_path)))
+    want = execute(GroupAggregate(["k"], specs, ScanTable(t)))
+    assert _as_sorted_rows(got) == _as_sorted_rows(want)
+
+
+def test_hybrid_string_key_and_nullable_input(tmp_path):
+    rng = np.random.default_rng(5)
+    n = 500
+    words = [f"key{i:03d}" for i in range(90)]
+    vals = [None if rng.random() < 0.2 else int(rng.integers(0, 100))
+            for _ in range(n)]
+    t = Table.from_data(
+        TupleSchema.of(("k", DataType.STRING, False),
+                       ("v", DataType.INT64, True)),
+        {"k": [words[i] for i in rng.integers(0, 90, n)], "v": vals})
+    specs = [AggSpec(SUM, "v", "sv"), AggSpec(COUNT, "v", "c")]
+    got = execute(HybridGroupAggregate(
+        ["k"], specs, ScanTable(t),
+        GroupAggregateOptions(memory_quota=30 * 20),
+        temporary_directory_prefix=str(tmp_path)))
+    want = execute(GroupAggregate(["k"], specs, ScanTable(t)))
+    assert _as_sorted_rows(got) == _as_sorted_rows(want)
+
+
+def test_hybrid_empty_input(tmp_path):
+    t = Table.from_data(
+        TupleSchema.of(("k", DataType.INT64, False),
+                       ("v", DataType.INT64, False)), {"k": [], "v": []})
+    got = execute(HybridGroupAggregate(
+        ["k"], [AggSpec(SUM, "v", "sv")], ScanTable(t),
+        GroupAggregateOptions(memory_quota=64),
+        temporary_directory_prefix=str(tmp_path)))
+    assert got.to_pylist() == []
