@@ -236,18 +236,27 @@ def merge_sorted(a_keys, a_pays, b_keys, b_pays, out_cap: int):
     b2 = prep(list(b_keys) + list(b_pays), nb_tot)
     na = n_keys + n_pays
 
+    # number of (SUBLANES, LANES) blocks per padded side; the "+1" specs
+    # clamp so a fully-consumed side at an exact TILE multiple
+    # (iA0 == na) cannot address one block past the input (correctness
+    # previously leaned on Pallas dynamic-slice clamping + in_a/in_b
+    # masking rather than in-bounds indexing)
+    nblk_a = (_round_up(max(na_tot, 1), TILE) + TILE) // TILE
+    nblk_b = (_round_up(max(nb_tot, 1), TILE) + TILE) // TILE
     spec_a0 = pl.BlockSpec((SUBLANES, LANES),
                            lambda i, iA, jB: (iA[i] // TILE, 0),
                            memory_space=pltpu.VMEM)
-    spec_a1 = pl.BlockSpec((SUBLANES, LANES),
-                           lambda i, iA, jB: (iA[i] // TILE + 1, 0),
-                           memory_space=pltpu.VMEM)
+    spec_a1 = pl.BlockSpec(
+        (SUBLANES, LANES),
+        lambda i, iA, jB: (jnp.minimum(iA[i] // TILE + 1, nblk_a - 1), 0),
+        memory_space=pltpu.VMEM)
     spec_b0 = pl.BlockSpec((SUBLANES, LANES),
                            lambda i, iA, jB: (jB[i] // TILE, 0),
                            memory_space=pltpu.VMEM)
-    spec_b1 = pl.BlockSpec((SUBLANES, LANES),
-                           lambda i, iA, jB: (jB[i] // TILE + 1, 0),
-                           memory_space=pltpu.VMEM)
+    spec_b1 = pl.BlockSpec(
+        (SUBLANES, LANES),
+        lambda i, iA, jB: (jnp.minimum(jB[i] // TILE + 1, nblk_b - 1), 0),
+        memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((SUBLANES, LANES), lambda i, iA, jB: (i, 0),
                             memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -59,8 +59,11 @@ def _compact_via_kernel(payload: list[jnp.ndarray], mask: jnp.ndarray,
     None when ineligible (CPU backend, too-small input, too many lanes)."""
     from ..kernels import compaction
 
+    from ..kernels import force_kernel_paths
+
     cap = mask.shape[0]
-    if jax.default_backend() == "cpu" or cap < 4 * compaction.TILE:
+    if not force_kernel_paths() and (
+            jax.default_backend() == "cpu" or cap < 4 * compaction.TILE):
         return None
     split: list[jnp.ndarray] = []
     spec: list[tuple] = []  # (kind, dtype, lane_index)

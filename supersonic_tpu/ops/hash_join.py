@@ -234,9 +234,11 @@ def _try_spread_expansion(lt, lpairs, rpairs, rb, rt, build_perm, eff,
     small output, f64 lhs columns, too many lanes)."""
     import jax as _jax
 
-    from ..kernels import compaction, spread as spread_mod
+    from ..kernels import compaction, force_kernel_paths
+    from ..kernels import spread as spread_mod
 
-    if (_jax.default_backend() == "cpu"
+    if not force_kernel_paths() and (
+            _jax.default_backend() == "cpu"
             or out_cap < 2 * spread_mod.TILE):
         return None
     lsub = _subset(lt, [s for s, _ in lpairs])

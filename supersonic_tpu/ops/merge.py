@@ -125,8 +125,14 @@ def _sortable_i32(op: jnp.ndarray):
     if dt == jnp.dtype(jnp.int32):
         return [op]
     if dt == jnp.dtype(jnp.float32):
+        # SIGNED-ascending IEEE total order: f >= 0 keeps its bit pattern
+        # (already ascending, >= 0); f < 0 maps to ~bits ^ INT32_MIN
+        # (ascending, < 0).  (The previous `where(i < 0, ~i, i ^ MIN)`
+        # form is the *unsigned* transform — under the kernel's signed
+        # compares it ordered every positive below every negative;
+        # latent because no test merged mixed-sign f32 keys.)
         i = jax.lax.bitcast_convert_type(op, jnp.int32)
-        flipped = jnp.where(i < 0, ~i, i ^ jnp.int32(-2147483648))
+        flipped = jnp.where(i >= 0, i, ~i ^ jnp.int32(-2147483648))
         return [flipped]
     if dt == jnp.dtype(jnp.int64):
         from ..kernels.compaction import split_words
@@ -148,9 +154,10 @@ def _merge_via_kernel(tables, order, out_schema, out_dicts, num_rows,
     sort of the concatenation (~15x at 8M rows).  Child tie order is
     preserved by the fold (child i always enters as the A side before
     child i+1).  Returns None when ineligible."""
-    from ..kernels import merge_sorted as MK
+    from ..kernels import force_kernel_paths, merge_sorted as MK
 
-    if jax.default_backend() == "cpu" or out_cap < 2 * MK.TILE:
+    if not force_kernel_paths() and (
+            jax.default_backend() == "cpu" or out_cap < 2 * MK.TILE):
         return None
 
     def side_arrays(t: Table):
