@@ -150,6 +150,7 @@ def analyze(n_rows: int, n_dim: int, devices: int, cpu: bool):
           file=sys.stderr)
     sweep = sorted({1, 2, 4, devices})
     table = {}
+    exchange_log = {}
     for P in sweep:
         mesh = make_mesh(P)
         dfact = distribute_table(fact, mesh)
@@ -207,11 +208,48 @@ def analyze(n_rows: int, n_dim: int, devices: int, cpu: bool):
         secs, _ = timed(srt, agged)
         rec("sort(sample+range)", secs)
 
-        n_filtered = int(np.sum(np.asarray(filtered.num_rows)))
-        # wire bytes that actually cross the exchange (fk 4B + v 4B rows)
-        print(f"   exchange bytes at P={P}: "
-              f"{n_filtered * 8 / 1e6:.1f} MB over the fact side; "
-              f"{n_dim * 8 / 1e6:.1f} MB dim side", file=sys.stderr)
+        # (7) MEASURED exchange accounting (VERDICT r3 #7): the [P,P]
+        # src->dst row matrices the shuffles actually moved, as bytes —
+        # the artifact behind BASELINE.md's ICI projection
+        from supersonic_tpu.parallel.dist import table_row_bytes
+
+        def measure(d, keys):
+            st = {}
+            shuffle(mesh, d, _key_dest_fn(keys, P), None, check=False,
+                    stats_out=st)
+            return {"total_bytes": st["total_bytes"],
+                    "offmesh_bytes": st["offmesh_bytes"],
+                    "row_bytes": st["row_bytes"],
+                    "rows": int(st["sent_rows"].sum())}
+
+        ex = {"fact_shuffle_by_fk": measure(filtered, ["fk"]),
+              "dim_shuffle_by_pk": measure(ddim, ["pk"])}
+        # pregroup -> shuffle: measure the bytes of the pregrouped stream
+        pre = jax.jit(lambda d: dist_map(
+            mesh, lambda t: run_local_plan(
+                lambda tt: __import__("supersonic_tpu").BestEffortGroupAggregate(
+                    ["g"], [AggSpec(Aggregation.SUM, "v", "sv"),
+                            AggSpec(Aggregation.COUNT, None, "c")],
+                    ScanTable(tt)), t), d))(joined)
+        ex["groupby_pregroup_shuffle"] = measure(pre, ["g"])
+        # ring join: the build side rotates P-1 times over ICI; bytes are
+        # computed from the MEASURED per-shard live build rows
+        build_rows = int(np.sum(np.asarray(ddim_bykey.num_rows)))
+        rb = table_row_bytes(ddim_bykey.schema)
+        ex["ring_build_rotation"] = {
+            "total_bytes": (P - 1) * build_rows * rb,
+            "offmesh_bytes": (P - 1) * build_rows * rb,
+            "row_bytes": rb, "rows": (P - 1) * build_rows}
+        exchange_log[str(P)] = ex
+        for name, e in ex.items():
+            print(f"   P={P} {name}: {e['offmesh_bytes']/1e6:.2f} MB "
+                  f"off-shard / {e['total_bytes']/1e6:.2f} MB total",
+                  file=sys.stderr)
+    with open("EXCHANGE.json", "w") as f:
+        json.dump({"fact_rows": n_rows, "dim_rows": n_dim,
+                   "per_P": exchange_log}, f, indent=1)
+    print("wrote EXCHANGE.json (measured per-config exchange bytes)",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "dist_component_analysis",
         "value": round(table[(devices, 'join(ring/ppermute)')]

@@ -25,7 +25,7 @@ from ..dictionary import transform as dict_transform
 from ..schema import SchemaError
 from ..types import DataType
 from .base import BindContext, BoundOperation, Operation, RunContext
-from .keys import key_operands
+from .keys import descending_code, key_operands, monotone_code
 from ..kernels.lut_gather import take_small
 
 
@@ -66,47 +66,227 @@ def sort_permutation(table: Table, order: SortOrder) -> jnp.ndarray:
     return out[-1]
 
 
+def _f32_code(v: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> SIGNED-ascending IEEE total-order i32 (bit-invertible)."""
+    i = jax.lax.bitcast_convert_type(v, jnp.int32)
+    return jnp.where(i >= 0, i, ~i ^ jnp.int32(-2147483648))
+
+
+def _f32_code_inv(t: jnp.ndarray) -> jnp.ndarray:
+    i = jnp.where(t >= 0, t, ~(t ^ jnp.int32(-2147483648)))
+    return jax.lax.bitcast_convert_type(i, jnp.float32)
+
+
+def _invertible_code(vals: jnp.ndarray, type_: DataType, asc: bool):
+    """(code, inverse) for one sort key where the column values can be
+    recovered bit-exactly from the sorted code operand — the KEY-PAYLOAD
+    DEDUP that drops one sort operand per key column (lax.sort cost is
+    operand-linear: measured ~+5.5 ms per 8M-row operand on v5e).
+    Returns (None, None) when no bit-invertible code exists (DOUBLE,
+    UINT64 — they ride the classic monotone_code + payload operand).
+
+    f32 keys order by the signed IEEE total order instead of float
+    compares: ±0 ties order -0 < +0 and NaN payloads order by bit
+    pattern, where the reference's unstable std::sort leaves equal-key
+    order unspecified anyway (sort.cc:150-161)."""
+    dt = jnp.dtype(vals.dtype)
+    if type_ in (DataType.FLOAT,) and dt == jnp.dtype(jnp.float32):
+        code, inv = _f32_code(vals), _f32_code_inv
+    elif dt == jnp.dtype(jnp.uint32):
+        code, inv = vals.astype(jnp.int64), (
+            lambda c: c.astype(jnp.uint32))
+    elif dt == jnp.dtype(jnp.bool_):
+        code, inv = vals.astype(jnp.int32), (
+            lambda c: c.astype(jnp.bool_))
+    elif dt in (jnp.dtype(jnp.int32), jnp.dtype(jnp.int64)):
+        code, inv = vals, (lambda c: c)
+    else:
+        return None, None
+    if not asc:
+        base_inv = inv
+        return ~code, (lambda c: base_inv(~c))
+    return code, inv
+
+
+def _code_bounds(table: Table, name: str, attr, stats) -> Optional[tuple]:
+    """Known (lo, hi) VALUE bounds for an int-coded key column, with a
+    flag for whether they are structural (dictionary/ENUM/BOOL — cannot
+    be violated by well-formed data) or planner stats (bind-time leaf
+    observations that need a runtime guard).  Returns
+    (lo, hi, needs_guard) or None."""
+    if name in table.dicts:
+        return 0, max(len(table.dicts[name]) - 1, 0), False
+    if attr.type == DataType.ENUM and attr.enum is not None:
+        return 0, max(len(attr.enum.names) - 1, 0), False
+    if attr.type == DataType.BOOL:
+        return 0, 1, False
+    if stats and name in stats:
+        lo, hi = stats[name]
+        try:
+            return int(lo), int(hi), True
+        except (TypeError, ValueError):
+            return None
+    return None
+
+
 def sort_table(table: Table, order: SortOrder,
                key_override: Optional[dict[str, jnp.ndarray]] = None,
-               pad_mask=None, num_rows=None) -> Table:
-    """Sort a whole Table in ONE stable multi-operand lax.sort: all columns
-    ride as payload operands, avoiding the permutation + per-column gather
-    (gathers are ~2x the cost of the sort itself on TPU).
+               pad_mask=None, num_rows=None, stats=None,
+               rctx=None) -> Table:
+    """Sort a whole Table in ONE stable multi-operand lax.sort.
+
+    lax.sort cost is operand-linear (BASELINE.md r4 probe: 2 operands
+    25.5 ms -> 6 operands 50.8 ms at 8M rows), so every droppable operand
+    is ~11% of the sort.  Three packings apply:
+
+      * key-payload dedup — a column that is also a sort key rides ONLY
+        as its key code when the code is bit-invertible (ints identity,
+        f32 via the signed IEEE total-order transform); the output column
+        rebuilds from the sorted code.
+      * pad packing — the pad operand folds into the first key's
+        null-rank (nullable first key) or into a bounded first int key
+        (planner stats / dictionary / ENUM / BOOL bounds) instead of
+        being its own operand.
+      * validity packing — up to 4 validity masks ride one i32 operand.
 
     ``key_override`` substitutes key arrays (e.g. case-folded codes for
-    ExtendedSort) without changing the emitted columns.
+    ExtendedSort) without changing the emitted columns (those keys keep
+    their payload operands).  ``stats``: per-column (min, max) planner
+    bounds from the bound child.
     """
-    shadow = table
+    cap = table.capacity
+    if pad_mask is None:
+        pad_mask = jnp.arange(cap) >= table.num_rows
+    pad = pad_mask.astype(jnp.int32)
+    shadow_cols = dict(table.columns)
     if key_override:
-        cols = dict(table.columns)
         for name, vals in key_override.items():
-            cols[name] = cols[name]._replace(values=vals)
-        shadow = Table(table.schema, cols, table.num_rows, table.dicts,
-                       cap_hint=table.capacity)
-    operands, num_keys = key_operands(shadow, order.names(),
-                                      order.ascendings(), pad_mask=pad_mask)
+            shadow_cols[name] = shadow_cols[name]._replace(values=vals)
+
+    # --- per-key operands: (null_rank or None, code, inv or None) -------
+    from .keys import _check_keyable
+
+    keys_built = []
+    for k in order.keys:
+        _check_keyable(table, k.name)
+        attr = table.schema.lookup(k.name)
+        colm = shadow_cols[k.name]
+        overridden = bool(key_override) and k.name in key_override
+        code, inv = _invertible_code(colm.values, attr.type, k.ascending)
+        if code is None:
+            code = monotone_code(colm.values, attr.type)
+            if not k.ascending:
+                code = descending_code(code)
+            inv = None
+        if overridden:
+            inv = None  # output column keeps the UN-folded values
+        nr = None
+        if colm.valid is not None:
+            if k.ascending:
+                nr = jnp.where(colm.valid, 1, 0).astype(jnp.int32)
+            else:
+                nr = jnp.where(colm.valid, 0, 1).astype(jnp.int32)
+            code = jnp.where(colm.valid, code, jnp.zeros_like(code))
+        keys_built.append((k.name, nr, code, inv, attr, k.ascending))
+
+    # --- pad packing ----------------------------------------------------
+    operands: list[jnp.ndarray] = []
+    pad_packed = False
+    if keys_built:
+        name0, nr0, code0, inv0, attr0, asc0 = keys_built[0]
+        if nr0 is not None:
+            # pads sort above both null (0/1) ranks
+            keys_built[0] = (name0, pad * 2 + nr0, code0, inv0, attr0,
+                             asc0)
+            pad_packed = True
+        elif jnp.dtype(code0.dtype) in (jnp.dtype(jnp.int32),
+                                        jnp.dtype(jnp.int64)):
+            b = _code_bounds(table, name0, attr0, stats)
+            if (b is not None and name0 not in (key_override or {})
+                    and (not b[2] or rctx is not None)):
+                lo_v, hi_v, needs_guard = b
+                # value bounds -> code bounds under the key transform
+                # (asc: identity; desc: code = ~v reverses the interval)
+                if asc0:
+                    lo_c, hi_c = lo_v, hi_v
+                else:
+                    lo_c, hi_c = ~hi_v, ~lo_v
+                span = hi_c - lo_c + 1
+                is32 = jnp.dtype(code0.dtype) == jnp.dtype(jnp.int32)
+                if span > 0 and ((not is32 and span < (1 << 62))
+                                 or (is32 and span <= (1 << 30))):
+                    cdt = code0.dtype
+                    if needs_guard:
+                        # planner stats are bind-time observations; a
+                        # re-run with different leaf data must fail
+                        # loudly, not sort wrongly
+                        live = ~pad_mask
+                        viol = live & ((code0 < jnp.asarray(lo_c, cdt))
+                                       | (code0 > jnp.asarray(hi_c, cdt)))
+                        rctx.error_flags.append(
+                            ("sort key exceeds planner bounds "
+                             f"({name0!r}; stale bind-time stats)",
+                             jnp.any(viol)))
+                    packed = ((code0 - jnp.asarray(lo_c, cdt))
+                              + pad.astype(cdt) * jnp.asarray(span, cdt))
+                    base_inv = inv0
+                    inv_p = (None if base_inv is None else
+                             (lambda c, _lo=lo_c, _dt=cdt, _bi=base_inv:
+                              _bi(c + jnp.asarray(_lo, _dt))))
+                    keys_built[0] = (name0, None, packed, inv_p, attr0,
+                                     asc0)
+                    pad_packed = True
+    if not pad_packed:
+        operands.append(pad)
+    key_operand_index: dict[str, tuple[int, object]] = {}
+    for name, nr, code, inv, _attr, _asc in keys_built:
+        if nr is not None:
+            operands.append(nr)
+        idx = len(operands)
+        operands.append(code)
+        if name not in key_operand_index:
+            key_operand_index[name] = (idx, inv)
+    num_keys = len(operands)
+
+    # --- payloads: dedup + validity packing -----------------------------
     payload: list[jnp.ndarray] = []
-    layout: list[tuple[str, bool]] = []
+    layout: list[tuple] = []  # ("key", name, op_idx, inv) | ("pay", name, i)
+    valid_names: list[str] = []
     for name in table.schema.names():
         c = table.columns[name]
-        payload.append(c.values)
-        if c.valid is not None:
-            payload.append(c.valid)
-            layout.append((name, True))
+        dedup = key_operand_index.get(name)
+        if dedup is not None and dedup[1] is not None:
+            layout.append(("key", name, dedup[0], dedup[1]))
         else:
-            layout.append((name, False))
+            layout.append(("pay", name, len(payload)))
+            payload.append(c.values)
+        if c.valid is not None:
+            valid_names.append(name)
+    n_plain = len(payload)
+    for gi in range(0, len(valid_names), 4):
+        group = valid_names[gi:gi + 4]
+        packedv = jnp.zeros(cap, jnp.int32)
+        for bit, name in enumerate(group):
+            packedv = packedv | (
+                table.columns[name].valid.astype(jnp.int32) << bit)
+        payload.append(packedv)
+
     res = jax.lax.sort(operands + payload, num_keys=num_keys,
                        is_stable=True)
+    valid_sorted: dict[str, jnp.ndarray] = {}
+    for gi in range(0, len(valid_names), 4):
+        op = res[num_keys + n_plain + gi // 4]
+        for bit, name in enumerate(valid_names[gi:gi + 4]):
+            valid_sorted[name] = ((op >> bit) & 1) != 0
     cols: dict[str, Column] = {}
-    i = num_keys
-    for name, has_valid in layout:
-        vals = res[i]
-        i += 1
-        valid = None
-        if has_valid:
-            valid = res[i]
-            i += 1
-        cols[name] = Column(vals, valid)
+    for entry in layout:
+        if entry[0] == "key":
+            _, name, op_idx, inv = entry
+            vals = inv(res[op_idx])
+        else:
+            _, name, pi = entry
+            vals = res[num_keys + pi]
+        cols[name] = Column(vals, valid_sorted.get(name))
     return Table(table.schema, cols,
                  table.num_rows if num_rows is None else num_rows,
                  dict(table.dicts), cap_hint=table.capacity)
@@ -175,9 +355,10 @@ class Sort(Operation):
             if keep is not None:
                 sorted_t = sort_table(
                     t, order, pad_mask=~keep,
-                    num_rows=jnp.sum(keep.astype(jnp.int32)))
+                    num_rows=jnp.sum(keep.astype(jnp.int32)),
+                    stats=cb.stats, rctx=rctx)
             else:
-                sorted_t = sort_table(t, order)
+                sorted_t = sort_table(t, order, stats=cb.stats, rctx=rctx)
             if proj_pairs is None:
                 return sorted_t
             cols = {dst: sorted_t.columns[src] for src, dst in proj_pairs}

@@ -270,8 +270,10 @@ def _exchange_local(local: Table, dest: jnp.ndarray, num_parts: int,
     flat_cap = num_parts * out_cap_per_peer
     recv = Table(local.schema, cols, total, dict(local.dicts),
                  cap_hint=flat_cap)
-    # compact interleaved per-source padding into a dense prefix
-    return compact_by_mask(recv, recv_valid_mask, flat_cap), dropped
+    # compact interleaved per-source padding into a dense prefix;
+    # sent_counts doubles as the measured exchange-row accounting
+    return (compact_by_mask(recv, recv_valid_mask, flat_cap), dropped,
+            sent_counts)
 
 
 def _raise_overflow(lost: int) -> None:
@@ -301,16 +303,36 @@ def check_exchange_overflow(dropped) -> None:
         _raise_overflow(lost)
 
 
+def table_row_bytes(schema: TupleSchema) -> int:
+    """Wire bytes per exchanged row: physical value bytes plus one
+    byte-bool validity lane per nullable column (the arrays all_to_all
+    actually moves)."""
+    from ..types import physical_dtype
+
+    total = 0
+    for a in schema:
+        total += int(np.dtype(physical_dtype(a.type)).itemsize)
+        if a.nullable:
+            total += 1
+    return total
+
+
 def shuffle(mesh: Mesh, dist: Table, dest_fn: Callable[[Table], jnp.ndarray],
             out_cap_per_peer: Optional[int] = None,
-            check: bool = True) -> Table:
+            check: bool = True, stats_out: Optional[dict] = None) -> Table:
     """Distributed radix shuffle: dest_fn gives each local row a partition.
 
     Overflow-safe: per-peer buffer exhaustion raises ``EvaluationError``
     at the host sync (``check=True``, the default) rather than dropping
     rows.  With ``check=False`` returns ``(table, dropped)`` — a
     mesh-replicated int32 scalar (psum over shards) — so callers
-    composing larger traced programs can defer the sync."""
+    composing larger traced programs can defer the sync.
+
+    ``stats_out``: pass a dict to receive MEASURED exchange accounting
+    (the reference's metric discipline, benchmark/proto/benchmark.proto):
+    ``sent_rows`` [P, P] (src -> dst live row counts), ``row_bytes``,
+    ``total_bytes``, and ``offmesh_bytes`` (excluding the src == dst
+    diagonal, the share that actually crosses ICI)."""
     num_parts = mesh.devices.size
     out_cap_per_peer = out_cap_per_peer or _default_peer_cap(
         _shard_cap(dist), num_parts)
@@ -318,16 +340,23 @@ def shuffle(mesh: Mesh, dist: Table, dest_fn: Callable[[Table], jnp.ndarray],
     def wrapper(block):
         local = _local_view(block)
         dest = dest_fn(local)
-        recv, dropped = _exchange_local(local, dest, num_parts,
-                                        out_cap_per_peer)
+        recv, dropped, sent = _exchange_local(local, dest, num_parts,
+                                              out_cap_per_peer)
         # psum -> a mesh-replicated scalar: the host-sync callback then
         # reads a replicated value instead of per-shard copies (avoids
         # SPMD involuntary-rematerialization, VERDICT r2 weak #5)
-        return _stack_local(recv), jax.lax.psum(dropped, AXIS)
+        return _stack_local(recv), jax.lax.psum(dropped, AXIS), sent
 
-    out, dropped = jax.shard_map(
+    out, dropped, sent = jax.shard_map(
         wrapper, mesh=mesh, in_specs=P(AXIS),
-        out_specs=(P(AXIS), P()), check_vma=False)(dist)
+        out_specs=(P(AXIS), P(), P(AXIS)), check_vma=False)(dist)
+    if stats_out is not None:
+        m = np.asarray(jax.device_get(sent)).reshape(num_parts, num_parts)
+        rb = table_row_bytes(dist.schema)
+        stats_out["sent_rows"] = m
+        stats_out["row_bytes"] = rb
+        stats_out["total_bytes"] = int(m.sum()) * rb
+        stats_out["offmesh_bytes"] = int(m.sum() - np.trace(m)) * rb
     if not check:
         return out, dropped
     check_exchange_overflow(dropped)
@@ -605,7 +634,7 @@ def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
         is_hot = jnp.any(h[:, None] == hot[None, :], axis=1)
         me = jax.lax.axis_index(AXIS).astype(jnp.int32)
         dest = jnp.where(is_hot, me, partition_of(h, num_parts))
-        recv, dropped = _exchange_local(local, dest, num_parts, lcap)
+        recv, dropped, _sent = _exchange_local(local, dest, num_parts, lcap)
         return _stack_local(recv), hot, dropped
 
     def build_shuffle(block, hot):
@@ -617,7 +646,7 @@ def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
         # cold rows: normal hash shuffle (hot rows excluded from exchange
         # on purpose — they travel via the all_gather broadcast below)
         dest = jnp.where(is_hot, num_parts, partition_of(h, num_parts))
-        cold, dropped = _exchange_local(local, dest, num_parts, rcap)
+        cold, dropped, _sent = _exchange_local(local, dest, num_parts, rcap)
         # hot rows: compact locally then all_gather to every shard
         from ..ops.filter import compact_by_mask
         hot_local = compact_by_mask(local, is_hot, hot_cap)
