@@ -125,7 +125,17 @@ def tpu_pipeline(fact, dim):
         return c
 
     jrun = jax.jit(chained)
+    t0 = time.perf_counter()
     np.asarray(jrun(leaves))  # warm up / compile
+    compile_s = time.perf_counter() - t0
+    # compile-time budget guard (VERDICT r3 next #8): the headline
+    # pipeline must stay well under the remote-AOT pathology regime
+    print(f"pipeline compile+first-run: {compile_s:.1f} s "
+          f"(budget 60 s)", file=sys.stderr)
+    if compile_s > 60:
+        print("COMPILE BUDGET BREACH: pipeline compile exceeded 60 s — "
+              "a shape regression likely re-awakened the superlinear "
+              "remote-AOT scaling (BASELINE.md)", file=sys.stderr)
 
     noop = jax.jit(lambda x: x + 1)
     np.asarray(noop(jnp.float32(0)))

@@ -114,6 +114,19 @@ def main(n=8_000_000, m=1_000_000):
         "filter 8M",
         Filter(col("v") > Const(0.5, DataType.FLOAT), ScanTable(fact)),
         perturb_all(), n)
+    # DOUBLE payload rides the compaction kernel as two u32 words
+    # (round 4); previously f64 fell back to the ~6x-slower sort scheme
+    fact_d = Table.from_data(
+        TupleSchema.of(("v", DataType.FLOAT, False),
+                       ("d", DataType.DOUBLE, False),
+                       ("g", DataType.INT32, False)),
+        {"v": rng.random(n, dtype=np.float32),
+         "d": rng.random(n) * 2e3 - 1e3,
+         "g": rng.integers(0, 64, n).astype(np.int32)})
+    results["filter_f64"] = bench(
+        "filter 8M (DOUBLE payload)",
+        Filter(col("v") > Const(0.5, DataType.FLOAT), ScanTable(fact_d)),
+        perturb_all(), n)
     results["groupby"] = bench(
         "groupby 8M->64",
         GroupAggregate(["g"], [AggSpec(Aggregation.SUM, "v", "sv")],

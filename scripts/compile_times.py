@@ -19,8 +19,18 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
+# Generous ceilings (VERDICT r3 next #8): a shape regression that
+# re-awakens the superlinear remote-AOT behavior (142 s -> minutes)
+# must fail loudly, not silently eat the benchmark budget.
+CEILINGS_S = {
+    "config5_pipeline_8m": 30.0,
+    "config4_join_100m_x_1m": 60.0,
+    "config3_sort_100m": 300.0,  # known outlier: 142 s remote AOT
+}
+
 
 def main():
+    breaches = []
     import jax
 
     from supersonic_tpu import (AggSpec, Aggregation, Const, DataType,
@@ -44,9 +54,15 @@ def main():
         out = compiled(leaves)
         jax.block_until_ready(jax.tree_util.tree_leaves(out))
         first_run_s = time.perf_counter() - t0
+        ceiling = CEILINGS_S.get(name)
+        breached = ceiling is not None and compile_s > ceiling
+        if breached:
+            breaches.append((name, compile_s, ceiling))
         print(json.dumps({"config": name, "trace_s": round(trace_s, 1),
                           "compile_s": round(compile_s, 1),
-                          "first_run_s": round(first_run_s, 1)}))
+                          "first_run_s": round(first_run_s, 1),
+                          "ceiling_s": ceiling,
+                          "within_budget": not breached}))
         sys.stdout.flush()
 
     n8, m = 8_000_000, 1_000_000
@@ -96,6 +112,11 @@ def main():
                           ScanTable(dim), KeyUniqueness.UNIQUE,
                           lhs_projector=Projector.named("v"),
                           rhs_projector=Projector.named("w")))
+    if breaches:
+        for name, got, cap in breaches:
+            print(f"COMPILE BUDGET BREACH: {name} took {got:.0f}s "
+                  f"(ceiling {cap:.0f}s)", file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -319,11 +319,67 @@ def supported_dtype(dtype) -> bool:
 
 
 def split_words(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """64-bit array -> (lo, hi) u32 words.  This direction of
-    ``bitcast_convert_type`` is the one the x64 rewriter implements
-    (index 0 = low word)."""
+    """64-bit array -> (lo, hi) u32 words.  For INTEGER 64-bit this
+    direction of ``bitcast_convert_type`` is the one the x64 rewriter
+    implements (index 0 = low word).  f64 cannot ride the bitcast in
+    context (the rewriter hits "not implemented" on the resulting HLO at
+    scale — re-probed r4, the tiny standalone probe is misleading);
+    it is carved arithmetically instead — the mirror of
+    ``combine_words``'s f64 branch, with the same carve-outs: NaNs
+    emit the canonical quiet-NaN pattern (sign dropped)."""
+    if jnp.dtype(x.dtype) == jnp.dtype(jnp.float64):
+        return _split_f64_words(x)
     w = jax.lax.bitcast_convert_type(x, jnp.uint32)
     return w[..., 0], w[..., 1]
+
+
+def _split_f64_words(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f64 -> IEEE-754 (lo, hi) u32 words by exact arithmetic: the
+    unbiased exponent comes from an 11-step binary search against exact
+    power-of-two constants, the 52-bit mantissa from exact
+    power-of-two scaling (every step is a scale or an integer-valued
+    f64 below 2^52).  -0.0, ±inf and subnormals round-trip exactly
+    through ``combine_words``; NaNs canonicalize to 0x7FF8000000000000."""
+    zero = x == 0.0
+    nan = x != x
+    inf = jnp.isinf(x)
+    neg = jnp.where(zero, 1.0 / jnp.where(zero, x, 1.0) < 0, x < 0.0)
+    a = jnp.abs(x)
+    # unbiased exponent E in [-1023, 1023]: largest E with 2^E <= a
+    # (E = -1023 collects every subnormal; their e-field is 0)
+    E = jnp.full(x.shape, -1023, jnp.int32)
+    for j in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        cand = E + j
+        ok = (cand <= 1023) & (a >= _exact_pow2(jnp.clip(cand, -1023,
+                                                         1023)))
+        E = jnp.where(ok, cand, E)
+    normal = (E >= -1022) & ~zero & ~nan & ~inf
+    subnorm = (E < -1022) & ~zero & ~nan & ~inf
+    # normal: a * 2^-E in [1, 2) exactly; mant = (a*2^-E - 1) * 2^52.
+    # Scale in two halves: a single 2^-E factor would itself be
+    # SUBNORMAL for E = 1023 (2^-1023) and flush to 0 under FTZ —
+    # halving keeps every factor and intermediate normal.
+    Ec = jnp.clip(E, -1022, 1023)
+    h1 = Ec // 2
+    h2 = Ec - h1
+    scaled_n = (a * _exact_pow2(-h1)) * _exact_pow2(-h2)
+    mant_n = (scaled_n - 1.0) * float(2.0 ** 52)
+    # subnormal: mant = a * 2^1022 * 2^52 (two exact scales)
+    mant_s = (a * float(2.0 ** 1022)) * float(2.0 ** 52)
+    mant = jnp.where(normal, mant_n, jnp.where(subnorm, mant_s, 0.0))
+    hi22 = jnp.floor(mant * float(2.0 ** -32))
+    lo_f = mant - hi22 * float(2.0 ** 32)
+    e_field = jnp.where(normal, (E + 1023).astype(jnp.uint32),
+                        jnp.where(inf | nan, jnp.uint32(2047),
+                                  jnp.uint32(0)))
+    hi = ((jnp.where(neg & ~nan, jnp.uint32(1), jnp.uint32(0))
+           << jnp.uint32(31))
+          | (e_field << jnp.uint32(20))
+          | hi22.astype(jnp.uint32))
+    lo = lo_f.astype(jnp.uint32)
+    hi = jnp.where(nan, jnp.uint32(0x7FF80000), hi)
+    lo = jnp.where(nan | inf | zero, jnp.uint32(0), lo)
+    return lo, hi
 
 
 def combine_words(lo: jnp.ndarray, hi: jnp.ndarray, dtype) -> jnp.ndarray:

@@ -55,11 +55,17 @@ def _fit(vals: jnp.ndarray, out_cap: int) -> jnp.ndarray:
 def _compact_via_kernel(payload: list[jnp.ndarray], mask: jnp.ndarray,
                         out_cap: int):
     """Route through the Pallas compaction kernel (kernels/compaction.py):
-    64-bit payloads ride as two u32 lanes, sub-32-bit as i32.  Returns
-    None when ineligible (CPU backend, too-small input, too many lanes)."""
-    from ..kernels import compaction
-
-    from ..kernels import force_kernel_paths
+    i64/u64 payloads ride as two u32 lanes (bitcast ``split_words``),
+    sub-32-bit as i32.  f64 columns move with the SORT scheme under the
+    same mask (stable => same permutation): the f64 word carve
+    (``_split_f64_words``) costs more than it saves here — measured on
+    v5e r4, 8M x (f32,i32,f64): sort fallback 18.0 ms vs kernel+carve
+    30.6 ms — and the sort moves f64 bit-exactly where the carve pays
+    the NaN/subnormal carve-out.  (The carve DOES win where the
+    fallback is the whole operator: merge keys, spread expansion.)
+    Returns None when ineligible (CPU backend, too-small input, too
+    many lanes)."""
+    from ..kernels import compaction, force_kernel_paths
 
     cap = mask.shape[0]
     if not force_kernel_paths() and (
@@ -71,10 +77,6 @@ def _compact_via_kernel(payload: list[jnp.ndarray], mask: jnp.ndarray,
     for pi, p in enumerate(payload):
         size = jnp.dtype(p.dtype).itemsize
         if p.dtype == jnp.float64:
-            # f64 cannot be bitcast at all on this backend (the x64
-            # rewriter lacks f64<->u32 bitcasts; see monotone_code) —
-            # move f64 columns with the sort scheme instead: stable
-            # compaction by the same mask = the same permutation
             spec.append(("sort", p.dtype, len(sort_side)))
             sort_side.append((pi, p))
         elif size == 4:

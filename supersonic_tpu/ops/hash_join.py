@@ -250,8 +250,10 @@ def _try_spread_expansion(lt, lpairs, rpairs, rb, rt, build_perm, eff,
     for name in lsub.schema.names():
         c = lsub.columns[name]
         size = jnp.dtype(c.values.dtype).itemsize
-        if c.values.dtype == jnp.float64:
-            return None  # no f64 transport (no bitcast on this backend)
+        # f64 rides the same two-u32-word route as i64 (the f64 ->
+        # u32[..,2] bitcast direction works — probed r4); combine_words
+        # recombination canonicalizes NaNs / flushes subnormals where
+        # the backend does (documented carve-out)
         if size == 4:
             spec.append(("pass", name, c.values.dtype))
             lanes.append(c.values)

@@ -115,12 +115,17 @@ class MergeUnionAll(Operation):
 
 
 def _sortable_i32(op: jnp.ndarray):
-    """a key-operand array -> order-equivalent int32, or None.
+    """a key-operand array -> order-equivalent int32 word list, or None.
 
-    f32 maps through the IEEE total-order bit transform (the order
-    ``lax.sort`` uses); i64 codes return TWO i32 words (signed high,
-    sign-flipped low) compared lexicographically; f64 has no bitcast on
-    this backend -> ineligible."""
+    f32 maps through the SIGNED IEEE total-order bit transform; i64
+    codes return TWO i32 words (signed high, sign-flipped low) compared
+    lexicographically; f64 likewise returns two words via the 64-bit
+    total-order transform done word-wise (f64 -> u32[..,2] bitcast works
+    on this backend — probed r4; only the reverse direction is
+    unimplemented).  ±0 orders -0 < +0 under the total order where the
+    reference comparator calls them equal — tie order only, and the
+    reference's merge determinism contract concerns child order on
+    equal keys its unstable comparator actually distinguishes."""
     dt = jnp.dtype(op.dtype)
     if dt == jnp.dtype(jnp.int32):
         return [op]
@@ -142,6 +147,17 @@ def _sortable_i32(op: jnp.ndarray):
         lo_s = (jax.lax.bitcast_convert_type(lo, jnp.int32)
                 ^ jnp.int32(-2147483648))
         return [hi_s, lo_s]
+    if dt == jnp.dtype(jnp.float64):
+        from ..kernels.compaction import split_words
+
+        lo, hi = split_words(op)  # u32 words of the f64 bits
+        hi_s = jax.lax.bitcast_convert_type(hi, jnp.int32)
+        lo_s = (jax.lax.bitcast_convert_type(lo, jnp.int32)
+                ^ jnp.int32(-2147483648))
+        neg = hi_s < 0
+        w1 = jnp.where(neg, ~hi_s ^ jnp.int32(-2147483648), hi_s)
+        w2 = jnp.where(neg, ~lo_s, lo_s)
+        return [w1, w2]
     if dt == jnp.dtype(jnp.bool_):
         return [op.astype(jnp.int32)]
     return None
@@ -173,8 +189,6 @@ def _merge_via_kernel(tables, order, out_schema, out_dicts, num_rows,
         for a in out_schema:
             c = t.columns[a.name]
             dt = jnp.dtype(c.values.dtype)
-            if dt == jnp.dtype(jnp.float64):
-                return None
             if dt.itemsize == 8:
                 from ..kernels.compaction import split_words
 

@@ -101,3 +101,41 @@ def test_filter_compaction_64bit_payloads():
     np.testing.assert_array_equal(gi, i64[m])
     np.testing.assert_array_equal(gf, f64[m])
     np.testing.assert_array_equal(gb, b[m])
+
+
+def test_f64_split_combine_roundtrip():
+    """_split_f64_words (exact arithmetic carve — the f64 bitcast is
+    unimplemented in-context by the x64 rewriter) round-trips every
+    non-NaN, non-subnormal double bit-exactly through combine_words;
+    NaNs canonicalize to 0x7FF8000000000000 and subnormals flush to
+    signed zero where the backend flushes arithmetic (documented
+    carve-outs; VERDICT r3 next #3)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from supersonic_tpu.kernels.compaction import combine_words, split_words
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.random(2000) * 2e308 - 1e308,
+        np.exp(rng.normal(0, 200, 2000)) * np.where(
+            rng.random(2000) < 0.5, -1.0, 1.0),
+        np.array([0.0, -0.0, np.inf, -np.inf, np.nan, 1.0, -1.0,
+                  1.7976931348623157e308, -1.7976931348623157e308,
+                  2.2250738585072014e-308, -2.2250738585072014e-308,
+                  5e-324, -5e-324, 1e-310]),
+    ])
+    x = jnp.asarray(vals)
+    lo, hi = split_words(x)
+    bits = ((np.asarray(hi, dtype=np.uint64) << 32)
+            | np.asarray(lo, dtype=np.uint64))
+    want = vals.view(np.uint64)
+    nan = np.isnan(vals)
+    sub = (np.abs(vals) < 2.2250738585072014e-308) & (vals != 0)
+    assert ((bits == want) | nan | sub).all()
+    assert all(int(b) == 0x7FF8000000000000 for b in bits[nan])
+    back = np.asarray(combine_words(lo, hi, jnp.float64))
+    assert ((back == vals) | (np.isnan(back) & nan) | sub).all()
+    for b, v in zip(back[sub], vals[sub]):
+        assert b == v or (b == 0 and np.signbit(b) == np.signbit(v))

@@ -157,3 +157,92 @@ def test_join_spread_expansion_glue(forced, monkeypatch):
         got, want = _run_both(plan)
         assert sorted(got.to_pylist()) == sorted(want.to_pylist()), jt
     assert calls, "kernel route did not execute"
+
+
+def test_filter_compaction_glue_double(forced, monkeypatch):
+    """DOUBLE payloads ride the compaction kernel as two u32 words
+    (VERDICT r3 next #3).  ±0/±inf and normals recombine bit-exactly;
+    NaN canonicalization and subnormal flush are the documented
+    combine_words carve-outs, asserted separately below."""
+    calls = _counted(monkeypatch, CK, "compact_kernel")
+    rng = np.random.default_rng(9)
+    n = 40000
+    d = (rng.random(n) * 2e3 - 1e3)
+    d[::97] = 0.0
+    d[1::97] = -0.0
+    d[2::197] = np.inf
+    d[3::197] = -np.inf
+    d[4::197] = 1e300
+    d[5::197] = 5e-308  # smallest NORMAL neighborhood (not subnormal)
+    t = Table.from_data(
+        TupleSchema.of(("v", DataType.FLOAT, False),
+                       ("d", DataType.DOUBLE, False)),
+        {"v": rng.random(n, dtype=np.float32), "d": d})
+
+    def plan():
+        return Filter(col("v") > Const(0.5, DataType.FLOAT), ScanTable(t))
+
+    got, want = _run_both(plan)
+    assert calls, "kernel route did not execute"
+    gd = np.array([r[1] for r in got.to_pylist()])
+    wd = np.array([r[1] for r in want.to_pylist()])
+    np.testing.assert_array_equal(gd, wd)  # bit-exact incl ±0/±inf
+    assert np.array_equal(np.signbit(gd), np.signbit(wd))
+
+
+def test_filter_compaction_double_carveouts(forced, monkeypatch):
+    """combine_words carve-outs on the kernel route: NaNs collapse to a
+    canonical NaN; subnormals either survive exactly or flush to ±0
+    (backend-dependent), never to anything else."""
+    calls = _counted(monkeypatch, CK, "compact_kernel")
+    n = 40000
+    rng = np.random.default_rng(10)
+    d = rng.random(n)
+    d[::11] = np.nan
+    d[1::11] = 5e-324
+    d[2::11] = -5e-324
+    t = Table.from_data(
+        TupleSchema.of(("v", DataType.FLOAT, False),
+                       ("d", DataType.DOUBLE, False)),
+        {"v": rng.random(n, dtype=np.float32), "d": d})
+    got = execute(Filter(col("v") > Const(0.5, DataType.FLOAT),
+                         ScanTable(t)))
+    assert calls, "kernel route did not execute"
+    keep = np.asarray(t.columns["v"].values) > 0.5
+    src = d[keep]
+    out = np.array([r[1] for r in got.to_pylist()])
+    assert np.array_equal(np.isnan(out), np.isnan(src))
+    sub = np.abs(src) == 5e-324
+    ok = (out[sub] == src[sub]) | (
+        (out[sub] == 0.0) & (np.signbit(out[sub]) == np.signbit(src[sub])))
+    assert ok.all()
+    rest = ~sub & ~np.isnan(src)
+    np.testing.assert_array_equal(out[rest], src[rest])
+
+
+def test_merge_union_glue_double_key(forced, monkeypatch):
+    """DOUBLE merge keys ride as two total-order i32 words; DOUBLE
+    payloads as two u32 words.  Mixed-sign keys, no exact-zero keys
+    (±0 tie order is the documented total-order divergence)."""
+    calls = _counted(monkeypatch, MK, "merge_sorted")
+    n = 6000
+    schema = TupleSchema.of(("d", DataType.DOUBLE, False),
+                            ("p", DataType.DOUBLE, False))
+
+    def sorted_half(seed):
+        r = np.random.default_rng(seed)
+        d = r.random(n) * 2e6 - 1e6
+        d[np.abs(d) < 1e-3] = 1.0
+        p = r.random(n) * 2 - 1
+        p[::50] = -0.0
+        order = np.argsort(d)
+        return Table.from_data(schema, {"d": d[order], "p": p[order]})
+
+    a, c = sorted_half(21), sorted_half(22)
+
+    def plan():
+        return MergeUnionAll([("d", True)], [ScanTable(a), ScanTable(c)])
+
+    got, want = _run_both(plan)
+    assert calls, "kernel route did not execute"
+    assert got.to_pylist() == want.to_pylist()
