@@ -52,10 +52,57 @@ class EvalContext:
     # (flag_name, traced bool scalar) pairs; reduced & checked at the host
     # boundary by the executing operator (signaling ops).
     error_flags: list = field(default_factory=list)
+    # host-materialization records (deferred string rendering: ToString /
+    # Format / DateFormat of unbounded numerics, CONCAT assembly); each
+    # entry carries an ``aux`` dict of traced arrays that become extra
+    # program outputs resolved by ops/base.py::execute after the run
+    deferred: list = field(default_factory=list)
 
     def flag_error(self, name: str, per_row_flag: jnp.ndarray) -> None:
         live = per_row_flag & self.table.row_mask()
         self.error_flags.append((name, jnp.any(live)))
+
+    def defer(self, entry) -> None:
+        self.deferred.append(entry)
+
+
+@dataclass
+class DeferredRender:
+    """Host-rendering record for a string-producing expression whose
+    value space is unbounded (ToString / Format / DateFormat without a
+    domain bound — reference renders in-engine per row,
+    types_infrastructure.h:464-506, math_evaluators.h:39-59,
+    date_evaluators.cc:227-265).
+
+    The device column carries ROW-POSITION codes into a
+    DeferredDictionary; ``aux`` captures the numeric values (+ render
+    mask) as extra program outputs, and ``execute()`` renders the
+    strings after the run (ops/host.py::resolve_deferred).  The codes
+    survive any downstream row movement — they index the dictionary,
+    not the table — but are not order-preserving, so such a column is
+    rejected as a sort/group/join key (ops/keys.py)."""
+
+    name: str
+    dict_obj: "object"          # DeferredDictionary created at bind
+    kind: str                   # "tostring" | "format" | "dateformat"
+    input_type: "object"        # DataType of the numeric input
+    fmt: "object" = None        # strftime format (dateformat)
+    precision: int = 0          # %.*f precision (format)
+    aux: dict = None            # traced: vals, ok
+
+
+def defer_render(ctx: EvalContext, dict_obj, name: str, kind: str,
+                 input_type, vals, ok, fmt=None, precision: int = 0):
+    """Emit a deferred-rendered STRING column: registers the aux capture
+    on ``ctx`` and returns row-position codes.  ``dict_obj`` is the
+    DeferredDictionary created at BIND (the bound expression's
+    dictionary identity is fixed; re-evaluation re-resolves it)."""
+    entry = DeferredRender(name=name, dict_obj=dict_obj, kind=kind,
+                           input_type=input_type, fmt=fmt,
+                           precision=precision,
+                           aux={"vals": vals, "ok": ok})
+    ctx.defer(entry)
+    return jnp.arange(vals.shape[0], dtype=jnp.int32)
 
 
 class BoundExpression:

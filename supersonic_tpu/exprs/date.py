@@ -425,7 +425,9 @@ class DateFormat(Expression):
     runtime guard.  ``local=True`` (DateFormatLocal) first shifts to
     local-civil microseconds through the compiled timezone day-LUT
     (exprs/tz.py); %z/%Z are rejected there (the shifted rendering is
-    civil-naive).  Non-constant formats or missing bounds -> bind fails
+    civil-naive).  Without a ``domain`` the column renders via a
+    DEFERRED dictionary (row-position codes on device, per-row strftime
+    at execute(); not keyable).  Non-constant formats -> bind fails
     pointing at the host path (ops/host.py::to_string).
     """
 
@@ -457,11 +459,6 @@ class DateFormat(Expression):
             raise TypeError_(
                 f"DATEFORMAT requires DATE/DATETIME, got {cb.type}")
         fmt = self.format
-        if self.domain is None:
-            raise TypeError_(
-                "DATEFORMAT of an unbounded column has no dense device "
-                "encoding — pass domain=(lo, hi) or materialize via "
-                "ops/host.py::to_string")
         tzt = _tz.current_tables() if self.local else None
         if tzt is not None and any(
                 fmt[i] == '%' and i + 1 < len(fmt) and fmt[i + 1] in 'zZ'
@@ -469,6 +466,30 @@ class DateFormat(Expression):
             raise TypeError_(
                 "DATEFORMAT_LOCAL with %z/%Z has no device encoding "
                 "(zone names need per-row rendering: ops/host.py)")
+        if self.domain is None:
+            # unbounded: deferred-dictionary rendering (VERDICT r3 next
+            # #10) — row-position codes on device; execute() strftime's
+            # each row after the run.  A ``domain`` bound gives the
+            # bucket-LUT device encoding instead (keyable, no host work).
+            from ..dictionary import DeferredDictionary
+            from .base import defer_render
+
+            d = DeferredDictionary()
+
+            def g(ctx: EvalContext) -> ExprValue:
+                v = cb.evaluate(ctx)
+                ok = ctx.table.row_mask() & v.valid_or_true()
+                raw = v.values.astype(jnp.int64)
+                if cb.type == DataType.DATETIME and tzt is not None:
+                    raw = _tz.local_shift(raw, tzt)
+                codes = defer_render(
+                    ctx, d, f"DATEFORMAT({cb.name})", "dateformat",
+                    cb.type, raw, ok, fmt=fmt)
+                return ExprValue(codes, v.valid)
+
+            return BoundExpression(
+                Attribute(f"DATEFORMAT({cb.name})", DataType.STRING,
+                          cb.nullable), g, d)
         lo, hi = int(self.domain[0]), int(self.domain[1])
         if lo < 0:
             raise TypeError_(

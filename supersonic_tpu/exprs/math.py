@@ -315,9 +315,24 @@ class Format(Expression):
         if nb.is_constant and isinstance(self.number, Const):
             return Const(f"%.{prec}f" % float(self.number.value)).do_bind(
                 schema, dicts)
-        raise TypeError_(
-            "FORMAT of a non-constant numeric column has no dense device "
-            "encoding; materialize via ops/host.py::format_number")
+        # non-constant column: deferred-dictionary rendering — device
+        # column carries row-position codes, execute() renders "%.*f"
+        # per row after the run (ops/host.py; VERDICT r3 next #10)
+        from ..dictionary import DeferredDictionary
+        from .base import defer_render
+
+        d = DeferredDictionary()
+        nm = f"FORMAT({nb.name}, {prec})"
+
+        def g(ctx) -> "ExprValue":
+            v = nb.evaluate(ctx)
+            ok = ctx.table.row_mask() & v.valid_or_true()
+            codes = defer_render(ctx, d, nm, "format", nb.type,
+                                 v.values, ok, precision=prec)
+            return ExprValue(codes, v.valid)
+
+        return BoundExpression(
+            Attribute(nm, DataType.STRING, nb.nullable), g, d)
 
 
 FormatSignaling = Format  # reference: OPERATOR_FORMAT_SIGNALING

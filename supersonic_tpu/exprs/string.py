@@ -416,8 +416,12 @@ class ToString(Expression):
     dictionary), and integer/DATE/DATETIME columns with a ``domain=(lo,
     hi)`` bound (inclusive; builds the dictionary at bind, evaluation is
     one LUT gather, out-of-domain live rows raise via the runtime guard
-    flag).  Unbounded numeric columns have no dense device encoding —
-    bind fails pointing at ops/host.py::to_string.
+    flag).  Unbounded numeric columns (incl. FLOAT/DOUBLE) render via a
+    DEFERRED dictionary: the device column carries row-position codes
+    and execute() renders the strings after the run with the reference's
+    PrintTyped formats — in-plan composable, but not usable as a
+    sort/group/join key (codes are not order-preserving; a ``domain``
+    bound gives the keyable LUT encoding instead).
     """
 
     DOMAIN_MAX = 1 << 20
@@ -494,10 +498,29 @@ class ToString(Expression):
             return BoundExpression(
                 Attribute(f"TOSTRING({cb.name})", DataType.STRING,
                           cb.nullable), g, d)
+        # unbounded numerics (incl. FLOAT/DOUBLE): deferred-dictionary
+        # rendering (VERDICT r3 next #10) — the device column carries
+        # row-position codes; execute() renders the strings post-run via
+        # the reference's PrintTyped formats (ops/host.py::_ref_print)
+        num_types = int_types + (DataType.FLOAT, DataType.DOUBLE)
+        if t in num_types:
+            from ..dictionary import DeferredDictionary
+            from .base import defer_render
+
+            d = DeferredDictionary()
+            nm = f"TOSTRING({cb.name})"
+
+            def g(ctx: EvalContext) -> ExprValue:
+                v = cb.evaluate(ctx)
+                ok = ctx.table.row_mask() & v.valid_or_true()
+                codes = defer_render(ctx, d, nm, "tostring", t,
+                                     v.values, ok)
+                return ExprValue(codes, v.valid)
+
+            return BoundExpression(
+                Attribute(nm, DataType.STRING, cb.nullable), g, d)
         raise TypeError_(
-            "TOSTRING of an unbounded numeric column has no dense device "
-            "encoding — pass domain=(lo, hi) or materialize via "
-            "ops/host.py::to_string")
+            f"TOSTRING of {t} has no device encoding")
 
 
 Concatenate = Concat  # reference: OPERATOR_CONCATENATE

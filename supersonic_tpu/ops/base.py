@@ -36,7 +36,7 @@ class RunContext:
     deferred: list = field(default_factory=list)
 
     def eval_context(self, table: Table) -> EvalContext:
-        return EvalContext(table, self.error_flags)
+        return EvalContext(table, self.error_flags, self.deferred)
 
 
 @dataclass

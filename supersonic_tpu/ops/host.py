@@ -20,11 +20,53 @@ from .scan import ScanTable
 
 
 def resolve_deferred(entries, aux_values) -> None:
-    """Resolve deferred CONCAT dictionaries after a device run
-    (ops/base.py::execute).  ``entries`` are the DeferredConcat records
-    captured at trace time; ``aux_values`` the realized aux arrays."""
+    """Resolve deferred dictionaries after a device run
+    (ops/base.py::execute).  ``entries`` are DeferredConcat /
+    DeferredRender records captured at trace time; ``aux_values`` the
+    realized aux arrays."""
     for m, aux in zip(entries, aux_values):
-        _assemble_concat(m, aux)
+        if hasattr(m, "kind"):
+            _assemble_render(m, aux)
+        else:
+            _assemble_concat(m, aux)
+
+
+def _assemble_render(m, aux) -> None:
+    """Per-row string rendering for a DeferredRender entry (ToString /
+    Format / DateFormat of unbounded numerics).  Row i's string becomes
+    dictionary entry i (the device column carries row-position codes);
+    rows with ok=False (dead or NULL) render as ""."""
+    import time as _time
+
+    import numpy as np
+
+    vals = np.asarray(aux["vals"])
+    ok = np.asarray(aux["ok"]).astype(bool)
+    n = vals.shape[0]
+    strings = [""] * n
+    if m.kind == "tostring":
+        for i in np.flatnonzero(ok):
+            strings[i] = _ref_print(vals[i], m.input_type)
+    elif m.kind == "format":
+        prec = max(int(m.precision), 0)
+        for i in np.flatnonzero(ok):
+            strings[i] = "%.*f" % (prec, float(vals[i]))
+    else:  # dateformat: strftime of gmtime, reference 33-byte buffer --
+        # renderings over 32 chars become "" (date_evaluators.cc:227-265);
+        # DATETIME micros truncate toward zero like C++ int division
+        fmt = m.fmt
+        for i in np.flatnonzero(ok):
+            v = int(vals[i])
+            if m.input_type == DataType.DATE:
+                secs = v * 86400
+            else:
+                secs = v // 1000000 if v >= 0 else -((-v) // 1000000)
+            try:
+                s = _time.strftime(fmt, _time.gmtime(secs))
+            except (OverflowError, OSError, ValueError):
+                s = "NULL"
+            strings[i] = s if len(s) <= 32 else ""
+    m.dict_obj.resolve(strings)
 
 
 def _fmt_float(v) -> str:

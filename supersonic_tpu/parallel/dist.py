@@ -165,9 +165,10 @@ def run_local_plan(plan_builder: Callable[[Table], "object"],
     if ctx.deferred:
         from ..schema import SchemaError
         raise SchemaError(
-            "CONCAT aggregation requires host materialization and cannot "
-            "run inside a distributed plan shard; aggregate locally after "
-            "collect_table, or use ops.host.group_concat")
+            "deferred host materialization (CONCAT aggregation / "
+            "unbounded ToString/Format/DateFormat rendering) cannot run "
+            "inside a distributed plan shard; compute it locally after "
+            "collect_table, or use the ops.host helpers")
     if ctx.error_flags:
         names = [n for n, _ in ctx.error_flags]
         flags = jnp.stack([f for _, f in ctx.error_flags])

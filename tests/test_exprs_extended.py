@@ -284,9 +284,11 @@ def test_format():
     assert eval_expr(Format(Const(3.14159), Const(3)), data, NUM) == ["3.142"]
     assert eval_expr(Format(Const(2.5), Const(0)), data, NUM) == ["2"] or \
         eval_expr(Format(Const(2.5), Const(0)), data, NUM) == ["3"]
-    with pytest.raises(TypeError_):
-        execute(Compute(Format(col("x"), Const(2)),
-                        ScanTable(Table.from_data(NUM, data))))
+    # non-constant column: deferred-dictionary rendering (r4) — used to
+    # raise TypeError_ pointing at the host path
+    out = execute(Compute(Format(col("x"), Const(2)),
+                          ScanTable(Table.from_data(NUM, data))))
+    assert [r[0] for r in out.to_pylist()] == ["1.00"]
 
 
 def test_host_format_number():
@@ -360,3 +362,85 @@ def test_pow_policies():
     with pytest.raises(EvaluationError):
         execute(Compute([PowSignaling(col("b"), col("e")).as_("s")],
                         ScanTable(t)))
+
+
+# --- deferred-dictionary rendering (VERDICT r3 next #10) --------------------
+
+def test_deferred_tostring_float_and_double():
+    import numpy as np
+
+    from supersonic_tpu import (Compute, DataType, ScanTable, Table,
+                                ToString, TupleSchema, col, execute)
+    from supersonic_tpu.ops.host import _fmt_double, _fmt_float
+
+    rng = np.random.default_rng(0)
+    f = np.concatenate([rng.random(40, dtype=np.float32) * 100,
+                        np.float32([0.1, 2.0, 1e-7, -0.0, 1e30])])
+    d = np.concatenate([rng.random(40) * 100,
+                        np.array([0.1, 2.0, 1e-17, -0.0, 1e300])])
+    t = Table.from_data(
+        TupleSchema.of(("f", DataType.FLOAT, False),
+                       ("d", DataType.DOUBLE, False)),
+        {"f": f, "d": d})
+    out = execute(Compute([ToString(col("f")).as_("sf"),
+                           ToString(col("d")).as_("sd")], ScanTable(t)))
+    rows = out.to_pylist()
+    assert [r[0] for r in rows] == [_fmt_float(v) for v in f]
+    assert [r[1] for r in rows] == [_fmt_double(v) for v in d]
+
+
+def test_deferred_tostring_survives_downstream_row_movement():
+    """Row-position codes index the dictionary, not the table: filtering
+    and sorting AFTER the ToString must keep value<->string pairing."""
+    import numpy as np
+
+    from supersonic_tpu import (Compute, Const, DataType, Filter,
+                                ScanTable, Sort, Table, ToString,
+                                TupleSchema, col, execute)
+
+    rng = np.random.default_rng(1)
+    v = rng.integers(-10**12, 10**12, 200)
+    k = rng.integers(0, 50, 200).astype(np.int32)
+    t = Table.from_data(
+        TupleSchema.of(("k", DataType.INT32, False),
+                       ("v", DataType.INT64, False)), {"k": k, "v": v})
+    out = execute(Sort(
+        [("k", True)],
+        Filter(col("k") > Const(10, DataType.INT32),
+               Compute([col("k").as_("k"), col("v").as_("v"),
+                        ToString(col("v")).as_("sv")], ScanTable(t)))))
+    for kk, vv, sv in out.to_pylist():
+        assert sv == str(vv)
+
+
+def test_deferred_format_column():
+    import numpy as np
+
+    from supersonic_tpu import (Compute, DataType, Format, ScanTable,
+                                Table, TupleSchema, col, execute)
+
+    d = np.array([1.23456, -2.5, 0.0, 1e6, 0.125])
+    t = Table.from_data(
+        TupleSchema.of(("d", DataType.DOUBLE, False)), {"d": d})
+    out = execute(Compute([Format(col("d"), 3).as_("s")], ScanTable(t)))
+    assert [r[0] for r in out.to_pylist()] == \
+        ["%.3f" % x for x in d]
+
+
+def test_deferred_dateformat_matches_domain_lut():
+    import numpy as np
+
+    from supersonic_tpu import (Compute, DataType, DateFormat, ScanTable,
+                                Table, TupleSchema, col, execute)
+
+    rng = np.random.default_rng(2)
+    us = rng.integers(0, 2_000_000_000, 50) * np.int64(1_000_000)
+    t = Table.from_data(
+        TupleSchema.of(("t", DataType.DATETIME, False)), {"t": us})
+    lut = execute(Compute(
+        [DateFormat(col("t"), "%Y-%m-%d %H",
+                    domain=(0, int(us.max()))).as_("s")], ScanTable(t)))
+    deferred = execute(Compute(
+        [DateFormat(col("t"), "%Y-%m-%d %H").as_("s")], ScanTable(t)))
+    assert ([r[0] for r in deferred.to_pylist()]
+            == [r[0] for r in lut.to_pylist()])

@@ -520,3 +520,20 @@ def test_golden_enum_binary():
                         AggSpec(COUNT, "b", "cb")],
                        ScanTable(t))))
     assert_tables_match(out, _golden_out("enum_binary"))
+
+
+def test_golden_tostring_no_domain_hints():
+    """The SAME golden case as test_golden_tostring but WITHOUT domain=
+    hints: unbounded ints render through the deferred-dictionary path
+    (row-position codes on device, PrintTyped rendering at execute —
+    VERDICT r3 next #10) and must still match the C++ engine's output
+    byte for byte."""
+    from supersonic_tpu import ToString
+
+    (t,) = _inputs("tostring")
+    out = execute(Compute(
+        [ToString(col("b")).as_("sb"),
+         ToString(col("d")).as_("sd"),
+         ToString(col("i")).as_("si")],
+        ScanTable(t)))
+    assert_tables_match(out, _golden_out("tostring"))

@@ -162,10 +162,12 @@ def test_dateformat_out_of_domain_raises():
         execute(res_plan)
 
 
-def test_dateformat_rejects_unbounded_and_nonconst():
+def test_dateformat_rejects_nonconst_and_over_budget():
     schema = TupleSchema.of(("t", DataType.DATETIME))
-    with pytest.raises(TypeError_):
-        DateFormat(col("t"), "%Y").bind(schema, {})
+    # unbounded (no domain) now binds via the deferred-dictionary path
+    # (r4); only non-constant formats and over-budget domains reject
+    b = DateFormat(col("t"), "%Y").bind(schema, {})
+    assert b.type == DataType.STRING
     with pytest.raises(TypeError_):
         DateFormat(col("t"), col("t"))
     with pytest.raises(TypeError_):  # budget: seconds over 100 years
