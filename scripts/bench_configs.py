@@ -1,0 +1,82 @@
+"""Steady-state timing for BASELINE.json configs 3/4 on the real chip
+(the 100M-row shapes; best-of-3 chained-iteration timing with the
+hardened full-column checksum).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_configs.py
+Budget ~10-20 min: the 100M sort's first compile is the known ~142 s
+remote-AOT outlier (BASELINE.md) — do not kill it.
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from profile_sort import timed  # noqa: E402
+
+
+def main():
+    import jax
+
+    from supersonic_tpu import (DataType, HashJoin, JoinType,
+                                KeyUniqueness, Projector, ScanTable, Sort,
+                                Table, TupleSchema)
+    from supersonic_tpu.ops.base import compile_plan
+
+    rng = np.random.default_rng(0)
+    n100, m = 100_000_000, 1_000_000
+
+    def bench(name, plan, leaves_col, rows, iters=4):
+        run, bound, leaves = compile_plan(plan)
+
+        def oprun(t):
+            out, flags = run([t] + leaves[1:])
+            return [c.values for c in out.columns.values()]
+
+        from supersonic_tpu import Table as T
+
+        def perturb(args, c):
+            t = args[0]
+            vcol = t.columns[leaves_col]
+            t2 = T(t.schema,
+                   {**t.columns,
+                    leaves_col: vcol._replace(values=vcol.values + c)},
+                   t.num_rows, t.dicts)
+            return [t2]
+
+        secs = timed(oprun, [leaves[0]], iters=iters, perturb=perturb)
+        print(f"{name:<28} {secs*1e3:9.1f} ms  "
+              f"{rows/secs/1e6:8.1f} M rows/s", flush=True)
+        return secs
+
+    big = Table.from_data(
+        TupleSchema.of(("k", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"k": rng.integers(0, 1 << 30, n100).astype(np.int32),
+         "v": rng.random(n100, dtype=np.float32)})
+    bench("config3 sort 100M", Sort([("k", True), ("v", False)],
+                                    ScanTable(big)), "v", n100, iters=3)
+    del big
+
+    dim = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("w", DataType.INT32, False)),
+        {"pk": np.arange(m, dtype=np.int32),
+         "w": rng.integers(0, 64, m).astype(np.int32)})
+    probe = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"fk": rng.integers(0, m, n100).astype(np.int32),
+         "v": rng.random(n100, dtype=np.float32)})
+    bench("config4 join 100M x 1M",
+          HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(probe),
+                   ScanTable(dim), KeyUniqueness.UNIQUE,
+                   lhs_projector=Projector.named("v"),
+                   rhs_projector=Projector.named("w")), "v", n100,
+          iters=3)
+
+
+if __name__ == "__main__":
+    main()
