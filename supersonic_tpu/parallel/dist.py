@@ -459,8 +459,14 @@ def dist_hash_join(mesh: Mesh, join_type: JoinType,
     num_parts = mesh.devices.size
     lsh = shuffle(mesh, lhs, _key_dest_fn(list(lhs_keys), num_parts),
                   out_cap_per_peer)
+    # build side: when it is ALREADY partitioned by the join key (the
+    # common layout for a dimension table), every shard sends its whole
+    # shard to ONE peer — the uniform (shard_cap/P x 2) default cap is
+    # structurally wrong there, so the build exchange defaults to the
+    # full shard capacity (build sides are the small side by design)
     rsh = shuffle(mesh, rhs, _key_dest_fn(list(rhs_keys), num_parts),
-                  out_cap_per_peer)
+                  out_cap_per_peer if out_cap_per_peer is not None
+                  else _shard_cap(rhs))
 
     def local_join(lt: Table, rt: Table) -> Table:
         plan = HashJoin(join_type, list(lhs_keys), list(rhs_keys),
