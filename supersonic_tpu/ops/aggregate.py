@@ -177,16 +177,66 @@ _LIMB_BITS = 22
 _LIMB_COUNT = 3  # 3 x 22 = 66 bits cover the 64-bit two's complement
 
 
-def _sum_limbs(vals: jnp.ndarray, weight: jnp.ndarray) -> list[jnp.ndarray]:
-    """Exact wrapping integer SUM, part 1: per-limb f64 cumsums.
+_HIER_TILE = 512  # within-tile span; 22-bit limbs + log2(512) fit i32
+
+
+def _hier_cumsum(x: jnp.ndarray, win_dtype) -> tuple[jnp.ndarray,
+                                                     jnp.ndarray]:
+    """Two-level cumsum: ``(win, carry)`` such that the f64-precision
+    inclusive cumsum at row i is ``carry[i // _HIER_TILE] + win[i]``.
+
+    A flat f64 cumsum is EMULATED on TPU (~46 ms at 8M rows, the single
+    largest cost of the high-cardinality group-by; profiled r4,
+    scripts/profile_groupby.py).  Instead ``win`` is the within-tile
+    inclusive cumsum in a native 32-bit dtype (~4 ms) and ``carry`` the
+    f64 exclusive cumsum of the tile totals — only capacity/512
+    elements of emulated arithmetic.  Exact for i32 limb inputs
+    (values < 2^22 x 512 rows < 2^31); for f32 inputs the error is
+    pairwise-summation class (per-tile rounding, independent of global
+    magnitude) — tighter than the sequential f32 adds of the
+    reference's accumulator loop.
+    """
+    n = x.shape[0]
+    T = _HIER_TILE
+    npad = -(-n // T) * T
+    xp = (jnp.concatenate([x, jnp.zeros(npad - n, x.dtype)])
+          if npad != n else x)
+    win2 = jnp.cumsum(xp.astype(win_dtype).reshape(-1, T), axis=1)
+    cs = jnp.cumsum(win2[:, -1].astype(jnp.float64))
+    carry = jnp.concatenate([jnp.zeros(1, jnp.float64), cs[:-1]])
+    return win2.reshape(-1)[:n], carry
+
+
+def _carry_at(carry: jnp.ndarray, tid: jnp.ndarray) -> jnp.ndarray:
+    """``carry[tid]`` (f64 LUT, one entry per tile).  XLA's HBM gather
+    is ~6-8 ns/index even from a tiny table; when the LUT fits the
+    Pallas small-LUT budget the carry rides as an exact hi/lo f32 pair
+    through kernels/lut_gather instead (~8x cheaper at 1M indices)."""
+    from .. import kernels as K
+    from ..kernels import lut_gather as lg
+
+    nt = carry.shape[0]
+    if ((K.force_kernel_paths() or jax.default_backend() != "cpu")
+            and lg.profitable(nt, 2, tid.shape[0])):
+        hi = carry.astype(jnp.float32)
+        lo = (carry - hi.astype(jnp.float64)).astype(jnp.float32)
+        gh, gl = lg.lut_gather([hi, lo], tid, nt)
+        return gh.astype(jnp.float64) + gl.astype(jnp.float64)
+    return jnp.take(carry, jnp.clip(tid, 0, nt - 1))
+
+
+def _sum_limbs(vals: jnp.ndarray, weight: jnp.ndarray) -> list[tuple]:
+    """Exact wrapping integer SUM, part 1: per-limb two-level cumsums.
 
     The reference accumulates SUM in the output type with C++ wrap
     (aggregation_operators.h:58+).  A 64-bit cumsum lowers to an emulated
     reduce-window that overflows TPU scoped VMEM, and one f64 cumsum is
     only exact to 2^53; instead each value splits into three 22-bit limbs
-    whose f64 limb-cumsums stay exact up to 2^31 rows.  The wrapped
+    whose limb-cumsums (hierarchical i32-within-tile + f64 tile carries,
+    see ``_hier_cumsum``) stay exact up to 2^31 rows.  The wrapped
     64-bit total is rebuilt per group by ``_sum_limbs_combine`` with
     emulated integer arithmetic on the small extracted arrays.
+    Returns one ``(win, carry)`` pair per limb.
     """
     unsigned = vals.dtype == jnp.dtype(jnp.uint64)
     v64 = vals.astype(jnp.uint64 if unsigned else jnp.int64)
@@ -203,7 +253,9 @@ def _sum_limbs(vals: jnp.ndarray, weight: jnp.ndarray) -> list[jnp.ndarray]:
         + (hi_u % (1 << 12)) * float(1 << 10),                # bits 22..43
         jnp.floor(hi_u / (1 << 12)),                          # bits 44..63
     ]
-    return [jnp.cumsum(jnp.where(weight, limb, 0.0)) for limb in limbs]
+    return [_hier_cumsum(
+        jnp.where(weight, limb, 0.0).astype(jnp.int32), jnp.int32)
+        for limb in limbs]
 
 
 def _sum_limbs_combine(limb_diffs: list[jnp.ndarray], odt) -> jnp.ndarray:
@@ -535,7 +587,7 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
 def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                        out_schema, out_cap, max_keys, rctx: RunContext,
                        pre_sorted: bool, rerank: bool, keep=None,
-                       live_count=None, soft_key_limit=None):
+                       live_count=None, soft_key_limit=None, stats=None):
     cap = t.capacity
     pos = jnp.arange(cap)
     if keep is None:
@@ -557,6 +609,43 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
             codes.append(c)
     pad = (~keep).astype(jnp.int32)
 
+    # pad packing (mirrors ops/sort.py::sort_table): fold the pad
+    # operand into the first key's null-rank, or into a bounds-shifted
+    # first int code — lax.sort is operand-linear (~5.5 ms/operand at 8M,
+    # BASELINE.md r4), so the dropped operand is ~11% of every pass.
+    pad_packed = False
+    code_shift = None  # added back to codes[key_slots[0][1]] on readback
+    if not pre_sorted and names:
+        nr0_i, c0_i = key_slots[0]
+        attr0 = key_attrs[0]
+        if nr0_i is not None:
+            codes[nr0_i] = pad * 2 + codes[nr0_i]
+            pad_packed = True
+        elif attr0.type not in (DataType.FLOAT, DataType.DOUBLE,
+                                DataType.UINT64):
+            from .sort import _code_bounds
+            b = _code_bounds(t, names[0], attr0, stats)
+            if b is not None and (not b[2] or rctx is not None):
+                lo_v, hi_v, needs_guard = b
+                code0 = codes[c0_i]
+                cdt = code0.dtype
+                span = hi_v - lo_v + 1
+                is32 = jnp.dtype(cdt) == jnp.dtype(jnp.int32)
+                if span > 0 and ((not is32 and span < (1 << 62))
+                                 or (is32 and span <= (1 << 30))):
+                    if needs_guard:
+                        viol = keep & ((code0 < jnp.asarray(lo_v, cdt))
+                                       | (code0 > jnp.asarray(hi_v, cdt)))
+                        rctx.error_flags.append(
+                            ("group-by key exceeds planner bounds "
+                             f"({names[0]!r}; stale bind-time stats)",
+                             jnp.any(viol)))
+                    codes[c0_i] = ((code0 - jnp.asarray(lo_v, cdt))
+                                   + pad.astype(cdt)
+                                   * jnp.asarray(span, cdt))
+                    code_shift = lo_v
+                    pad_packed = True
+
     if pre_sorted:
         # run identity comes from RAW adjacency (streaming contract)
         prev_same = jnp.ones(cap, dtype=jnp.bool_)
@@ -566,7 +655,7 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
         run_id = jnp.cumsum(raw_boundary.astype(jnp.int32)) - 1
         sort_keys_base = None  # base pass unsorted
     else:
-        sort_keys_base = [pad] + codes
+        sort_keys_base = codes if pad_packed else [pad] + codes
 
     passes: dict = {}
     for s in specs:
@@ -595,7 +684,12 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
         pass_specs = passes[pkey]
         is_base = pkey is None
         # ---- build sort operands + payloads for this pass ----
-        payload: list[jnp.ndarray] = [pos.astype(jnp.int32)]
+        # the pos payload exists only for the base pass's first-occurrence
+        # row id (insertion-order re-rank / max_keys clamp); value passes
+        # and unordered consumers never read it — one fewer sort operand
+        need_rowid = is_base and (rerank or max_keys is not None)
+        payload: list[jnp.ndarray] = (
+            [pos.astype(jnp.int32)] if need_rowid else [])
         layout: list[tuple[str, bool]] = []
         needed = list(dict.fromkeys(
             ([n for n in names if not key_from_code[n]] if is_base else [])
@@ -637,14 +731,13 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
             res = jax.lax.sort(operands + payload,
                                num_keys=len(operands), is_stable=is_base)
             n_ops = len(operands)
+            kb = 0 if (pad_packed and not pre_sorted) else 1
             if pre_sorted and not is_base:
                 s_group = [res[1]]  # sorted run_id
-            elif is_base:
-                s_group = list(res[1:1 + len(codes)])
             else:
-                s_group = list(res[1:1 + len(codes)])
-            s_rowid = res[n_ops]
-            pi = n_ops + 1
+                s_group = list(res[kb:kb + len(codes)])
+            s_rowid = res[n_ops] if need_rowid else None
+            pi = n_ops + (1 if need_rowid else 0)
             sorted_cols = {}
             for n, has_valid in layout:
                 vals = res[pi]
@@ -686,13 +779,21 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
         end_cols: dict[str, Column] = {}
         start_cols: dict[str, Column] = {}
         finalize = []  # (fn(end_tab_cols, start_tab_cols) -> (name, Column))
+        used_tid = False  # any hierarchical-cumsum spec needs __tid
 
         if is_base:
             for i, (n, a) in enumerate(zip(names, key_attrs)):
                 if key_from_code[n]:
                     # sorted code operand IS the key value stream
                     nr_i, c_i = key_slots[i]
-                    vals = s_group[c_i].astype(jnp_dtype(a.type))
+                    kvals = s_group[c_i]
+                    if i == 0 and code_shift:
+                        # un-shift the pad-packed first code (dead rows
+                        # hold out-of-domain values; clamped by n_out)
+                        kvals = kvals + jnp.asarray(code_shift,
+                                                    kvals.dtype)
+                    vals = kvals.astype(jnp_dtype(a.type))
+                    # packed null-rank is pad*2+nr: live rows keep 0/1
                     valid = (s_group[nr_i] == 1) if nr_i is not None else None
                 else:
                     vals, valid = sorted_cols[n]
@@ -701,7 +802,8 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                     start_cols[f"kv_{n}"] = Column(
                         (valid if valid is not None
                          else jnp.ones(cap, jnp.bool_)), None)
-            start_cols["__first"] = Column(s_rowid, None)
+            if need_rowid:
+                start_cols["__first"] = Column(s_rowid, None)
 
         for s in pass_specs:
             a = _resolve_output_attr(s, schema_in)
@@ -762,17 +864,43 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                     if (jnp.issubdtype(vals.dtype, jnp.integer)
                             and jnp.issubdtype(jnp.dtype(odt), jnp.integer)):
                         # exact wrapping integer SUM via limb cumsums
-                        for j, cs in enumerate(_sum_limbs(vals, weight)):
-                            end_cols[f"s{j}_{oname}"] = Column(cs, None)
+                        limb_pairs = _sum_limbs(vals, weight)
+                        for j, (win, _) in enumerate(limb_pairs):
+                            end_cols[f"s{j}_{oname}"] = Column(win, None)
+                        carries = [c for _, c in limb_pairs]
+                        used_tid = True
 
-                        def fin_sum_int(e, st, o=oname, odt=odt):
+                        def fin_sum_int(e, st, o=oname, odt=odt,
+                                        carries=carries):
                             nv = _diff(e[f"w_{o}"].values)
+                            tid_e = e["__tid"].values
                             sv = _sum_limbs_combine(
-                                [_diff(e[f"s{j}_{o}"].values)
-                                 for j in range(_LIMB_COUNT)], odt)
+                                [_diff(_carry_at(c, tid_e)
+                                       + e[f"s{j}_{o}"].values
+                                       .astype(jnp.float64))
+                                 for j, c in enumerate(carries)], odt)
                             return Column(sv, nv > 0)
 
                         finalize.append((oname, a, fin_sum_int))
+                    elif vals.dtype == jnp.dtype(jnp.float32):
+                        # f32 SUM: hierarchical cumsum (f64 precision
+                        # without the emulated-f64 per-row scan)
+                        win, carry = _hier_cumsum(
+                            jnp.where(weight, vals,
+                                      jnp.zeros_like(vals)), jnp.float32)
+                        end_cols[f"s_{oname}"] = Column(win, None)
+                        used_tid = True
+
+                        def fin_sum_h(e, st, o=oname, odt=odt,
+                                      carry=carry):
+                            nv = _diff(e[f"w_{o}"].values)
+                            cse = (_carry_at(carry, e["__tid"].values)
+                                   + e[f"s_{o}"].values
+                                   .astype(jnp.float64))
+                            sv = _diff(cse).astype(odt)
+                            return Column(sv, nv > 0)
+
+                        finalize.append((oname, a, fin_sum_h))
                     else:
                         acc = _acc_dtype(vals.dtype)
                         cs = jnp.cumsum(jnp.where(
@@ -824,6 +952,11 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                                      e[f"lv_{o}"].values)))
             else:
                 raise SchemaError(f"unknown aggregation {agg}")
+
+        if used_tid:
+            # shared per-row tile id for the hierarchical-cumsum carries
+            end_cols["__tid"] = Column(
+                (pos // _HIER_TILE).astype(jnp.int32), None)
 
         # ---- extract run-end and run-start rows ----
         # Small-K fast path: when the group budget is small relative to the
@@ -877,7 +1010,8 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                 kvalid = (s_tab[f"kv_{n}"].values if a.nullable else None)
                 keycols[n] = Column(kv, kvalid)
             merged_cols.update(keycols)
-            first_row_col = s_tab["__first"].values
+            if need_rowid:
+                first_row_col = s_tab["__first"].values
 
     # ---- re-rank to insertion order + clamp + slice ----
     cols = {a.name: merged_cols[a.name] for a in out_schema}
@@ -1055,7 +1189,8 @@ class GroupAggregate(Operation):
                 t, names, specs, schema_in, out_dicts, out_schema, out_cap,
                 max_keys, rctx, pre_sorted=False, rerank=not _unordered,
                 keep=keep,
-                live_count=live_count, soft_key_limit=soft_limit)
+                live_count=live_count, soft_key_limit=soft_limit,
+                stats=cb.stats)
 
         # key column keeps its value bounds through grouping
         out_stats = {names[0]: cb.stats[names[0]]} \

@@ -697,11 +697,27 @@ class HashJoin(Operation):
                     jnp.ones(lcap, jnp.int32)])
                 rowid_cat = jnp.concatenate([
                     rowid, jnp.arange(lcap, dtype=jnp.int32)])
-                jres = jax.lax.sort(cat_codes + [side, rowid_cat],
-                                    num_keys=len(cat_codes) + 1,
-                                    is_stable=True)
-                s_codes = jres[:len(cat_codes)]
-                s_side, s_rowid = jres[-2], jres[-1]
+                # operand packing (lax.sort is operand-linear, ~5.5 ms/
+                # operand at 8M — BASELINE.md r4): when both row ids fit
+                # 24 bits, (side, rowid) ride ONE i32 key side*2^24+rowid
+                # — the explicit rowid ordering replaces sort stability,
+                # so the packed sort runs unstable (cheaper) and one
+                # operand shorter.
+                packed_ids = max(rcap, lcap) <= (1 << 24)
+                if packed_ids:
+                    side_rowid = side * (1 << 24) + rowid_cat
+                    jres = jax.lax.sort(cat_codes + [side_rowid],
+                                        num_keys=len(cat_codes) + 1,
+                                        is_stable=False)
+                    s_codes = jres[:len(cat_codes)]
+                    s_side = jres[-1] >> 24
+                    s_rowid = jres[-1] & ((1 << 24) - 1)
+                else:
+                    jres = jax.lax.sort(cat_codes + [side, rowid_cat],
+                                        num_keys=len(cat_codes) + 1,
+                                        is_stable=True)
+                    s_codes = jres[:len(cat_codes)]
+                    s_side, s_rowid = jres[-2], jres[-1]
                 s_isb = (s_side == 0).astype(jnp.int32)
                 bprefix = jnp.cumsum(s_isb)
                 tot = rcap + lcap
@@ -716,12 +732,21 @@ class HashJoin(Operation):
                 # back sort keyed on is-probe (side==1), not the 3-valued
                 # side, so probe rows land in the static [rcap:] slice
                 is_probe = (s_side == 1).astype(jnp.int32)
-                back = jax.lax.sort(
-                    [is_probe, s_rowid, run_start.astype(jnp.int32),
-                     bprefix.astype(jnp.int32)],
-                    num_keys=2, is_stable=True)
-                lower = back[2][rcap:]
-                upper = back[3][rcap:]
+                if packed_ids:
+                    back = jax.lax.sort(
+                        [is_probe * (1 << 24) + s_rowid,
+                         run_start.astype(jnp.int32),
+                         bprefix.astype(jnp.int32)],
+                        num_keys=1, is_stable=False)
+                    lower = back[1][rcap:]
+                    upper = back[2][rcap:]
+                else:
+                    back = jax.lax.sort(
+                        [is_probe, s_rowid, run_start.astype(jnp.int32),
+                         bprefix.astype(jnp.int32)],
+                        num_keys=2, is_stable=True)
+                    lower = back[2][rcap:]
+                    upper = back[3][rcap:]
                 count = jnp.where(pinert, 0, upper - lower)
             if unique:
                 # fast path: <=1 match per probe row, so no expansion.

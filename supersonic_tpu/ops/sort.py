@@ -315,12 +315,16 @@ class Sort(Operation):
                        and inner.uniqueness == KeyUniqueness.UNIQUE)
         if masked_join:
             cb = inner.bind(ctx, _masked=True)
-        elif isinstance(inner, GroupAggregate):
+        elif (isinstance(inner, GroupAggregate)
+              and inner.options.max_unique_keys_in_result is None):
             # this sort re-orders the rows anyway: the aggregate may skip
             # its insertion-order re-rank (and the dense path's first_pos
             # kernel request).  Tie order among equal sort keys becomes
             # key-order instead of insertion-order — the reference makes
             # no tie promise either (sort.cc uses unstable std::sort).
+            # (Not with max_unique_keys_in_result: WHICH keys clamp into
+            # the overflow group is defined by first-encounter order,
+            # aggregate.h:206-218 — that needs the re-rank.)
             cb = inner.bind(ctx, _unordered=True)
         else:
             cb = inner.bind(ctx)

@@ -424,12 +424,23 @@ def dist_group_aggregate(mesh: Mesh, dist: Table, group_by: Sequence[str],
 
     # pregroup is genuinely best-effort: under a memory_quota it emits
     # partial (non-key-unique) groups instead of raising — the final
-    # combine below re-aggregates them exactly (aggregate.h:233-246)
+    # combine below re-aggregates them exactly (aggregate.h:233-246).
+    # The pregroup's row order is erased by the shuffle, so it binds
+    # _unordered: no insertion-order re-rank and no first-occurrence
+    # row-id sort operand per shard (lax.sort is operand-linear).
+    class _UnorderedBind:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def bind(self, ctx):
+            return self.inner.bind(ctx, _unordered=True)
+
     pre = dist_map(
         mesh,
         lambda t: run_local_plan(
-            lambda tt: BestEffortGroupAggregate(names, spec, ScanTable(tt),
-                                                options),
+            lambda tt: _UnorderedBind(
+                BestEffortGroupAggregate(names, spec, ScanTable(tt),
+                                         options)),
             t),
         dist)
     shuffled = shuffle(mesh, pre, _key_dest_fn(names, num_parts),

@@ -246,3 +246,40 @@ def test_merge_union_glue_double_key(forced, monkeypatch):
     got, want = _run_both(plan)
     assert calls, "kernel route did not execute"
     assert got.to_pylist() == want.to_pylist()
+
+
+def test_hier_carry_lut_glue(forced, monkeypatch):
+    """The hierarchical-cumsum carry LUT (group-by SUM) rides
+    kernels/lut_gather as an exact hi/lo f32 pair on TPU; force the
+    route on CPU and compare against the jnp.take fallback.  Needs
+    >= 32768 output groups for lut_gather.profitable()."""
+    import supersonic_tpu.kernels.lut_gather as LG
+    from supersonic_tpu import (AggSpec, Aggregation, GroupAggregate,
+                                GroupAggregateOptions)
+
+    calls = _counted(monkeypatch, LG, "lut_gather")
+    rng = np.random.default_rng(3)
+    n, m = 70_000, 33_000
+    fk = rng.integers(0, m, n).astype(np.int32)
+    v = (rng.random(n, dtype=np.float32) * 200 - 100).astype(np.float32)
+    iv = rng.integers(-10**12, 10**12, n).astype(np.int64)
+    t = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False),
+                       ("iv", DataType.INT64, False)),
+        {"fk": fk, "v": v, "iv": iv})
+
+    def plan():
+        return GroupAggregate(
+            ["fk"], [AggSpec(Aggregation.SUM, "v", "sv"),
+                     AggSpec(Aggregation.SUM, "iv", "si")],
+            ScanTable(t),
+            GroupAggregateOptions(estimated_result_row_count=m))
+
+    got, want = _run_both(plan)
+    assert calls, "carry LUT kernel route did not execute"
+    gl, wl = got.to_pylist(), want.to_pylist()
+    assert len(gl) == len(wl)
+    for (gk, gs, gi), (wk, ws, wi) in zip(gl, wl):
+        assert gk == wk and gi == wi
+        assert abs(gs - ws) <= 1e-3 * max(1.0, abs(ws))
