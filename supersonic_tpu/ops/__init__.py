@@ -1,5 +1,6 @@
-from .base import (BindContext, BoundOperation, Operation, RunContext,
-                   bind_plan, compile_plan, execute, set_debug_checks)
+from .base import (BindContext, BoundOperation, CancellationToken,
+                   Interrupted, Operation, RunContext, bind_plan,
+                   compile_plan, execute, set_debug_checks)
 from .scan import (ScanTable, ScanTableWithSelection, ScanView,
                    ScanViewWithSelection)
 from .project import Project, Projector

@@ -1351,6 +1351,7 @@ class HybridGroupAggregate(GroupAggregate):
         with ExternalSorter(pre_schema, SortOrder(ext_names), chunk_rows,
                             self.temp_prefix) as sorter:
             for start in range(0, n_in, chunk_rows):
+                ctx.check_cancel()  # Cursor::Interrupt poll point
                 pre_t, _flags = jpre([chunk_table(start)])
                 sorter.write(pre_t)
             merged = sorter.result()
@@ -1393,6 +1394,7 @@ class HybridGroupAggregate(GroupAggregate):
             return True
 
         while start < m_rows:
+            ctx.check_cancel()  # Cursor::Interrupt poll point
             stop = min(start + max(chunk_rows, 2), m_rows)
             # extend FORWARD to the next ext-key cluster boundary so a
             # (key, distinct-value) group never splits across batches

@@ -23,12 +23,48 @@ from ..exprs.base import EvalContext, EvaluationError
 from ..schema import TupleSchema
 
 
+class Interrupted(RuntimeError):
+    """Raised when a query is cooperatively cancelled (reference:
+    ``Cursor::Interrupt``, cursor/base/cursor.h:160-166, which resolves
+    to an INTERRUPTED ResultView)."""
+
+
+class CancellationToken:
+    """Cooperative in-flight cancellation.
+
+    The reference propagates ``Interrupt()`` down the cursor tree and
+    cursors poll the flag inside their ``Next()`` loops.  Under the
+    compiled-DAG design one XLA dispatch is atomic, so the poll points
+    are the host boundaries instead: ``execute()`` entry, every chunk of
+    the external (spill) sort and the hybrid aggregation's pregroup /
+    combine loops, and each deferred host-materialization item.  Call
+    ``interrupt()`` from any thread; the query raises ``Interrupted`` at
+    its next poll point.
+    """
+
+    __slots__ = ("_interrupted",)
+
+    def __init__(self):
+        self._interrupted = False
+
+    def interrupt(self) -> None:
+        self._interrupted = True
+
+    def interrupted(self) -> bool:
+        return self._interrupted
+
+    def check(self) -> None:
+        if self.interrupted():
+            raise Interrupted("query interrupted")
+
+
 @dataclass
 class RunContext:
     """Execution-time state threaded through the bound DAG (traced)."""
 
     leaf_tables: list  # Tables for each leaf, in bind order
     error_flags: list = field(default_factory=list)
+    cancel: Optional[CancellationToken] = None
     # host-materialization work registered during the trace (CONCAT
     # aggregation string assembly): entries carry static metadata plus an
     # ``aux`` dict of traced arrays returned as extra program outputs;
@@ -108,8 +144,15 @@ def _append_debug_checks(table: Table, ctx: RunContext) -> None:
 class BindContext:
     """Collects leaf inputs during bind so they become jit arguments."""
 
-    def __init__(self):
+    def __init__(self, cancel: Optional[CancellationToken] = None):
         self.leaves: list[Table] = []
+        self.cancel = cancel
+
+    def check_cancel(self) -> None:
+        """Poll point for host/disk-boundary operators whose chunk loops
+        run during bind (external sort spill, hybrid aggregation)."""
+        if self.cancel is not None:
+            self.cancel.check()
 
     def register_leaf(self, table: Table) -> int:
         self.leaves.append(table)
@@ -123,26 +166,31 @@ class Operation:
         raise NotImplementedError
 
     # -- fluent sugar ---------------------------------------------------------
-    def execute(self, check_errors: bool = True, jit: bool = True) -> Table:
-        return execute(self, check_errors=check_errors, jit=jit)
+    def execute(self, check_errors: bool = True, jit: bool = True,
+                cancel: Optional[CancellationToken] = None) -> Table:
+        return execute(self, check_errors=check_errors, jit=jit,
+                       cancel=cancel)
 
 
-def bind_plan(op: Operation) -> tuple[BoundOperation, list[Table]]:
-    ctx = BindContext()
+def bind_plan(op: Operation,
+              cancel: Optional[CancellationToken] = None
+              ) -> tuple[BoundOperation, list[Table]]:
+    ctx = BindContext(cancel=cancel)
     bound = op.bind(ctx)
     return bound, ctx.leaves
 
 
-def compile_plan(op: Operation):
+def compile_plan(op: Operation,
+                 cancel: Optional[CancellationToken] = None):
     """Bind + wrap into a jittable fn(leaf_tables) -> (Table, error_flags).
 
     The returned callable is the whole query as one XLA program; leaf tables
     are traced arguments so the program is reusable across same-shape data.
     """
-    bound, leaves = bind_plan(op)
+    bound, leaves = bind_plan(op, cancel=cancel)
 
     def run(leaf_tables):
-        ctx = RunContext(list(leaf_tables))
+        ctx = RunContext(list(leaf_tables), cancel=cancel)
         out = bound.run(ctx)
         if ctx.error_flags:
             flags = jnp.stack([f for _, f in ctx.error_flags])
@@ -159,12 +207,19 @@ def compile_plan(op: Operation):
     return run, bound, leaves
 
 
-def execute(op: Operation, check_errors: bool = True, jit: bool = True) -> Table:
+def execute(op: Operation, check_errors: bool = True, jit: bool = True,
+            cancel: Optional[CancellationToken] = None) -> Table:
     """Bind, compile, and run a plan; raises EvaluationError on signaling
     failures (the host sync point for device error flags).  Flags whose
     name starts with "warning:" are non-fatal degradation indicators
-    (e.g. best-effort quota clamping) surfaced via ``warnings.warn``."""
-    run, bound, leaves = compile_plan(op)
+    (e.g. best-effort quota clamping) surfaced via ``warnings.warn``.
+    ``cancel``: a CancellationToken polled at the host boundaries
+    (reference: Cursor::Interrupt, cursor.h:160-166)."""
+    if cancel is not None:
+        cancel.check()
+    run, bound, leaves = compile_plan(op, cancel=cancel)
+    if cancel is not None:
+        cancel.check()
     runner = jax.jit(run) if jit else run
     res = runner(leaves)
     table, flags = res[0], res[1]
@@ -188,7 +243,7 @@ def execute(op: Operation, check_errors: bool = True, jit: bool = True) -> Table
     if len(res) > 2:
         from .host import resolve_deferred
 
-        resolve_deferred(run.deferred, res[2])
+        resolve_deferred(run.deferred, res[2], cancel=cancel)
     return table
 
 

@@ -19,12 +19,15 @@ from .base import Operation, execute
 from .scan import ScanTable
 
 
-def resolve_deferred(entries, aux_values) -> None:
+def resolve_deferred(entries, aux_values, cancel=None) -> None:
     """Resolve deferred dictionaries after a device run
     (ops/base.py::execute).  ``entries`` are DeferredConcat /
     DeferredRender records captured at trace time; ``aux_values`` the
-    realized aux arrays."""
+    realized aux arrays.  ``cancel``: per-entry cooperative-cancellation
+    poll point (Cursor::Interrupt analogue)."""
     for m, aux in zip(entries, aux_values):
+        if cancel is not None:
+            cancel.check()
         if hasattr(m, "kind"):
             _assemble_render(m, aux)
         else:

@@ -528,6 +528,7 @@ class SortWithTempDirPrefix(Operation):
         with ExternalSorter(src.schema, self.order, run_rows,
                             self.temp_prefix) as sorter:
             for start in range(0, max(n, 1), run_rows):
+                ctx.check_cancel()  # Cursor::Interrupt poll point
                 stop = min(start + run_rows, n)
                 if stop <= start:
                     break

@@ -41,3 +41,49 @@ def test_join_overflow_flags():
         execute(HashJoin(JoinType.INNER, ["k"], ["k2"], ScanTable(lhs),
                          ScanTable(rhs), KeyUniqueness.NOT_UNIQUE,
                          out_capacity=4))
+
+
+def test_cancellation_before_dispatch():
+    """Cursor::Interrupt analogue (cursor.h:160-166): a pre-interrupted
+    token fails the query at the first poll point."""
+    from supersonic_tpu import CancellationToken, Interrupted
+
+    tok = CancellationToken()
+    tok.interrupt()
+    with pytest.raises(Interrupted):
+        execute(Filter(col("v") > 0, ScanTable(make_table())), cancel=tok)
+
+
+def test_cancellation_mid_spill(tmp_path):
+    """Interrupting during the external sort's spill loop stops the
+    query between chunks (the reference polls inside Next(), sort.cc's
+    run loop; here the poll points are the host chunk boundaries)."""
+    import numpy as np
+
+    from supersonic_tpu import (CancellationToken, Interrupted,
+                                SortWithTempDirPrefix)
+
+    class FlipAfter(CancellationToken):
+        __slots__ = ("n",)
+
+        def __init__(self, n):
+            super().__init__()
+            self.n = n
+
+        def interrupted(self):
+            self.n -= 1
+            return self.n < 0
+
+    t = Table.from_data(
+        TupleSchema.of(("k", INT64, False)),
+        {"k": np.arange(5000, dtype=np.int64)[::-1]})
+    plan = SortWithTempDirPrefix(
+        [("k", True)], ScanTable(t), memory_limit=4096,
+        temporary_directory_prefix=str(tmp_path))
+    with pytest.raises(Interrupted):
+        execute(plan, cancel=FlipAfter(3))
+    # an uninterrupted run of the same spilling plan still completes
+    out = execute(SortWithTempDirPrefix(
+        [("k", True)], ScanTable(t), memory_limit=4096,
+        temporary_directory_prefix=str(tmp_path)))
+    assert [r[0] for r in out.to_pylist()[:4]] == [0, 1, 2, 3]
