@@ -126,7 +126,8 @@ def _call_kernel(v2, g2, n_pad, k_pad, mode, init, dtype, num_segments):
 # view in one sweep, aggregator.h:40-90).
 # ---------------------------------------------------------------------------
 
-def _multi_kernel(g_ref, *refs, k_pad: int, modes, inits, dots):
+def _multi_kernel(g_ref, *refs, k_pad: int, modes, inits, dots,
+                  firstpos, num_segments):
     nreq = len(modes)
     v_refs = refs[:nreq]
     o_refs = refs[nreq:]
@@ -135,12 +136,60 @@ def _multi_kernel(g_ref, *refs, k_pad: int, modes, inits, dots):
     @pl.when(i == 0)
     def _():
         for j in range(nreq):
-            o_refs[j][:] = jnp.full_like(o_refs[j], inits[j])
+            if firstpos[j]:
+                # padding slots [num_segments, k_pad) start BELOW init so
+                # the early-exit test "any slot still == init" is not
+                # pinned true by slots that can never match
+                rows = o_refs[j].shape[0]
+                slot = (jax.lax.broadcasted_iota(
+                    jnp.int32, (rows, LANES), 0) * LANES
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (rows, LANES), 1))
+                o_refs[j][:] = jnp.where(
+                    slot < num_segments,
+                    jnp.full_like(o_refs[j], inits[j]),
+                    jnp.full_like(o_refs[j], inits[j] - 1))
+            else:
+                o_refs[j][:] = jnp.full_like(o_refs[j], inits[j])
 
     g = g_ref[:]
     vs = [v_refs[j][:] for j in range(nreq)]
     dot_reqs = [j for j in range(nreq) if dots[j]]
-    match_reqs_all = [j for j in range(nreq) if not dots[j]]
+    fp_reqs = [j for j in range(nreq) if firstpos[j]]
+    match_reqs_all = [j for j in range(nreq)
+                      if not dots[j] and not firstpos[j]]
+
+    if fp_reqs:
+        # First-position requests (insertion-order rank / FIRST): values
+        # are the row position, which is tile-monotone — once a slot
+        # holds any value, later tiles cannot lower it.  The whole match
+        # pass is therefore skipped once every real slot has been seen
+        # (for dense key domains that is after the first few tiles, which
+        # removes the masked-min pass that otherwise costs as much as all
+        # the MXU-dot aggregates combined).
+        # f32 indicator sum: Mosaic's bool `any` proxy and x64-promoted
+        # integer sums both lower through 64-bit scalar squeezes it
+        # rejects; a float32 sum reduced to a scalar lowers cleanly
+        unseen = jnp.zeros((), jnp.float32)
+        for j in fp_reqs:
+            unseen = unseen + jnp.sum(
+                (o_refs[j][:] == inits[j]).astype(jnp.float32))
+        need = unseen > 0.5
+
+        @pl.when(need)
+        def _():
+            for kr in range(k_pad // LANES):
+                k_lane = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, LANES), 1) + kr * LANES)
+                match = g[:, :, None] == k_lane[None, :, :]
+                for j in fp_reqs:
+                    v = vs[j]
+                    neutral = jnp.full_like(v, inits[j])
+                    sel = jnp.where(match, v[:, :, None],
+                                    neutral[:, :, None])
+                    contrib = jnp.min(sel, axis=(0, 1))
+                    o_refs[j][kr, :] = jnp.minimum(o_refs[j][kr, :],
+                                                   contrib)
     if dot_reqs and match_reqs_all and k_pad == LANES:
         # unified per-sublane pass: the boolean one-hot is built ONCE per
         # sublane and shared by every request — the f32 sums ride it as
@@ -199,7 +248,8 @@ def _multi_kernel(g_ref, *refs, k_pad: int, modes, inits, dots):
                     preferred_element_type=jnp.float32)
         for j in dot_reqs:
             o_refs[j][:] = o_refs[j][:] + accs[j]
-    match_reqs = [j for j in range(nreq) if not dots[j]]
+    match_reqs = [j for j in range(nreq)
+                  if not dots[j] and not firstpos[j]]
     if match_reqs:
         for kr in range(k_pad // LANES):
             k_lane = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -230,18 +280,25 @@ def segment_reduce_multi(requests, segment_ids, num_segments: int):
     mode "count" declares the values 0/1 indicators (int32) — together
     with f32 sums it takes the MXU one-hot-dot path (exact: counts stay
     below 2^24); i32 value sums and min/max stay on the exact lane-match
-    path."""
+    path.  mode "firstpos" declares an i32 min whose values are the row
+    POSITION (tile-monotone): the kernel skips its masked-min pass once
+    every segment has been seen (dense domains: after the first tiles)."""
     n = segment_ids.shape[0]
     k_pad = _round_up(max(num_segments, 1), LANES)
     n_pad = _round_up(max(n, 1), TILE)
     pad_rows = n_pad - n
     count_exact = n_pad < (1 << 24)  # f32 holds exact integers to 2^24
-    modes, inits, v2s, dots, out_dtypes = [], [], [], [], []
+    modes, inits, v2s, dots, fps, out_dtypes = [], [], [], [], [], []
     for values, mode in requests:
-        assert mode in ("sum", "min", "max", "count")
+        assert mode in ("sum", "min", "max", "count", "firstpos")
         dtype = values.dtype
         out_dtypes.append(dtype)
-        if mode == "count":
+        fp = mode == "firstpos"
+        if fp:
+            assert dtype == jnp.dtype(jnp.int32), dtype
+            mode = "min"
+            dot = False
+        elif mode == "count":
             mode = "sum"
             dot = count_exact
             if dot:
@@ -262,6 +319,7 @@ def segment_reduce_multi(requests, segment_ids, num_segments: int):
         modes.append(mode)
         inits.append(init)
         dots.append(dot)
+        fps.append(fp)
         v2s.append(v.reshape(n_pad // LANES, LANES))
     gid = jnp.where((segment_ids >= 0) & (segment_ids < num_segments),
                     segment_ids.astype(jnp.int32), k_pad)
@@ -278,7 +336,8 @@ def segment_reduce_multi(requests, segment_ids, num_segments: int):
         outs = pl.pallas_call(
             functools.partial(_multi_kernel, k_pad=k_pad,
                               modes=tuple(modes), inits=tuple(inits),
-                              dots=tuple(dots)),
+                              dots=tuple(dots), firstpos=tuple(fps),
+                              num_segments=num_segments),
             grid=(n_pad // TILE,),
             in_specs=[tile_spec] * (1 + len(requests)),
             out_specs=[dot_spec if d else acc_spec for d in dots],

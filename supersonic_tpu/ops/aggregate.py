@@ -407,14 +407,23 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
     if keep is None:
         keep = t.row_mask()
     # composite slot over all key dimensions (per-dim clip keeps the
-    # slot in [0, K) even for out-of-range values)
+    # slot in [0, K) even for out-of-range values).  Per-dim offsets are
+    # i32 (K <= 2048); 32-bit key columns stay in native i32 end to end
+    # — i64 arithmetic is EMULATED on TPU and costs real passes at 8M
+    # rows (BASELINE.md r4b) — only 64-bit keys subtract in i64.
     gid64 = None
     in_domain = None
     for name, _attr, kmin, K_i in dims:
-        v = t.columns[name].values.astype(jnp.int64) - kmin
-        ok = (v >= 0) & (v < K_i)
-        vc = jnp.clip(v, 0, K_i - 1)
-        gid64 = vc if gid64 is None else gid64 * K_i + vc
+        col = t.columns[name].values
+        if col.dtype == jnp.dtype(jnp.int32):
+            v = col - jnp.int32(kmin)
+            ok = (v >= 0) & (v < K_i)
+            vc = jnp.clip(v, 0, K_i - 1)
+        else:
+            v = col.astype(jnp.int64) - kmin
+            ok = (v >= 0) & (v < K_i)
+            vc = jnp.clip(v, 0, K_i - 1).astype(jnp.int32)
+        gid64 = vc if gid64 is None else gid64 * jnp.int32(K_i) + vc
         in_domain = ok if in_domain is None else (in_domain & ok)
     if guarded:
         rctx.error_flags.append((
@@ -449,11 +458,12 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
     if ordered:
         # first-appearance rank reproduces the reference's insertion
         # order (RowHashSet appends unique keys in arrival order).  An
-        # order-insensitive consumer (Sort) drops this request — the MIN
-        # rides the kernel's masked-reduce path and costs about as much
-        # as all the MXU-dot aggregates combined.
-        _ask(("first_pos",), jnp.where(live, pos, jnp.int32(2**31 - 1)),
-             "min")
+        # order-insensitive consumer (Sort) drops this request.  The
+        # "firstpos" mode lets the kernel skip its masked-min pass once
+        # every slot is seen (positions are tile-monotone), so for dense
+        # key domains this costs a few tiles instead of a full pass.
+        _ask(("firstpos",), jnp.where(live, pos, jnp.int32(2**31 - 1)),
+             "firstpos")
     for s in specs:
         agg = s.aggregation
         if agg == Aggregation.COUNT and s.input is None:
@@ -482,18 +492,21 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
                 (2**31 - 1 if mode == "min" else -(2**31))
             v = jnp.where(valid, code.astype(acc_dt), acc_dt(init))
             _ask((mode, s.input), v, mode)
-        elif agg in (Aggregation.FIRST, Aggregation.LAST):
-            mode = "min" if agg == Aggregation.FIRST else "max"
-            sentinel = 2**31 - 1 if mode == "min" else -(2**31)
-            _ask(("pos", mode),
-                 jnp.where(live, pos, jnp.int32(sentinel)), mode)
+        elif agg == Aggregation.FIRST:
+            # first live position: same request as the insertion-order
+            # rank (tile-monotone -> early-exit "firstpos" mode)
+            _ask(("firstpos",),
+                 jnp.where(live, pos, jnp.int32(2**31 - 1)), "firstpos")
+        elif agg == Aggregation.LAST:
+            _ask(("pos", "max"),
+                 jnp.where(live, pos, jnp.int32(-(2**31))), "max")
     _results = segment_reduce_multi(_reqs, ids, K)
 
     def _got(key):
         return _results[_memo[key]]
 
     count_all = _got(("count_all",))
-    first_pos = (_got(("first_pos",)) if ordered
+    first_pos = (_got(("firstpos",)) if ordered
                  else jnp.arange(K, dtype=jnp.int32))
     present = count_all > 0
     num_groups = jnp.sum(present.astype(jnp.int32))
@@ -534,8 +547,8 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
             wc = _got(vkey)
             cols_k[s.output] = Column(mv.astype(odt), wc > 0)
         elif agg in (Aggregation.FIRST, Aggregation.LAST):
-            mode = "min" if agg == Aggregation.FIRST else "max"
-            p = _got(("pos", mode))
+            p = _got(("firstpos",) if agg == Aggregation.FIRST
+                     else ("pos", "max"))
             safe = jnp.clip(p, 0, cap - 1)
             vals = jnp.take(c.values, safe)
             fvalid = present & (jnp.take(c.valid, safe)
