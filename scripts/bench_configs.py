@@ -51,6 +51,37 @@ def main():
               f"{rows/secs/1e6:8.1f} M rows/s", flush=True)
         return secs
 
+    from supersonic_tpu import (AggSpec, Aggregation, GroupAggregate,
+                                GroupAggregateOptions)
+
+    n10 = 10_000_000
+    words = np.array([f"cat_{i:02d}" for i in range(50)])
+    fact2 = Table.from_data(
+        TupleSchema.of(("g", DataType.STRING, False),
+                       ("k", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"g": words[rng.integers(0, 50, n10)],
+         "k": rng.integers(0, 1 << 22, n10).astype(np.int32),
+         "v": rng.random(n10, dtype=np.float32)})
+    bench("config2 groupby 10M->50 (4 aggs)",
+          GroupAggregate(["g"],
+                         [AggSpec(Aggregation.SUM, "v", "sv"),
+                          AggSpec(Aggregation.MIN, "v", "mn"),
+                          AggSpec(Aggregation.MAX, "v", "mx"),
+                          AggSpec(Aggregation.COUNT, None, "n")],
+                         ScanTable(fact2),
+                         GroupAggregateOptions(
+                             estimated_result_row_count=64)),
+          "v", n10, iters=4)
+    bench("config2 groupby 10M->~3.9M SUM",
+          GroupAggregate(["k"],
+                         [AggSpec(Aggregation.SUM, "v", "sv")],
+                         ScanTable(fact2),
+                         GroupAggregateOptions(
+                             estimated_result_row_count=1 << 22)),
+          "v", n10, iters=4)
+    del fact2
+
     big = Table.from_data(
         TupleSchema.of(("k", DataType.INT32, False),
                        ("v", DataType.FLOAT, False)),

@@ -212,7 +212,9 @@ class Table:
 
     def row_mask(self) -> jnp.ndarray:
         """bool[capacity]: True for live rows."""
-        return jnp.arange(self.capacity) < self.num_rows
+        # i32: an i64 arange/compare is EMULATED on TPU (scan32.py)
+        return (jnp.arange(self.capacity, dtype=jnp.int32)
+                < jnp.asarray(self.num_rows, jnp.int32))
 
     def column(self, name: str) -> Column:
         return self.columns[name]

@@ -69,7 +69,8 @@ class RunningSum(Expression):
             out_valid = None
             if v.valid is not None:
                 # NULL only before the first non-NULL value
-                out_valid = jnp.cumsum(valid.astype(jnp.int32)) > 0
+                from ..ops.scan32 import cumsum_i32
+                out_valid = cumsum_i32(valid) > 0
             return ExprValue(sums, out_valid)
 
         return BoundExpression(
@@ -85,7 +86,8 @@ def _forward_fill(values: jnp.ndarray, valid: jnp.ndarray):
     from ..ops.segscan import _seg_scan
 
     filled = _seg_scan(values, valid, "first")
-    seen = jnp.cumsum(valid.astype(jnp.int32)) > 0
+    from ..ops.scan32 import cumsum_i32
+    seen = cumsum_i32(valid) > 0
     return filled, seen
 
 

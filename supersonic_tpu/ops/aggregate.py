@@ -47,6 +47,7 @@ from ..schema import Attribute, SchemaError, TupleSchema
 from ..types import DataType, jnp_dtype, physical_dtype
 from .base import BindContext, BoundOperation, Operation, RunContext
 from .filter import compact_by_mask
+from .scan32 import cumsum_i32
 from .keys import descending_code, group_code_columns, monotone_code
 
 
@@ -509,7 +510,7 @@ def _dense_grouped_aggregate(t: Table, dims, specs, schema_in,
     first_pos = (_got(("firstpos",)) if ordered
                  else jnp.arange(K, dtype=jnp.int32))
     present = count_all > 0
-    num_groups = jnp.sum(present.astype(jnp.int32))
+    num_groups = jnp.sum(present.astype(jnp.int32), dtype=jnp.int32)
     rctx.error_flags.append(
         ("aggregate result overflow", num_groups > out_cap))
 
@@ -602,11 +603,14 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                        pre_sorted: bool, rerank: bool, keep=None,
                        live_count=None, soft_key_limit=None, stats=None):
     cap = t.capacity
-    pos = jnp.arange(cap)
+    # i32 end to end: an i64 arange drags EMULATED 64-bit compares and
+    # divides through every 8M-row boundary/tile computation
+    pos = jnp.arange(cap, dtype=jnp.int32)
     if keep is None:
         keep = t.row_mask()
     if live_count is None:
         live_count = jnp.asarray(t.num_rows)
+    live_count = jnp.asarray(live_count, jnp.int32)
     key_attrs = [schema_in.lookup(n) for n in names]
     pairs = group_code_columns(t, list(names))
     # flatten (null_rank?, code) pairs into sort operands; remember where
@@ -665,7 +669,7 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
         for c in codes:
             prev_same = prev_same & (c == jnp.roll(c, 1))
         raw_boundary = keep & (~prev_same | (pos == 0))
-        run_id = jnp.cumsum(raw_boundary.astype(jnp.int32)) - 1
+        run_id = cumsum_i32(raw_boundary) - 1
         sort_keys_base = None  # base pass unsorted
     else:
         sort_keys_base = codes if pad_packed else [pad] + codes
@@ -772,18 +776,18 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                 # (a correct partial aggregate — each lane still covers
                 # every input row exactly once per key)
                 if is_base:
-                    orig_groups = jnp.sum(boundary.astype(jnp.int32))
+                    orig_groups = jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
                     rctx.error_flags.append(
                         ("warning: best-effort group-by exceeded "
                          "memory_quota; result is partially aggregated",
                          orig_groups > soft_key_limit))
-                rank = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+                rank = cumsum_i32(boundary) - 1
                 boundary = live_s & (boundary | (rank >= soft_key_limit))
             is_end = live_s & (jnp.roll(boundary, -1)
                                | (pos == live_count - 1))
 
         if num_groups is None:
-            num_groups = jnp.sum(boundary.astype(jnp.int32))
+            num_groups = jnp.sum(boundary.astype(jnp.int32), dtype=jnp.int32)
             if max_keys is None and soft_key_limit is None:
                 rctx.error_flags.append(
                     ("aggregate result overflow", num_groups > out_cap))
@@ -824,7 +828,7 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
             agg = s.aggregation
             oname = s.output
             if agg == Aggregation.COUNT and s.input is None:
-                cs = jnp.cumsum(live_s.astype(jnp.int32))
+                cs = cumsum_i32(live_s)
                 end_cols[f"c_{oname}"] = Column(cs, None)
                 finalize.append((oname, a, lambda e, st, o=oname,
                                  odt=odt: Column(
@@ -847,9 +851,9 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                         "CONCAT with max_unique_keys_in_result is not "
                         "supported (overflow-group append order is "
                         "undefined across the clamp)")
-                wcs = jnp.cumsum(weight.astype(jnp.int32))
+                wcs = cumsum_i32(weight)
                 end_cols[f"w_{oname}"] = Column(wcs, None)
-                gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+                gid = cumsum_i32(boundary) - 1
                 rctx.deferred.append(DeferredConcat(
                     name=oname, dict_obj=out_dicts[oname], separator=",",
                     distinct=bool(s.distinct),
@@ -871,7 +875,7 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
                         & (valid == jnp.roll(valid, 1)) & (pos > 0))
                 weight = weight & ~same
             if agg in (Aggregation.SUM, Aggregation.COUNT):
-                wcs = jnp.cumsum(weight.astype(jnp.int32))
+                wcs = cumsum_i32(weight)
                 end_cols[f"w_{oname}"] = Column(wcs, None)
                 if agg == Aggregation.SUM:
                     if (jnp.issubdtype(vals.dtype, jnp.integer)
@@ -935,7 +939,7 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
             elif agg in (Aggregation.MIN, Aggregation.MAX):
                 # value-ordered pass: group min/max = run-start value
                 start_cols[f"m_{oname}"] = Column(vals, None)
-                wcs = jnp.cumsum(valid.astype(jnp.int32))
+                wcs = cumsum_i32(valid)
                 end_cols[f"w_{oname}"] = Column(wcs, None)
 
                 def fin_mm(e, st, o=oname, odt=odt):
@@ -1030,7 +1034,9 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
     cols = {a.name: merged_cols[a.name] for a in out_schema}
     n_out = jnp.minimum(num_groups, out_cap)
     if rerank:
-        order_ops = [(jnp.arange(ext_cap) >= num_groups).astype(jnp.int32),
+        order_ops = [(jnp.arange(ext_cap, dtype=jnp.int32)
+                      >= jnp.asarray(num_groups, jnp.int32))
+                     .astype(jnp.int32),
                      first_row_col]
         payload2: list[jnp.ndarray] = []
         layout2 = []
@@ -1057,8 +1063,9 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
 
     if max_keys is not None:
         K = max_keys
-        rank = jnp.arange(ext_cap)
-        overflow = (rank >= K) & (rank < num_groups)
+        rank = jnp.arange(ext_cap, dtype=jnp.int32)
+        overflow = ((rank >= K)
+                    & (rank < jnp.asarray(num_groups, jnp.int32)))
         for s in specs:
             a = _resolve_output_attr(s, schema_in)
             c = cols[s.output]
@@ -1197,7 +1204,7 @@ class GroupAggregate(Operation):
                     out_schema, out_cap, K, guarded, rctx, keep=keep,
                     ordered=not _unordered)
             if keep is not None:
-                live_count = jnp.sum(keep.astype(jnp.int32))
+                live_count = jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32)
             return _grouped_aggregate(
                 t, names, specs, schema_in, out_dicts, out_schema, out_cap,
                 max_keys, rctx, pre_sorted=False, rerank=not _unordered,
@@ -1502,7 +1509,8 @@ class ScalarAggregate(Operation):
                     svals, scode = sc[-1], sc[1]
                     svalid = sc[2] > 0
                     dup = ((scode == jnp.roll(scode, 1))
-                           & (jnp.arange(t.capacity) > 0))
+                           & (jnp.arange(t.capacity,
+                                         dtype=jnp.int32) > 0))
                     weight = svalid & ~dup
                     vals = svals
                     valid = svalid

@@ -30,12 +30,13 @@ def compaction_indices(mask: jnp.ndarray, out_capacity: int):
     # int32 cumsum + scatter (NOT jnp.nonzero: under x64 its index cumsum
     # is int64, which lowers to an emulated u32-pair reduce-window on TPU
     # and overflows scoped VMEM on multi-million-row columns)
-    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    from .scan32 import cumsum_i32
+    pos = cumsum_i32(mask) - 1
     iota = jnp.arange(cap, dtype=jnp.int32)
     scatter_idx = jnp.where(mask & (pos < out_capacity), pos, out_capacity)
     idx = jnp.full(out_capacity, cap, dtype=jnp.int32).at[scatter_idx].set(
         iota, mode="drop")
-    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), out_capacity)
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32), dtype=jnp.int32), out_capacity)
     return idx, count
 
 
@@ -179,7 +180,7 @@ def compact_by_mask(table: Table, mask: jnp.ndarray,
     """Move rows where mask is True into a dense prefix (see
     ``compact_arrays`` for the sort-based engine)."""
     out_cap = out_capacity or table.capacity
-    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32)), out_cap)
+    count = jnp.minimum(jnp.sum(mask.astype(jnp.int32), dtype=jnp.int32), out_cap)
     if len(table.schema) == 0:
         return Table(table.schema, {}, count, dict(table.dicts),
                      cap_hint=out_cap)

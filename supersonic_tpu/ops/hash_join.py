@@ -29,6 +29,7 @@ from ..batch import Column, Table, gather_arrays, gather_table
 from ..schema import Attribute, SchemaError, TupleSchema
 from .base import BindContext, BoundOperation, Operation, RunContext
 from .keys import monotone_code
+from .scan32 import cummax_i32, cumsum_i32
 from .project import Projector
 from ..kernels.lut_gather import take_small
 
@@ -168,7 +169,7 @@ def _fat_lut_probe(rt: Table, srcs, scat, pslot, pin, rng: int,
               for a in all_arrs]
     res = jax.lax.sort([slot2] + stream, num_keys=1, is_stable=True)
     s_slot2, s_lanes = res[0], list(res[1:])
-    pos = jnp.arange(rcap + rng)
+    pos = jnp.arange(rcap + rng, dtype=jnp.int32)
     prev_slot2 = jnp.roll(s_slot2, 1)
     # marker's predecessor is its build row iff prev == slot2 - 1
     has_build = (prev_slot2 == s_slot2 - 1) & (pos > 0)
@@ -278,12 +279,15 @@ def _try_spread_expansion(lt, lpairs, rpairs, rb, rt, build_perm, eff,
         return None
     lcap = lt.capacity
     src_mask = eff > 0
-    n_src = jnp.sum(src_mask.astype(jnp.int32))
+    n_src = jnp.sum(src_mask.astype(jnp.int32), dtype=jnp.int32)
     compacted = compaction.compact_kernel(lanes + [base_l], src_mask,
                                           lcap)[0]
     base_c = compacted[-1]
     # dead tail must stay sorted for the tile-bound searchsorted
-    base_c = jnp.where(jnp.arange(lcap) < n_src, base_c,
+    base_c = jnp.where(
+        jnp.arange(lcap, dtype=jnp.int32) < jnp.asarray(n_src,
+                                                        jnp.int32),
+        base_c,
                        jnp.int32(2**31 - 1))
     spread_lanes = spread_mod.spread_kernel(compacted[:-1], base_c,
                                             out_cap)
@@ -636,7 +640,7 @@ class HashJoin(Operation):
                 pos_s = jnp.arange(rcap + rng, dtype=jnp.int32)
                 b_upto = pos_s - (s_slot2 // 2)   # B(p) at markers
                 end_ = compact_arrays([b_upto], is_marker, rng)[0]
-                start = jnp.where(jnp.arange(rng) > 0,
+                start = jnp.where(jnp.arange(rng, dtype=jnp.int32) > 0,
                                   jnp.roll(end_, 1), 0)
                 counts = end_ - start
                 build_perm = compact_arrays([s_pay], ~is_marker, rcap)[0]
@@ -672,7 +676,8 @@ class HashJoin(Operation):
                     [binert.astype(jnp.int32)] + bcodes + [rowid],
                     num_keys=1 + len(bcodes), is_stable=True)
                 build_perm = res[-1]
-                build_n = jnp.sum((~binert).astype(jnp.int32))
+                build_n = jnp.sum((~binert).astype(jnp.int32),
+                                  dtype=jnp.int32)
                 # --- probe: merge-style ---
                 # A vectorized binary search costs ~2*log2(build) serial
                 # gather rounds over all probe rows (~1.3s at 8M on v5e:
@@ -719,15 +724,16 @@ class HashJoin(Operation):
                     s_codes = jres[:len(cat_codes)]
                     s_side, s_rowid = jres[-2], jres[-1]
                 s_isb = (s_side == 0).astype(jnp.int32)
-                bprefix = jnp.cumsum(s_isb)
+                bprefix = cumsum_i32(s_isb)
                 tot = rcap + lcap
                 same_as_prev = jnp.ones(tot, dtype=jnp.bool_)
                 for c in s_codes:
                     same_as_prev = same_as_prev & (c == jnp.roll(c, 1))
-                boundary = ~same_as_prev | (jnp.arange(tot) == 0)
+                boundary = ~same_as_prev | (
+                    jnp.arange(tot, dtype=jnp.int32) == 0)
                 # build-count before this run; values are nondecreasing
                 # across runs so a plain cummax forward-fills run starts
-                run_start = jax.lax.cummax(
+                run_start = cummax_i32(
                     jnp.where(boundary, bprefix - s_isb, 0))
                 # back sort keyed on is-probe (side==1), not the 3-valued
                 # side, so probe rows land in the static [rcap:] slice
@@ -837,7 +843,7 @@ class HashJoin(Operation):
                 if out_cap < lcap:
                     rctx.error_flags.append((
                         "join result overflow",
-                        jnp.sum(emit.astype(jnp.int32)) > out_cap))
+                        jnp.sum(emit.astype(jnp.int32), dtype=jnp.int32) > out_cap))
                 lhs_out = compact_by_mask(aug, emit, out_cap)
                 n_out = lhs_out.num_rows
                 cols = {}
@@ -847,7 +853,8 @@ class HashJoin(Operation):
                     for src, dst in rpairs:
                         cols[dst] = lhs_out.columns[rname[src]]
                     return Table(out_schema, cols, n_out, out_dicts)
-                live_o = jnp.arange(out_cap) < n_out
+                live_o = (jnp.arange(out_cap, dtype=jnp.int32)
+                          < jnp.asarray(n_out, jnp.int32))
                 hit_o = live_o
                 if left_outer:
                     hit_o = live_o & lhs_out.columns["__match"].values
@@ -871,7 +878,7 @@ class HashJoin(Operation):
             # reduce-window on TPU and blows scoped VMEM. Output capacities
             # are int32-bounded anyway; only the overflow *detector* itself
             # could wrap on >2^31 total matches (accepted).
-            offsets = jnp.cumsum(eff.astype(jnp.int32))
+            offsets = cumsum_i32(eff)
             total = offsets[-1]
             rctx.error_flags.append(
                 ("join result overflow", total > out_cap))
@@ -894,7 +901,7 @@ class HashJoin(Operation):
             qrow = jnp.zeros(out_cap, dtype=jnp.int32).at[base].max(
                 jnp.arange(lcap, dtype=jnp.int32), mode="drop",
                 indices_are_sorted=True)
-            qrow = jax.lax.cummax(qrow)
+            qrow = cummax_i32(qrow)
             live_out = out_pos < jnp.minimum(total, out_cap)
             # output j of lhs row q maps to build slot lower[q] + (j -
             # base[q]); the fused difference (lower - base) — and, for

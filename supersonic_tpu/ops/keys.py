@@ -78,7 +78,8 @@ def key_operands(table: Table, names: list[str], ascendings: list[bool],
     """
     cap = table.capacity
     if pad_mask is None:
-        pad_mask = jnp.arange(cap) >= table.num_rows
+        pad_mask = (jnp.arange(cap, dtype=jnp.int32)
+                    >= jnp.asarray(table.num_rows, jnp.int32))
     pad = pad_mask.astype(jnp.int32)
     operands = [pad]
     for name, asc in zip(names, ascendings):

@@ -22,7 +22,9 @@ class Limit(Operation):
             t = cb.run(rctx)
             n = jnp.minimum(jnp.maximum(t.num_rows - offset, 0), limit)
             idx = jnp.arange(out_cap, dtype=jnp.int32) + offset
-            idx = jnp.where(jnp.arange(out_cap) < n, idx, t.capacity)
+            idx = jnp.where(
+                jnp.arange(out_cap, dtype=jnp.int32)
+                < jnp.asarray(n, jnp.int32), idx, t.capacity)
             if len(cb.schema) == 0:
                 return Table(cb.schema, {}, n, dict(t.dicts), cap_hint=out_cap)
             return gather_table(t, idx, n)

@@ -156,7 +156,8 @@ def sort_table(table: Table, order: SortOrder,
     """
     cap = table.capacity
     if pad_mask is None:
-        pad_mask = jnp.arange(cap) >= table.num_rows
+        pad_mask = (jnp.arange(cap, dtype=jnp.int32)
+                    >= jnp.asarray(table.num_rows, jnp.int32))
     pad = pad_mask.astype(jnp.int32)
     shadow_cols = dict(table.columns)
     if key_override:
@@ -359,7 +360,7 @@ class Sort(Operation):
             if keep is not None:
                 sorted_t = sort_table(
                     t, order, pad_mask=~keep,
-                    num_rows=jnp.sum(keep.astype(jnp.int32)),
+                    num_rows=jnp.sum(keep.astype(jnp.int32), dtype=jnp.int32),
                     stats=cb.stats, rctx=rctx)
             else:
                 sorted_t = sort_table(t, order, stats=cb.stats, rctx=rctx)

@@ -602,10 +602,11 @@ def _hot_key_hashes(local: Table, keys: list[str], num_parts: int,
     live = local.row_mask()
     h = jnp.where(live, h, jnp.uint32(0xFFFFFFFF))
     hs = jax.lax.sort([h], num_keys=1, is_stable=False)[0]
-    pos = jnp.arange(cap)
+    pos = jnp.arange(cap, dtype=jnp.int32)
     boundary = (hs != jnp.roll(hs, 1)) | (pos == 0)
     # run length at run end = pos - run_start + 1
-    run_start = jax.lax.cummax(jnp.where(boundary, pos, 0))
+    from ..ops.scan32 import cummax_i32
+    run_start = cummax_i32(jnp.where(boundary, pos, 0))
     nxt = jnp.roll(boundary, -1) | (pos == cap - 1)
     length = jnp.where(nxt & (hs != jnp.uint32(0xFFFFFFFF)),
                        (pos - run_start + 1).astype(jnp.int32), 0)
@@ -679,7 +680,7 @@ def dist_hash_join_skew(mesh: Mesh, join_type: JoinType,
                       jax.lax.all_gather(c.valid, AXIS, tiled=True))
             gathered_cols[name] = Column(gv, gvalid)
         gcap = num_parts * hot_cap
-        gpos = jnp.arange(gcap)
+        gpos = jnp.arange(gcap, dtype=jnp.int32)
         live_g = (gpos % hot_cap) < jnp.take(counts, gpos // hot_cap)
         hot_all = Table(local.schema, gathered_cols, jnp.sum(counts),
                         dict(local.dicts), cap_hint=gcap)
