@@ -98,12 +98,17 @@ def tpu_pipeline(fact, dim):
         fact_t = leaves[0]
 
         def body(carry, _):
-            vcol = fact_t.columns["v"]
-            perturbed = Table(
-                fact_t.schema,
-                {**fact_t.columns,
-                 "v": vcol._replace(values=vcol.values + carry)},
-                fact_t.num_rows, fact_t.dicts)
+            # perturb EVERY fact column: key-only subcomputations (the
+            # join's probe slots and fat-LUT gather) are loop-INVARIANT
+            # under a value-only perturbation and XLA's while-loop LICM
+            # hoists them out of the timing scan — under-measuring the
+            # pipeline by its whole probe gather (found r4c; same flaw
+            # class as the sliced checksum, bench_ops.py::perturb_all)
+            cols = {n: c._replace(values=c.values
+                                  + carry.astype(c.values.dtype))
+                    for n, c in fact_t.columns.items()}
+            perturbed = Table(fact_t.schema, cols, fact_t.num_rows,
+                              fact_t.dicts)
             out, flags = run([perturbed] + leaves[1:])
             # not provably zero => body can't be hoisted out of the scan.
             # Fold EVERY output column order-sensitively: a checksum that

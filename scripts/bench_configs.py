@@ -38,13 +38,18 @@ def main():
         from supersonic_tpu import Table as T
 
         def perturb(args, c):
+            # perturb EVERY column (numerically-zero carry delta):
+            # key-only subcomputations (probe gathers, masks, boundary
+            # scans) are loop-INVARIANT under a value-only perturbation
+            # and XLA hoists them out of the timing scan — the round-4
+            # config-4 number measured the join minus its whole 100M
+            # probe gather that way (re-measured r4c; same flaw class
+            # as the sliced-checksum bug, bench_ops.py::perturb_all)
             t = args[0]
-            vcol = t.columns[leaves_col]
-            t2 = T(t.schema,
-                   {**t.columns,
-                    leaves_col: vcol._replace(values=vcol.values + c)},
-                   t.num_rows, t.dicts)
-            return [t2]
+            cols = {n: col._replace(values=col.values
+                                    + c.astype(col.values.dtype))
+                    for n, col in t.columns.items()}
+            return [T(t.schema, cols, t.num_rows, t.dicts)]
 
         secs = timed(oprun, [leaves[0]], iters=iters, perturb=perturb)
         print(f"{name:<28} {secs*1e3:9.1f} ms  "
