@@ -224,6 +224,97 @@ def _fat_lut_probe(rt: Table, srcs, scat, pslot, pin, rng: int,
     return out, matched
 
 
+def _try_merge_spread_fill(rt, srcs, build_perm, build_n, sorted_bcodes,
+                           cat_codes, s_side, s_rowid, pcodes, pinert,
+                           rcap, lcap, nullable_out):
+    """Gather-free UNIQUE merge probe (kernels/spread.py).
+
+    In the joint build+probe sort, a probe row's unique match is the
+    nearest PRECEDING live build row (equal keys order build side
+    first), and live build rows appear in key order — i.e. exactly the
+    build-sorted rhs expanded by run lengths.  So the projected rhs
+    lanes (plus the build KEY code, whose equality with the probe's own
+    code decides matched-ness across run boundaries) spread across the
+    sorted rows as monotone runs and ride the back sort as payload,
+    replacing the probe-order random rhs gather (~5-6 ns/index — the
+    recorded HBM latency floor) with a bandwidth-bound kernel pass.
+    The dummy source covering rows before the first build row copies
+    build row 0, whose key is the MINIMUM live build key — rows it
+    covers have strictly smaller keys, so the equality test cannot
+    false-match (and ``build_n > 0`` guards the empty build).
+
+    Returns (rfetch dict at probe capacity, matched) or None when
+    ineligible (CPU backend without the force hook, non-i32 key codes —
+    float codes would change the engine's NaN-run matching, 64-bit
+    codes don't ride the 4-byte kernel lanes — or too many lanes)."""
+    from .. import kernels as K
+    from ..kernels import spread as spread_mod
+    from .filter import compact_arrays
+
+    if not (K.force_kernel_paths() or jax.default_backend() != "cpu"):
+        return None
+    if any(c.dtype != jnp.dtype(jnp.int32) for c in cat_codes):
+        return None
+    lanes: list[jnp.ndarray] = []
+    tags: list[tuple] = []
+    for i, bc in enumerate(sorted_bcodes):
+        lanes.append(bc.astype(cat_codes[i].dtype))
+        tags.append(("key", i))
+    rsrc = gather_table(_subset(rt, srcs), build_perm, rt.num_rows)
+    for src in dict.fromkeys(srcs):
+        c = rsrc.columns[src]
+        v = c.values
+        if v.dtype == jnp.bool_:
+            lanes.append(v.astype(jnp.int32))
+            tags.append(("bool", src))
+        elif jnp.dtype(v.dtype).itemsize == 4:
+            lanes.append(v)
+            tags.append(("val", src))
+        else:
+            return None  # 64-bit rhs column: keep the gather path
+        if c.valid is not None:
+            lanes.append(c.valid.astype(jnp.int32))
+            tags.append(("valid", src))
+    if not (1 <= len(lanes) <= spread_mod.MAX_PAYLOADS):
+        return None
+    tot = rcap + lcap
+    # dummy source row 0 = copy of build row 0 (min live build key)
+    lanes = [jnp.concatenate([ln[:1], ln]) for ln in lanes]
+    posb = compact_arrays([jnp.arange(tot, dtype=jnp.int32)],
+                          s_side == 0, rcap)[0]
+    k = jnp.arange(rcap, dtype=jnp.int32)
+    # +1 output shift keeps base strictly increasing even when the
+    # first sorted row is a build row (dummy width would be 0); output
+    # row 0 is dropped after the spread.  Tail sources land past the
+    # output and cover nothing.
+    bases = jnp.where(k < jnp.asarray(build_n, jnp.int32),
+                      posb + 1, tot + 1 + k)
+    base = jnp.concatenate([jnp.zeros(1, jnp.int32), bases])
+    outs = spread_mod.spread_kernel(lanes, base, tot + 1)
+    sorted_lanes = [o[1:] for o in outs]
+    is_probe = (s_side == 1).astype(jnp.int32)
+    back = jax.lax.sort([is_probe * (1 << 24) + s_rowid] + sorted_lanes,
+                        num_keys=1, is_stable=False)
+    fetched = dict(zip(tags, [b[rcap:] for b in back[1:]]))
+    key_eq = jnp.ones(lcap, jnp.bool_)
+    for i, pc in enumerate(pcodes):
+        key_eq = key_eq & (fetched[("key", i)]
+                           == pc.astype(cat_codes[i].dtype))
+    matched = key_eq & ~pinert & (jnp.asarray(build_n, jnp.int32) > 0)
+    out = {}
+    for src in dict.fromkeys(srcs):
+        if ("bool", src) in fetched:
+            vals = fetched[("bool", src)] > 0
+        else:
+            vals = fetched[("val", src)]
+        valid = (fetched[("valid", src)] > 0) \
+            if ("valid", src) in fetched else None
+        if nullable_out:
+            valid = matched if valid is None else (valid & matched)
+        out[src] = Column(vals, valid)
+    return out, matched
+
+
 def _try_spread_expansion(lt, lpairs, rpairs, rb, rt, build_perm, eff,
                           offsets, lower, count, out_cap, left_outer,
                           out_schema, out_dicts):
@@ -676,6 +767,7 @@ class HashJoin(Operation):
                     [binert.astype(jnp.int32)] + bcodes + [rowid],
                     num_keys=1 + len(bcodes), is_stable=True)
                 build_perm = res[-1]
+                sorted_bcodes = res[1:1 + len(bcodes)]
                 build_n = jnp.sum((~binert).astype(jnp.int32),
                                   dtype=jnp.int32)
                 # --- probe: merge-style ---
@@ -724,36 +816,48 @@ class HashJoin(Operation):
                     s_codes = jres[:len(cat_codes)]
                     s_side, s_rowid = jres[-2], jres[-1]
                 s_isb = (s_side == 0).astype(jnp.int32)
-                bprefix = cumsum_i32(s_isb)
-                tot = rcap + lcap
-                same_as_prev = jnp.ones(tot, dtype=jnp.bool_)
-                for c in s_codes:
-                    same_as_prev = same_as_prev & (c == jnp.roll(c, 1))
-                boundary = ~same_as_prev | (
-                    jnp.arange(tot, dtype=jnp.int32) == 0)
-                # build-count before this run; values are nondecreasing
-                # across runs so a plain cummax forward-fills run starts
-                run_start = cummax_i32(
-                    jnp.where(boundary, bprefix - s_isb, 0))
-                # back sort keyed on is-probe (side==1), not the 3-valued
-                # side, so probe rows land in the static [rcap:] slice
-                is_probe = (s_side == 1).astype(jnp.int32)
-                if packed_ids:
-                    back = jax.lax.sort(
-                        [is_probe * (1 << 24) + s_rowid,
-                         run_start.astype(jnp.int32),
-                         bprefix.astype(jnp.int32)],
-                        num_keys=1, is_stable=False)
-                    lower = back[1][rcap:]
-                    upper = back[2][rcap:]
+                sfill = None
+                if unique and packed_ids:
+                    sfill = _try_merge_spread_fill(
+                        rt, [s for s, _ in rpairs], build_perm, build_n,
+                        sorted_bcodes, cat_codes, s_side, s_rowid,
+                        pcodes, pinert, rcap, lcap, left_outer)
+                if sfill is not None:
+                    rfetch, matched = sfill
                 else:
-                    back = jax.lax.sort(
-                        [is_probe, s_rowid, run_start.astype(jnp.int32),
-                         bprefix.astype(jnp.int32)],
-                        num_keys=2, is_stable=True)
-                    lower = back[2][rcap:]
-                    upper = back[3][rcap:]
-                count = jnp.where(pinert, 0, upper - lower)
+                    bprefix = cumsum_i32(s_isb)
+                    tot = rcap + lcap
+                    same_as_prev = jnp.ones(tot, dtype=jnp.bool_)
+                    for c in s_codes:
+                        same_as_prev = same_as_prev & (c == jnp.roll(c, 1))
+                    boundary = ~same_as_prev | (
+                        jnp.arange(tot, dtype=jnp.int32) == 0)
+                    # build-count before this run; values are
+                    # nondecreasing across runs so a plain cummax
+                    # forward-fills run starts
+                    run_start = cummax_i32(
+                        jnp.where(boundary, bprefix - s_isb, 0))
+                    # back sort keyed on is-probe (side==1), not the
+                    # 3-valued side, so probe rows land in the static
+                    # [rcap:] slice
+                    is_probe = (s_side == 1).astype(jnp.int32)
+                    if packed_ids:
+                        back = jax.lax.sort(
+                            [is_probe * (1 << 24) + s_rowid,
+                             run_start.astype(jnp.int32),
+                             bprefix.astype(jnp.int32)],
+                            num_keys=1, is_stable=False)
+                        lower = back[1][rcap:]
+                        upper = back[2][rcap:]
+                    else:
+                        back = jax.lax.sort(
+                            [is_probe, s_rowid,
+                             run_start.astype(jnp.int32),
+                             bprefix.astype(jnp.int32)],
+                            num_keys=2, is_stable=True)
+                        lower = back[2][rcap:]
+                        upper = back[3][rcap:]
+                    count = jnp.where(pinert, 0, upper - lower)
             if unique:
                 # fast path: <=1 match per probe row, so no expansion.
                 # LEFT_OUTER keeps lhs columns zero-copy; INNER moves the

@@ -283,3 +283,45 @@ def test_hier_carry_lut_glue(forced, monkeypatch):
     for (gk, gs, gi), (wk, ws, wi) in zip(gl, wl):
         assert gk == wk and gi == wi
         assert abs(gs - ws) <= 1e-3 * max(1.0, abs(ws))
+
+
+def test_merge_spread_fill_glue(forced, monkeypatch):
+    """UNIQUE merge-probe spread-fill route (gather-free rhs fetch):
+    forced on CPU and compared against the gather back-sort path.
+    Covers unmatched probes (keys below/above/between build keys — the
+    dummy-source and key-equality machinery), NULL keys, NULL rhs
+    values, and LEFT_OUTER validity masking."""
+    import supersonic_tpu.ops.hash_join as HJ
+
+    import supersonic_tpu.kernels.spread as SP
+
+    fills = _counted(monkeypatch, SP, "spread_kernel")
+    rng = np.random.default_rng(11)
+    n, m = 5000, 700
+    pk = (np.arange(m) * 3 + 1).astype(np.int32)  # sparse: gaps miss
+    w = rng.integers(-100, 100, m).astype(np.int32)
+    wv = rng.random(m) < 0.9
+    fk = rng.integers(-10, 3 * m + 10, n).astype(np.int32)
+    fkv = rng.random(n) < 0.95
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32), ("v", DataType.FLOAT,
+                                                False)),
+        {"fk": [int(x) if ok else None for x, ok in zip(fk, fkv)],
+         "v": rng.random(n, dtype=np.float32)})
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("w", DataType.INT32)),
+        {"pk": pk, "w": [int(x) if ok else None
+                         for x, ok in zip(w, wv)]})
+
+    for jt in (JoinType.INNER, JoinType.LEFT_OUTER):
+        def plan(jt=jt):
+            return HashJoin(jt, ["fk"], ["pk"], ScanTable(lhs),
+                            ScanTable(rhs), KeyUniqueness.UNIQUE,
+                            lhs_projector=Projector.named("v"),
+                            rhs_projector=Projector.named("w"),
+                            allow_dense_lookup=False)
+
+        got, want = _run_both(plan)
+        assert got.to_pylist() == want.to_pylist()
+    assert fills, "spread-fill route did not execute the kernel"
