@@ -257,6 +257,17 @@ def _kernel(off_ref, m_ref, *refs, n_payloads: int, seq_min_k: int):
         ).wait()
 
 
+def compact_many(payloads, mask, out_cap: int):
+    """``compact_kernel`` for any number of payload lanes: chunks into
+    MAX_PAYLOADS-sized kernel calls sharing the same ``mask``.  Returns
+    just the compacted arrays (derive the count from ``mask``)."""
+    outs = []
+    for i in range(0, len(payloads), MAX_PAYLOADS):
+        outs.extend(compact_kernel(payloads[i:i + MAX_PAYLOADS], mask,
+                                   out_cap)[0])
+    return outs
+
+
 def compact_kernel(payloads, mask, out_cap: int):
     """Stable-compact 1-D 32-bit ``payloads`` where ``mask`` is True.
 

@@ -263,6 +263,19 @@ def _kernel(los_ref, *refs, n_payloads: int, seq_min_k: int):
             final[S - 1:S, LANES - 1:LANES], (1, LANES))
 
 
+def spread_many(payloads, base, out_cap: int):
+    """``spread_kernel`` for any number of payload lanes: chunks into
+    MAX_PAYLOADS-sized kernel calls sharing the same ``base``.  Each call
+    redoes the split bookkeeping (p/A computation), so wide lane sets pay
+    ~40% per extra call — still bandwidth-class vs. the per-index gather
+    it replaces."""
+    outs = []
+    for i in range(0, len(payloads), MAX_PAYLOADS):
+        outs.extend(spread_kernel(payloads[i:i + MAX_PAYLOADS], base,
+                                  out_cap))
+    return outs
+
+
 def spread_kernel(payloads, base, out_cap: int):
     """Expand dense ``payloads`` (one row per source) to ``out_cap``
     rows: out[j] = payloads[i][...] for the source i covering j.

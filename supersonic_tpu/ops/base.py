@@ -97,6 +97,13 @@ class BoundOperation:
     # rowid_merge_join.h:24-40).  Joins against such a key skip index
     # construction and probe the table directly (runtime-guarded).
     rowid: set = field(default_factory=set)
+    # per-column duplication bound: max multiplicity of any single value
+    # over live non-null rows, measured on concrete leaves (host count at
+    # bind).  Value-preserving operators pass it through (filtering only
+    # lowers multiplicity, so it stays a valid upper bound).  NOT_UNIQUE
+    # joins use it to pack all <=d candidate rows of a build key into one
+    # LUT row (runtime-guarded like every stats-driven choice).
+    dup: dict[str, int] = field(default_factory=dict)
 
     def run(self, ctx: RunContext) -> Table:
         out = self.fn(ctx)

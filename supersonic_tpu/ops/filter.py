@@ -269,4 +269,4 @@ class Filter(Operation):
             return compact_by_mask(t, keep, out_cap)
 
         return BoundOperation(cb.schema, cb.dicts, fn, out_cap,
-                              stats=dict(cb.stats))
+                              stats=dict(cb.stats), dup=dict(cb.dup))

@@ -224,6 +224,203 @@ def _fat_lut_probe(rt: Table, srcs, scat, pslot, pin, rng: int,
     return out, matched
 
 
+def _dup_packed_probe(rt, srcs, build_perm, bslot_s, counts, pslot, pin,
+                      rng: int, d: int, rctx):
+    """Dup-packed NOT_UNIQUE probe (round 5): ALL <=d candidate rows of a
+    dense build key pack into one LUT row of d*L 4-byte lanes, so the
+    probe pays ONE index-count-bound gather at probe scale instead of the
+    CSR (count, start) fetch PLUS an output-scale random rhs-row gather
+    (~5-6 ns/index, the recorded HBM latency floor — 384 ms alone for a
+    64M-row dup8 expansion).  Reference contract: the multiset's
+    per-query match lists in insertion order (row_hash_set.cc:581-599,
+    hash_join.cc:759-791) — candidate j of a slot is the j-th
+    original-order rhs row for that key, preserved because the CSR sort
+    is stable.
+
+    LUT construction is a monotone spread (kernels/spread.py), not a
+    scatter: live build rows arrive slot-sorted, so their flat targets
+    slot*d + within_pos are strictly increasing — one bandwidth-bound
+    kernel pass over rng*d output rows.  Gap entries (slots with
+    count < d) hold the previous row's lanes; they are unselectable
+    because expansion only reads candidate j < count.  A runtime guard
+    flags counts > d (stale dup statistics on re-run with new data).
+
+    Returns (count, cands) where cands = {"tags": [(kind, src)...],
+    "arr": [[d arrays at probe capacity] per tag]}, or None when the
+    kernel paths are unavailable (CPU without the force hook).
+    """
+    from .. import kernels as K
+    from ..kernels import spread as spread_mod
+
+    if not (K.force_kernel_paths() or jax.default_backend() != "cpu"):
+        return None
+    rcap = build_perm.shape[0]
+    rsorted = gather_table(_subset(rt, srcs), build_perm, rt.num_rows)
+    lanes: list = []
+    tags: list = []
+    for src in dict.fromkeys(srcs):
+        c = rsorted.columns[src]
+        v = c.values
+        if v.dtype == jnp.bool_:
+            lanes.append(v.astype(jnp.int32))
+            tags.append(("bool", src))
+        else:
+            lanes.append(v)  # 4-byte, guaranteed by bind-time eligibility
+            tags.append(("val", src))
+        if c.valid is not None:
+            lanes.append(c.valid.astype(jnp.int32))
+            tags.append(("valid", src))
+    pos = jnp.arange(rcap, dtype=jnp.int32)
+    live = bslot_s < rng
+    boundary = (bslot_s != jnp.roll(bslot_s, 1)) | (pos == 0)
+    run_start = cummax_i32(jnp.where(boundary, pos, 0))
+    # clamp keeps bases nondecreasing even when counts > d (guarded
+    # error below): garbage output, never a malformed kernel input
+    wp = jnp.minimum(pos - run_start, d - 1)
+    base = jnp.where(live, bslot_s * d + wp, rng * d + pos)
+    rctx.error_flags.append((
+        "join build-side duplication exceeds planned bound",
+        jnp.any(counts > d)))
+    # dummy source pins base[0] == 0 (kernel contract); the +1 shift
+    # keeps bases strictly increasing; output row 0 is dropped
+    lanes2 = [jnp.concatenate([ln[:1], ln]) for ln in lanes]
+    base2 = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                             base.astype(jnp.int32) + 1])
+    luts = spread_mod.spread_many(lanes2, base2, rng * d + 1)
+    luts = [lu[1:] for lu in luts]
+    # ONE packed probe gather: all d*L candidate lanes + the count lane
+    cols = [jax.lax.bitcast_convert_type(lu, jnp.uint32).reshape(rng, d)
+            for lu in luts]
+    cols.append(jax.lax.bitcast_convert_type(
+        counts.astype(jnp.int32), jnp.uint32)[:, None])
+    g = jnp.take(jnp.concatenate(cols, axis=1), pslot, axis=0)
+    g_cnt = jax.lax.bitcast_convert_type(g[:, -1], jnp.int32)
+    count = jnp.where(pin, g_cnt, 0)
+    arr = []
+    for ti, lu in enumerate(luts):
+        arr.append([jax.lax.bitcast_convert_type(g[:, ti * d + j],
+                                                 lu.dtype)
+                    for j in range(d)])
+    return count, {"tags": tags, "arr": arr}
+
+
+def _spread_expansion_packed(lt, lpairs, rpairs, eff, offsets, count,
+                             cands, d: int, out_cap, left_outer,
+                             out_schema, out_dicts):
+    """Expansion for the dup-packed probe: the candidate lanes gathered
+    at probe scale ride the spread to output scale alongside the lhs
+    columns, then a d-way elementwise select picks candidate
+    j = within-run position per output row — no output-scale gather of
+    any kind (cf. _try_spread_expansion, which still gathers rhs rows).
+    """
+    from ..kernels import compaction
+    from ..kernels import spread as spread_mod
+
+    lsub = _subset(lt, [s for s, _ in lpairs])
+    base_l = (offsets - eff).astype(jnp.int32)
+    lanes: list = []
+    spec: list = []  # (kind, name_or_tag, dtype)
+    for name in lsub.schema.names():
+        c = lsub.columns[name]
+        size = jnp.dtype(c.values.dtype).itemsize
+        if size == 4:
+            spec.append(("pass", name, c.values.dtype))
+            lanes.append(c.values)
+        elif size == 8:
+            lo_w, hi_w = compaction.split_words(c.values)
+            spec.append(("wide", name, c.values.dtype))
+            lanes.append(lo_w)
+            lanes.append(hi_w)
+        else:
+            spec.append(("narrow", name, c.values.dtype))
+            lanes.append(c.values.astype(jnp.int32))
+        if c.valid is not None:
+            spec.append(("valid", name, jnp.bool_))
+            lanes.append(c.valid.astype(jnp.int32))
+    spec.append(("base", None, jnp.int32))
+    lanes.append(base_l)
+    if left_outer:
+        spec.append(("cnt", None, jnp.int32))
+        lanes.append(count.astype(jnp.int32))
+    for ti, (kind, src) in enumerate(cands["tags"]):
+        for j in range(d):
+            spec.append(("cand", (ti, j), None))
+            lanes.append(cands["arr"][ti][j])
+    lcap = lt.capacity
+    src_mask = eff > 0
+    n_src = jnp.sum(src_mask.astype(jnp.int32), dtype=jnp.int32)
+    compacted = compaction.compact_many(lanes + [base_l], src_mask, lcap)
+    base_c = compacted[-1]
+    # dead tail must stay sorted for the tile-bound searchsorted
+    base_c = jnp.where(
+        jnp.arange(lcap, dtype=jnp.int32) < n_src, base_c,
+        jnp.int32(2**31 - 1))
+    spread_lanes = spread_mod.spread_many(compacted[:-1], base_c, out_cap)
+    cols_by_name: dict = {}
+    valid_by_name: dict = {}
+    base_vals = None
+    cnt_vals = None
+    cand_vals: dict = {}
+    i = 0
+    for kind, name, dtype in spec:
+        if kind == "pass":
+            cols_by_name[name] = spread_lanes[i]
+            i += 1
+        elif kind == "wide":
+            cols_by_name[name] = compaction.combine_words(
+                spread_lanes[i], spread_lanes[i + 1], dtype)
+            i += 2
+        elif kind == "narrow":
+            cols_by_name[name] = spread_lanes[i].astype(dtype)
+            i += 1
+        elif kind == "valid":
+            valid_by_name[name] = spread_lanes[i] != 0
+            i += 1
+        elif kind == "base":
+            base_vals = spread_lanes[i]
+            i += 1
+        elif kind == "cnt":
+            cnt_vals = spread_lanes[i]
+            i += 1
+        else:  # cand
+            cand_vals[name] = spread_lanes[i]
+            i += 1
+    n_out = jnp.minimum(jnp.maximum(offsets[-1], 0), out_cap)
+    out_pos = jnp.arange(out_cap, dtype=jnp.int32)
+    live_out = out_pos < n_out
+    jv = jnp.clip(out_pos - base_vals, 0, d - 1)
+    if left_outer:
+        has_match = cnt_vals > 0
+    else:
+        has_match = live_out
+
+    def select(ti):
+        sel = cand_vals[(ti, 0)]
+        for k in range(1, d):
+            sel = jnp.where(jv == k, cand_vals[(ti, k)], sel)
+        return sel
+
+    rvals: dict = {}
+    rvalid: dict = {}
+    for ti, (kind, src) in enumerate(cands["tags"]):
+        if kind == "valid":
+            rvalid[src] = select(ti) != 0
+        elif kind == "bool":
+            rvals[src] = select(ti) != 0
+        else:
+            rvals[src] = select(ti)
+    cols = {}
+    for src, dst in lpairs:
+        cols[dst] = Column(cols_by_name[src], valid_by_name.get(src))
+    for src, dst in rpairs:
+        valid = rvalid.get(src)
+        if left_outer:
+            hm = has_match & live_out
+            valid = hm if valid is None else (valid & hm)
+        cols[dst] = Column(rvals[src], valid)
+    return Table(out_schema, cols, n_out, out_dicts)
+
+
 def _try_merge_spread_fill(rt, srcs, build_perm, build_n, sorted_bcodes,
                            cat_codes, s_side, s_rowid, pcodes, pinert,
                            rcap, lcap, nullable_out):
@@ -616,6 +813,42 @@ class HashJoin(Operation):
 
         dense_info = _dense_dims() if self.allow_dense_lookup else None
 
+        # Dup-packed NOT_UNIQUE eligibility (static): planner dup
+        # statistics bound the build-side multiplicity d (composite
+        # multiplicity <= min over keys of per-key multiplicity), the
+        # projected rhs columns ride 4-byte lanes, and the LUT +
+        # expansion lane budgets hold.  The probe then pays ONE gather
+        # at probe scale (see _dup_packed_probe).
+        dup_bound = None
+        if dense_info is not None and not unique:
+            from ..types import jnp_dtype as _jnp_dtype
+            ds = [rb.dup.get(rk) for rk in rhs_keys]
+            if all(x is not None for x in ds):
+                d_ = max(1, min(ds))
+                _dims_, rng_, _g_ = dense_info
+                cand_lanes = 0
+                lanes_ok = True
+                for s_ in dict.fromkeys(s for s, _ in rpairs):
+                    a_ = rb.schema.lookup(s_)
+                    dt_ = _jnp_dtype(a_.type)
+                    if not (dt_.itemsize == 4 or dt_ == jnp.dtype(jnp.bool_)):
+                        lanes_ok = False
+                        break
+                    cand_lanes += 1 + (1 if a_.nullable else 0)
+                lhs_lanes = 0
+                for s_ in dict.fromkeys(s for s, _ in lpairs):
+                    a_ = lb.schema.lookup(s_)
+                    lhs_lanes += (2 if _jnp_dtype(a_.type).itemsize == 8
+                                  else 1) + (1 if a_.nullable else 0)
+                total_lanes = (lhs_lanes + 1 + (1 if left_outer else 0)
+                               + d_ * cand_lanes)
+                if (lanes_ok and d_ <= 64
+                        and rng_ * d_ <= _DENSE_RANGE_MAX
+                        and rng_ * d_ * max(cand_lanes, 1)
+                        <= 4 * _DENSE_RANGE_MAX
+                        and total_lanes <= 40):
+                    dup_bound = d_
+
         # Rowid-direct probe: UNIQUE single-key join whose rhs key IS the
         # row position plus a constant (dense ascending primary key — the
         # reference's row-id join precondition, rowid_merge_join.h:24-40,
@@ -652,6 +885,7 @@ class HashJoin(Operation):
             binert = bnull | ~rt.row_mask()
             rowid = jnp.arange(rcap, dtype=jnp.int32)
             rfetch = None
+            dup_cands = None
 
             def composite_slot(codes_list, table, key_names):
                 """int64 composite LUT slot + in-range mask over all
@@ -734,16 +968,24 @@ class HashJoin(Operation):
                 start = jnp.where(jnp.arange(rng, dtype=jnp.int32) > 0,
                                   jnp.roll(end_, 1), 0)
                 counts = end_ - start
-                build_perm = compact_arrays([s_pay], ~is_marker, rcap)[0]
+                build_perm, bslot_s = compact_arrays(
+                    [s_pay, s_slot2 // 2], ~is_marker, rcap)
                 pidx, pinr = composite_slot(pcodes, lt, lhs_keys)
                 pin = pinr & ~pinert
                 pslot = pidx.astype(jnp.int32)
-                # one packed gather for (count, start) — TPU gathers are
-                # index-count-bound, two lanes cost the same as one
-                g_cnt, g_start = gather_arrays([counts, start.astype(
-                    jnp.int32)], pslot)
-                count = jnp.where(pin, g_cnt, 0)
-                lower = jnp.where(pin, g_start, 0)
+                if dup_bound is not None:
+                    packed = _dup_packed_probe(
+                        rt, [s for s, _ in rpairs], build_perm, bslot_s,
+                        counts, pslot, pin, rng, dup_bound, rctx)
+                    if packed is not None:
+                        count, dup_cands = packed
+                if dup_cands is None:
+                    # one packed gather for (count, start) — TPU gathers
+                    # are index-count-bound, two lanes cost the same
+                    g_cnt, g_start = gather_arrays([counts, start.astype(
+                        jnp.int32)], pslot)
+                    count = jnp.where(pin, g_cnt, 0)
+                    lower = jnp.where(pin, g_start, 0)
             elif dense_info is not None:
                 # --- direct-address probe (dense unique build keys) ---
                 _dims, rng, guarded = dense_info
@@ -986,6 +1228,10 @@ class HashJoin(Operation):
             total = offsets[-1]
             rctx.error_flags.append(
                 ("join result overflow", total > out_cap))
+            if dup_cands is not None:
+                return _spread_expansion_packed(
+                    lt, lpairs, rpairs, eff, offsets, count, dup_cands,
+                    dup_bound, out_cap, left_outer, out_schema, out_dicts)
             spread_out = _try_spread_expansion(
                 lt, lpairs, rpairs, rb, rt, build_perm, eff, offsets,
                 lower, count, out_cap, left_outer, out_schema, out_dicts)

@@ -30,4 +30,4 @@ class Limit(Operation):
             return gather_table(t, idx, n)
 
         return BoundOperation(cb.schema, cb.dicts, fn, out_cap,
-                              stats=dict(cb.stats))
+                              stats=dict(cb.stats), dup=dict(cb.dup))

@@ -79,5 +79,6 @@ class Project(Operation):
                  if src in cb.stats}
         # zero-copy projection preserves row positions -> rowid-ness survives
         rowid = {dst for src, dst in pairs if src in cb.rowid}
+        dup = {dst: cb.dup[src] for src, dst in pairs if src in cb.dup}
         return BoundOperation(schema, dicts, fn, cb.capacity, stats=stats,
-                              rowid=rowid)
+                              rowid=rowid, dup=dup)

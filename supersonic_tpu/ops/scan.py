@@ -30,7 +30,8 @@ class ScanTable(Operation):
 
         stats = table_stats(self.table)
         return BoundOperation(schema, dicts, fn, cap, stats=stats,
-                              rowid=table_rowid_cols(self.table, stats))
+                              rowid=table_rowid_cols(self.table, stats),
+                              dup=table_dup_stats(self.table))
 
 
 def table_stats(table: Table) -> dict:
@@ -63,6 +64,47 @@ def table_stats(table: Table) -> dict:
             vals = vals[mask]
         stats[a.name] = (int(vals.min()), int(vals.max()))
     return stats
+
+
+_DUP_STAT_MAX_ROWS = 4_000_000  # host-count budget per leaf column
+
+
+def table_dup_stats(table: Table) -> dict:
+    """Per-column duplication bound: the max multiplicity of any single
+    value over live non-null rows (host ``np.unique`` count at bind —
+    the same role as classic index statistics).  Build sides of
+    NOT_UNIQUE joins use it to pack all <=d candidate rows of a key into
+    one LUT row.  Computed for integer/dictionary-code columns of
+    dimension-table scale; large fact leaves skip the host count."""
+    import numpy as np
+
+    from ..types import DataType
+
+    dup_types = (DataType.INT32, DataType.INT64, DataType.UINT32,
+                 DataType.UINT64, DataType.DATE, DataType.DATETIME,
+                 DataType.ENUM, DataType.STRING, DataType.BINARY)
+    dup: dict = {}
+    try:
+        n = int(table.num_rows)
+    except TypeError:
+        return dup  # traced num_rows: not a concrete leaf
+    if n == 0 or n > _DUP_STAT_MAX_ROWS:
+        return dup
+    for a in table.schema:
+        if a.type not in dup_types:
+            continue
+        c = table.columns[a.name]
+        if isinstance(c.values, jax.core.Tracer):
+            continue
+        vals = np.asarray(c.values)[:n]
+        if c.valid is not None:
+            mask = np.asarray(c.valid)[:n]
+            if not mask.any():
+                continue
+            vals = vals[mask]
+        _, counts = np.unique(vals, return_counts=True)
+        dup[a.name] = int(counts.max())
+    return dup
 
 
 def table_rowid_cols(table: Table, stats: dict) -> set:

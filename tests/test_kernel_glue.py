@@ -325,3 +325,76 @@ def test_merge_spread_fill_glue(forced, monkeypatch):
         got, want = _run_both(plan)
         assert got.to_pylist() == want.to_pylist()
     assert fills, "spread-fill route did not execute the kernel"
+
+
+def test_dup_packed_not_unique_glue(forced, monkeypatch):
+    """Dup-packed NOT_UNIQUE probe (round 5): planner dup statistics
+    bound the build multiplicity d, all d candidates pack into one LUT
+    row, the probe pays one probe-scale gather and the expansion selects
+    candidate j = within-run position elementwise — vs the normal dense
+    CSR + output-scale rhs gather path.  Mixed lanes: f32, nullable
+    int32, BOOL, STRING (dictionary codes)."""
+    import supersonic_tpu.ops.hash_join as HJ
+
+    calls = _counted(monkeypatch, HJ, "_dup_packed_probe")
+    rng = np.random.default_rng(3)
+    m = 400
+    pk = np.repeat(np.arange(m // 4, dtype=np.int32), 4)  # dup exactly 4
+    rng.shuffle(pk)
+    wn = rng.integers(0, 50, m).astype(object)
+    wn[rng.random(m) < 0.2] = None
+    words = ["aa", "bb", "cc", "dd"]
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("w", DataType.FLOAT, False),
+                       ("wn", DataType.INT32, True),
+                       ("b", DataType.BOOL, False),
+                       ("s", DataType.STRING, False)),
+        {"pk": pk, "w": rng.random(m).astype(np.float32),
+         "wn": list(wn), "b": rng.random(m) < 0.5,
+         "s": [words[i % 4] for i in range(m)]})
+    n = 3000
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"fk": rng.integers(0, m // 4 + 20, n).astype(np.int32),
+         "v": rng.random(n).astype(np.float32)})
+
+    for jt in (JoinType.INNER, JoinType.LEFT_OUTER):
+        def plan(jt=jt):
+            return HashJoin(jt, ["fk"], ["pk"], ScanTable(lhs),
+                            ScanTable(rhs), KeyUniqueness.NOT_UNIQUE,
+                            out_capacity=20000)
+
+        got, want = _run_both(plan)
+        assert got.to_pylist() == want.to_pylist()
+    assert calls, "dup-packed route did not execute"
+
+
+def test_dup_packed_stale_dup_guard(forced):
+    """Re-running the compiled dup-packed program with a build side whose
+    duplication exceeds the planned bound must raise the runtime guard
+    flag (stale planner statistics), never silently truncate."""
+    import jax
+    import jax.numpy as jnp
+
+    from supersonic_tpu.batch import Column
+    from supersonic_tpu.ops.base import compile_plan
+
+    ls = TupleSchema.of(("fk", DataType.INT32, False))
+    rs = TupleSchema.of(("pk", DataType.INT32, False))
+    lhs = Table.from_data(ls, {"fk": [3, 5, 3, 7]})
+    rhs = Table.from_data(rs, {"pk": [3, 3, 5, 9]})  # planned dup = 2
+    plan = HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(lhs),
+                    ScanTable(rhs), KeyUniqueness.NOT_UNIQUE,
+                    out_capacity=16)
+    run, bound, leaves = compile_plan(plan)
+    out, flags = jax.jit(run)(leaves)
+    assert not np.asarray(flags).any()
+    rt = leaves[1]
+    bad = Table(rt.schema,
+                {"pk": Column(jnp.asarray(np.array([3, 3, 3, 9],
+                                                   np.int32)), None)},
+                rt.num_rows, rt.dicts)
+    out2, flags2 = jax.jit(run)([leaves[0], bad])
+    assert np.asarray(flags2).any()
