@@ -265,14 +265,16 @@ def _kernel(los_ref, *refs, n_payloads: int, seq_min_k: int):
 
 def spread_many(payloads, base, out_cap: int):
     """``spread_kernel`` for any number of payload lanes: chunks into
-    MAX_PAYLOADS-sized kernel calls sharing the same ``base``.  Each call
-    redoes the split bookkeeping (p/A computation), so wide lane sets pay
-    ~40% per extra call — still bandwidth-class vs. the per-index gather
-    it replaces."""
+    kernel calls sharing the same ``base``.  Each call redoes the split
+    bookkeeping (p/A computation), so wide lane sets pay ~40% per extra
+    call — still bandwidth-class vs. the per-index gather it replaces.
+    Chunk size 6 (< MAX_PAYLOADS): measured on v5e, an 8-payload call
+    needs 16.27 MB of scoped VMEM against the 16 MB limit (~1.94 MB per
+    payload + ~0.8 MB fixed); 6 stays at ~12.4 MB."""
+    CHUNK = 6
     outs = []
-    for i in range(0, len(payloads), MAX_PAYLOADS):
-        outs.extend(spread_kernel(payloads[i:i + MAX_PAYLOADS], base,
-                                  out_cap))
+    for i in range(0, len(payloads), CHUNK):
+        outs.extend(spread_kernel(payloads[i:i + CHUNK], base, out_cap))
     return outs
 
 

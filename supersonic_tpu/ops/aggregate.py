@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+import math
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -189,13 +190,27 @@ def _hier_cumsum(x: jnp.ndarray, win_dtype) -> tuple[jnp.ndarray,
     A flat f64 cumsum is EMULATED on TPU (~46 ms at 8M rows, the single
     largest cost of the high-cardinality group-by; profiled r4,
     scripts/profile_groupby.py).  Instead ``win`` is the within-tile
-    inclusive cumsum in a native 32-bit dtype (~4 ms) and ``carry`` the
-    f64 exclusive cumsum of the tile totals — only capacity/512
-    elements of emulated arithmetic.  Exact for i32 limb inputs
+    inclusive cumsum in a native 32-bit dtype (~4 ms) and ``carry`` an
+    exclusive cumsum of the tile totals.  Exact for i32 limb inputs
     (values < 2^22 x 512 rows < 2^31); for f32 inputs the error is
     pairwise-summation class (per-tile rounding, independent of global
     magnitude) — tighter than the sequential f32 adds of the
     reference's accumulator loop.
+
+    The carry scan must NOT be an emulated f64 ``jnp.cumsum``: the
+    reduce-window f64 emulation costs ~40-110 s of REMOTE-AOT COMPILE
+    TIME at any length (measured r5: 37.5 s at 128 elements, 107 s at
+    15625 — the silent compile hog of every high-cardinality group-by).
+    An emulated INT64 cumsum compiles in ~1 s, so the tile totals ride
+    an i64 scan instead: integer totals exactly (|total| <= cap * 2^22
+    < 2^53, so the f64 conversion is exact too); f32 totals through a
+    fixed-point quantization q = round(ts * 2^(61 - e - log2(ntiles)))
+    against the running maximum's exponent e — quantization error
+    <= max|tile total| * ntiles * 2^-61, far inside the f32 win tiles'
+    own pairwise rounding.  Non-finite tile totals clamp to the i64
+    range (groups touching them produce garbage, like the flat-scan
+    path they replace; the DOUBLE SUM path repairs inf/NaN per group
+    separately).
     """
     n = x.shape[0]
     T = _HIER_TILE
@@ -203,7 +218,22 @@ def _hier_cumsum(x: jnp.ndarray, win_dtype) -> tuple[jnp.ndarray,
     xp = (jnp.concatenate([x, jnp.zeros(npad - n, x.dtype)])
           if npad != n else x)
     win2 = jnp.cumsum(xp.astype(win_dtype).reshape(-1, T), axis=1)
-    cs = jnp.cumsum(win2[:, -1].astype(jnp.float64))
+    ts = win2[:, -1]
+    ntiles = ts.shape[0]
+    if jnp.issubdtype(jnp.dtype(win_dtype), jnp.integer):
+        cs = jnp.cumsum(ts.astype(jnp.int64)).astype(jnp.float64)
+    else:
+        ts64 = ts.astype(jnp.float64)
+        finite = jnp.isfinite(ts64)
+        amax = jnp.max(jnp.where(finite, jnp.abs(ts), 0.0))
+        e = jnp.ceil(jnp.log2(jnp.maximum(
+            amax.astype(jnp.float64), 1e-30)))
+        nb = math.ceil(math.log2(max(ntiles, 2)))
+        scale = jnp.exp2(61.0 - e - nb)
+        ts_q = jnp.where(finite, ts64, 2.0**62)  # NaN/inf -> clamp
+        q = jnp.round(jnp.clip(ts_q * scale, -(2.0**61),
+                               2.0**61)).astype(jnp.int64)
+        cs = jnp.cumsum(q).astype(jnp.float64) / scale
     carry = jnp.concatenate([jnp.zeros(1, jnp.float64), cs[:-1]])
     return win2.reshape(-1)[:n], carry
 
@@ -1128,6 +1158,11 @@ class GroupAggregate(Operation):
         # dropped; groups come out in key/slot order instead.
         from .filter import bind_predicates, keep_mask, unwrap_filters
         from .hash_join import HashJoin, KeyUniqueness
+        _unordered = _unordered or getattr(self, "_always_unordered", False)
+        if not getattr(self, "_pushdown_disabled", False):
+            pushed = self._try_aggregate_pushdown(ctx, _unordered)
+            if pushed is not None:
+                return pushed
         inner, preds = unwrap_filters(self.child)
         # Fuse a UNIQUE join child: bind it masked (uncompacted output +
         # keep mask) and fold the mask into this aggregate's pad key —
@@ -1216,6 +1251,212 @@ class GroupAggregate(Operation):
         out_stats = {names[0]: cb.stats[names[0]]} \
             if names and names[0] in cb.stats else {}
         return BoundOperation(out_schema, out_dicts, fn, out_cap,
+                              stats=out_stats)
+
+    def _try_aggregate_pushdown(self, ctx: BindContext,
+                                _unordered: bool) -> Optional[BoundOperation]:
+        """Aggregate pushdown through a UNIQUE INNER join (star-schema
+        rewrite, round 5): when the group keys come from the join's
+        BUILD side and every aggregate reads only PROBE-side columns,
+        pregroup the probe side by its join key first and join the (far
+        fewer) partials — the probe-scale random rhs gather (~5-6
+        ns/index, ~80% of the honest headline pipeline) shrinks to
+        partial-count scale.  The reference designs exactly this hook:
+        BestEffortGroupAggregate "can be used ... to distribute
+        processing" by pregrouping before the expensive exchange
+        (aggregate.h:233-246); here the join IS the exchange.
+
+        Decompositions (column_aggregator.cc semantics preserved):
+        SUM -> SUM of partial SUMs (partials aggregate in the same
+        output type, so integer wrap composes modularly); COUNT -> SUM
+        of partial COUNTs (counts non-null inputs; never NULL);
+        MIN/MAX -> MIN/MAX of partials.  Insertion order (RowHashSet
+        append order) is reproduced by MIN of per-partial first row
+        positions; consumers that re-order anyway (_unordered) skip it.
+
+        Applies only when both join children reduce statically to
+        (Filter*)(ScanTable) — the planner needs the probe leaf's key
+        range to bound the pregroup output — and when the key range is
+        at most a quarter of the probe capacity (else the pregroup
+        would not shrink the probe side enough to pay for itself).
+        """
+        from .compute import Compute
+        from .filter import Filter, unwrap_filters
+        from .hash_join import HashJoin, JoinType, KeyUniqueness
+        from .project import Projector
+        from .scan import ScanTable, table_stats
+        from .sort import Sort, SortKey
+
+        opts = self.options
+        specs = self.spec.specs
+        if (opts.memory_quota is not None
+                or opts.max_unique_keys_in_result
+                or self.best_effort or not self.group_by):
+            return None
+        inner, preds = unwrap_filters(self.child)
+        if preds or not isinstance(inner, HashJoin):
+            return None
+        if (inner.join_type != JoinType.INNER
+                or inner.uniqueness != KeyUniqueness.UNIQUE):
+            return None
+        for s in specs:
+            if s.distinct or s.aggregation not in (
+                    Aggregation.SUM, Aggregation.MIN, Aggregation.MAX,
+                    Aggregation.COUNT):
+                return None
+        lleaf, _lp = unwrap_filters(inner.lhs)
+        rleaf, _rp = unwrap_filters(inner.rhs)
+        if not isinstance(lleaf, ScanTable) or not isinstance(rleaf,
+                                                              ScanTable):
+            return None
+        lschema, rschema = lleaf.table.schema, rleaf.table.schema
+        try:
+            lpairs = inner.lhs_projector.resolve(lschema)
+            rpairs = inner.rhs_projector.resolve(rschema)
+        except SchemaError:
+            return None
+        ldst = {dst: src for src, dst in lpairs}
+        rdst = {dst: src for src, dst in rpairs}
+        if not all(k in rdst for k in self.group_by):
+            return None
+        for s in specs:
+            if s.input is not None and s.input not in ldst:
+                return None
+        if any(n.startswith("__pre")
+               for n in list(ldst) + list(rdst) + list(lschema.names())):
+            return None
+        # probe-side key-range statistics bound the pregroup output
+        lstats = table_stats(lleaf.table)
+        rng = 1
+        for k in inner.lhs_keys:
+            try:
+                a = lschema.lookup(k)
+            except SchemaError:
+                return None
+            if a.type in (DataType.STRING, DataType.BINARY):
+                d = lleaf.table.dicts.get(k)
+                if d is None:
+                    return None
+                rng *= max(len(d), 1)
+            elif a.type in (DataType.INT32, DataType.INT64,
+                            DataType.UINT32, DataType.DATE,
+                            DataType.DATETIME, DataType.ENUM):
+                if k not in lstats:
+                    return None
+                lo, hi = lstats[k]
+                rng *= hi - lo + 1
+            else:
+                return None
+            if rng > (1 << 24):
+                return None
+        lcap = lleaf.table.capacity
+        if rng <= 0 or rng * 4 > lcap:
+            return None
+
+        # --- build the rewritten plan ---
+        pre_specs: list[AggSpec] = []
+        final_specs: list[AggSpec] = []
+        for i, s in enumerate(specs):
+            pname = f"__pre{i}"
+            if s.aggregation == Aggregation.SUM:
+                pre_specs.append(AggSpec(Aggregation.SUM, ldst[s.input],
+                                         pname,
+                                         output_type=s.output_type))
+                final_specs.append(AggSpec(Aggregation.SUM, pname,
+                                           s.output,
+                                           output_type=s.output_type))
+            elif s.aggregation == Aggregation.COUNT:
+                # partial counts are bounded by the probe capacity, so
+                # they ride an INT32 partial column (u32 fat-LUT lanes,
+                # no 64-bit gather group) whenever that fits; the final
+                # SUM still aggregates exactly in the 64-bit output type
+                pt = (DataType.INT32 if lcap < 2**31 - 1
+                      else DataType.INT64)
+                pre_specs.append(AggSpec(
+                    Aggregation.COUNT,
+                    None if s.input is None else ldst[s.input], pname,
+                    output_type=pt))
+                final_specs.append(AggSpec(
+                    Aggregation.SUM, pname, s.output,
+                    output_type=s.output_type or DataType.UINT64))
+            else:  # MIN / MAX decompose into themselves
+                pre_specs.append(AggSpec(s.aggregation, ldst[s.input],
+                                         pname))
+                final_specs.append(AggSpec(s.aggregation, pname, s.output,
+                                           output_type=s.output_type))
+        pre_child = inner.lhs
+        if not _unordered:
+            # first-occurrence positions: Sequence() over the LEAF rows
+            # (pre-filter positions are monotone w.r.t. the filtered
+            # order, so MIN over kept rows ranks groups identically).
+            # The Compute goes UNDER the probe-side Filters so the
+            # pregroup's filter-into-pad-key fusion still applies.
+            from ..exprs import Sequence, col as _col
+            pre_child = Compute(
+                [_col(n) for n in lschema.names()]
+                + [Sequence().as_("__prepos")], lleaf)
+            for p in _lp:
+                pre_child = Filter(p, pre_child)
+            pre_specs.append(AggSpec(Aggregation.MIN, "__prepos",
+                                     "__prefp"))
+            final_specs.append(AggSpec(Aggregation.MIN, "__prefp",
+                                       "__fp"))
+        pregroup = GroupAggregate(
+            list(inner.lhs_keys), pre_specs, pre_child,
+            GroupAggregateOptions(estimated_result_row_count=rng))
+        pregroup._pushdown_disabled = True
+        # partial order is irrelevant (the join re-orders anyway):
+        # drop the pregroup's insertion-order re-rank machinery
+        pregroup._always_unordered = True
+        part_names = [s.output for s in pre_specs]
+        new_join = HashJoin(
+            JoinType.INNER, list(inner.lhs_keys), list(inner.rhs_keys),
+            pregroup, inner.rhs, KeyUniqueness.UNIQUE,
+            lhs_projector=Projector.named(*part_names),
+            rhs_projector=inner.rhs_projector,
+            allow_dense_lookup=inner.allow_dense_lookup)
+        final = GroupAggregate(
+            list(self.group_by), final_specs, new_join,
+            GroupAggregateOptions(
+                estimated_result_row_count=opts.estimated_result_row_count))
+        final._pushdown_disabled = True
+        plan: Operation = final
+        if not _unordered:
+            plan = Sort([SortKey("__fp", ascending=True)], final)
+        bound = plan.bind(ctx)
+
+        # --- schema fix-up: reproduce the direct path's output schema
+        # (column order, COUNT non-nullable) and drop the __fp helper ---
+        join_attrs = []
+        for src, dst in lpairs:
+            a = lschema.lookup(src)
+            join_attrs.append(Attribute(dst, a.type, a.nullable, a.enum))
+        for src, dst in rpairs:
+            a = rschema.lookup(src)
+            join_attrs.append(Attribute(dst, a.type, a.nullable, a.enum))
+        join_schema = TupleSchema(join_attrs)
+        key_attrs = [join_schema.lookup(n) for n in self.group_by]
+        agg_attrs = [_resolve_output_attr(s, join_schema) for s in specs]
+        out_schema = TupleSchema(key_attrs + agg_attrs)
+        out_names = [a.name for a in out_schema]
+        out_dicts = {n: d for n, d in bound.dicts.items()
+                     if n in out_names}
+
+        def fn(rctx: RunContext) -> Table:
+            t = bound.run(rctx)
+            cols = {}
+            for a in out_schema:
+                c = t.columns[a.name]
+                if not a.nullable and c.valid is not None:
+                    c = Column(c.values, None)
+                cols[a.name] = c
+            return Table(out_schema, cols, t.num_rows, out_dicts,
+                         cap_hint=bound.capacity)
+
+        out_stats = {}
+        if self.group_by and self.group_by[0] in bound.stats:
+            out_stats[self.group_by[0]] = bound.stats[self.group_by[0]]
+        return BoundOperation(out_schema, out_dicts, fn, bound.capacity,
                               stats=out_stats)
 
 
