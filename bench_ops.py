@@ -237,6 +237,47 @@ def main(n=8_000_000, m=1_000_000):
                        ScanTable(fact_str),
                        GroupAggregateOptions(estimated_result_row_count=64)),
         perturb_all(), n)
+    # expression-engine workload (VERDICT r4 missing #1): the reference's
+    # own benchmark example #2 — Compute(c0 * (Sin(c2) + Exp(c1))) over
+    # (INT32, INT64, DOUBLE), operation_example.cc:44-50 (value ranges
+    # kept finite; mirrored in refbuild/baseline_bench.cc "compute 8M")
+    from supersonic_tpu import Compute
+    from supersonic_tpu.exprs import Exp, Sin
+
+    comp = Table.from_data(
+        TupleSchema.of(("c0", DataType.INT32, False),
+                       ("c1", DataType.INT64, False),
+                       ("c2", DataType.DOUBLE, False)),
+        {"c0": rng.integers(0, 1000, n).astype(np.int32),
+         "c1": rng.integers(-50, 51, n),
+         "c2": rng.random(n)})
+    results["compute"] = bench(
+        "compute 8M c0*(sin+exp)",
+        Compute([(col("c0") * (Sin(col("c2")) + Exp(col("c1"))))
+                 .as_("out")], ScanTable(comp)),
+        perturb_all(), n)
+
+    # STRING-key join: 8M probe x 1M-distinct-string build (dictionary
+    # codes ride the dense fat-LUT path); C++ row: "join_str 8M x 1M"
+    keys_m = np.array([f"key_{i:07d}" for i in range(m)])
+    fact_sj = Table.from_data(
+        TupleSchema.of(("fk", DataType.STRING, False),
+                       ("v", DataType.FLOAT, False)),
+        {"fk": list(keys_m[rng.integers(0, m, n)]),
+         "v": rng.random(n, dtype=np.float32)})
+    dim_str = Table.from_data(
+        TupleSchema.of(("pk", DataType.STRING, False),
+                       ("w", DataType.INT32, False)),
+        {"pk": list(keys_m),
+         "w": rng.integers(0, 64, m).astype(np.int32)})
+    results["join_str"] = bench(
+        "join_str 8M x 1M",
+        HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact_sj),
+                 ScanTable(dim_str), KeyUniqueness.UNIQUE,
+                 lhs_projector=Projector.named("v"),
+                 rhs_projector=Projector.named("w")),
+        perturb_all(), n)
+
     from supersonic_tpu import MergeUnionAll
 
     half = n // 2

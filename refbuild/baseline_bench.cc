@@ -63,6 +63,9 @@ struct Bench {
   std::unique_ptr<Table> fact_str;  // 8M rows, 50 string keys
   std::unique_ptr<Table> sorted_a;  // 4M rows sorted by (g ASC, v DESC)
   std::unique_ptr<Table> sorted_b;
+  std::unique_ptr<Table> comp;      // (c0 i32, c1 i64, c2 double) 8M
+  std::unique_ptr<Table> fact_sj;   // (fk STRING over 1M values, v) 8M
+  std::unique_ptr<Table> dim_str;   // (pk STRING 1M distinct, w) 1M
 
   void BuildData() {
     std::mt19937 rng(42);
@@ -142,9 +145,72 @@ struct Bench {
       fact_str->Set<FLOAT>(1, row, v_d(rng));
     }
 
+    // expression-engine workload: the reference's own benchmark example
+    // #2 shape (benchmark/examples/operation_example.cc:44-50) —
+    // Compute(c0 * (Sin(c2) + Exp(c1))) over (INT32, INT64, DOUBLE),
+    // value ranges kept finite so both engines do real math
+    std::uniform_int_distribution<int32> c0_d(0, 999);
+    std::uniform_int_distribution<int64> c1_d(-50, 50);
+    std::uniform_real_distribution<double> c2_d(0.0, 1.0);
+    TupleSchema comp_schema;
+    comp_schema.add_attribute(Attribute("c0", INT32, NOT_NULLABLE));
+    comp_schema.add_attribute(Attribute("c1", INT64, NOT_NULLABLE));
+    comp_schema.add_attribute(Attribute("c2", DOUBLE, NOT_NULLABLE));
+    comp.reset(new Table(comp_schema, alloc));
+    comp->ReserveRowCapacity(kFactRows);
+    for (int i = 0; i < kFactRows; ++i) {
+      rowid_t row = comp->AddRow();
+      comp->Set<INT32>(0, row, c0_d(rng));
+      comp->Set<INT64>(1, row, c1_d(rng));
+      comp->Set<DOUBLE>(2, row, c2_d(rng));
+    }
+
+    // STRING-key join: probe 8M random keys over a 1M-distinct-string
+    // build side (the dictionary-code dense path on the TPU engine)
+    TupleSchema sj_schema;
+    sj_schema.add_attribute(Attribute("fk", STRING, NOT_NULLABLE));
+    sj_schema.add_attribute(Attribute("v", FLOAT, NOT_NULLABLE));
+    fact_sj.reset(new Table(sj_schema, alloc));
+    fact_sj->ReserveRowCapacity(kFactRows);
+    char buf[32];
+    for (int i = 0; i < kFactRows; ++i) {
+      rowid_t row = fact_sj->AddRow();
+      snprintf(buf, sizeof(buf), "key_%07d", fk_d(rng));
+      fact_sj->Set<STRING>(0, row, StringPiece(buf));
+      fact_sj->Set<FLOAT>(1, row, v_d(rng));
+    }
+    TupleSchema ds_schema;
+    ds_schema.add_attribute(Attribute("pk", STRING, NOT_NULLABLE));
+    ds_schema.add_attribute(Attribute("w", INT32, NOT_NULLABLE));
+    dim_str.reset(new Table(ds_schema, alloc));
+    dim_str->ReserveRowCapacity(kDimRows);
+    for (int i = 0; i < kDimRows; ++i) {
+      rowid_t row = dim_str->AddRow();
+      snprintf(buf, sizeof(buf), "key_%07d", i);
+      dim_str->Set<STRING>(0, row, StringPiece(buf));
+      dim_str->Set<INT32>(1, row, g_d(rng));
+    }
+
     // two pre-sorted 4M halves for the merge-union workload
     sorted_a.reset(MaterializeSortedHalf(0));
     sorted_b.reset(MaterializeSortedHalf(1));
+  }
+
+  Operation* ComputeOp() {
+    return Compute(Multiply(NamedAttribute("c0"),
+                            Plus(Sin(NamedAttribute("c2")),
+                                 Exp(NamedAttribute("c1")))),
+                   ScanView(comp->view()));
+  }
+
+  Operation* JoinStrOp() {
+    CompoundMultiSourceProjector* result = new CompoundMultiSourceProjector();
+    result->add(0, ProjectNamedAttribute("v"));
+    result->add(1, ProjectNamedAttribute("w"));
+    return new HashJoinOperation(
+        INNER, ProjectNamedAttribute("fk"), ProjectNamedAttribute("pk"),
+        result, UNIQUE, ScanView(fact_sj->view()),
+        ScanView(dim_str->view()));
   }
 
   Table* MaterializeSortedHalf(int which) {
@@ -346,9 +412,74 @@ struct BigBench {
   }
 };
 
+// BASELINE.json config-2 workloads (scripts/bench_configs.py shapes):
+// 10M rows, STRING key with 50 distinct values (4 aggregations) and an
+// INT32 key over [0, 2^22) (~3.9M distinct, SUM).
+struct Cfg2Bench {
+  BufferAllocator* alloc;
+  static const int64 kRows = 10LL * 1000 * 1000;
+  std::unique_ptr<Table> fact2;
+
+  void BuildData() {
+    std::mt19937 rng(42);
+    std::uniform_int_distribution<int> g_d(0, 49);
+    std::uniform_int_distribution<int32> k_d(0, (1 << 22) - 1);
+    std::uniform_real_distribution<float> v_d(0.0f, 1.0f);
+    TupleSchema schema;
+    schema.add_attribute(Attribute("g", STRING, NOT_NULLABLE));
+    schema.add_attribute(Attribute("k", INT32, NOT_NULLABLE));
+    schema.add_attribute(Attribute("v", FLOAT, NOT_NULLABLE));
+    fact2.reset(new Table(schema, alloc));
+    fact2->ReserveRowCapacity(kRows);
+    char buf[16];
+    for (int64 i = 0; i < kRows; ++i) {
+      rowid_t row = fact2->AddRow();
+      snprintf(buf, sizeof(buf), "cat_%02d", g_d(rng));
+      fact2->Set<STRING>(0, row, StringPiece(buf));
+      fact2->Set<INT32>(1, row, k_d(rng));
+      fact2->Set<FLOAT>(2, row, v_d(rng));
+    }
+  }
+
+  Operation* GroupBy50Op() {
+    AggregationSpecification* agg = new AggregationSpecification();
+    agg->AddAggregation(SUM, "v", "sv");
+    agg->AddAggregation(MIN, "v", "mn");
+    agg->AddAggregation(MAX, "v", "mx");
+    agg->AddAggregation(COUNT, "v", "n");
+    GroupAggregateOptions* options = new GroupAggregateOptions();
+    options->set_estimated_result_row_count(64);
+    return GroupAggregate(ProjectNamedAttribute("g"), agg, options,
+                          ScanView(fact2->view()));
+  }
+
+  Operation* GroupByHiOp() {
+    AggregationSpecification* agg = new AggregationSpecification();
+    agg->AddAggregation(SUM, "v", "sv");
+    GroupAggregateOptions* options = new GroupAggregateOptions();
+    options->set_estimated_result_row_count(1 << 22);
+    return GroupAggregate(ProjectNamedAttribute("k"), agg, options,
+                          ScanView(fact2->view()));
+  }
+};
+
 }  // namespace
 
 int main(int argc, char** argv) {
+  if (argc > 1 && std::string(argv[1]) == "--cfg2") {
+    Cfg2Bench cfg2;
+    cfg2.alloc = HeapBufferAllocator::Get();
+    double t0 = NowSec();
+    cfg2.BuildData();
+    fprintf(stderr, "cfg2 data build: %.1f s\n", NowSec() - t0);
+    Bench runner;
+    runner.alloc = cfg2.alloc;
+    runner.Run("groupby 10M->50 (4 aggs)", cfg2.GroupBy50Op(),
+               (double)Cfg2Bench::kRows);
+    runner.Run("groupby 10M->~3.9M SUM", cfg2.GroupByHiOp(),
+               (double)Cfg2Bench::kRows);
+    return 0;
+  }
   if (argc > 1 && std::string(argv[1]) == "--big") {
     BigBench big;
     big.alloc = HeapBufferAllocator::Get();
@@ -391,6 +522,8 @@ int main(int argc, char** argv) {
             kFactRows);
   bench.Run("groupby_str 8M->50", bench.GroupByStrOp(), kFactRows);
   bench.Run("merge_union 2x4M", bench.MergeUnionOp(), kFactRows);
+  bench.Run("compute 8M c0*(sin+exp)", bench.ComputeOp(), kFactRows);
+  bench.Run("join_str 8M x 1M", bench.JoinStrOp(), kFactRows);
   bench.Run("pipeline 8M", bench.PipelineOp(), kFactRows);
   return 0;
 }

@@ -28,6 +28,15 @@ def main():
     rng = np.random.default_rng(0)
     n100, m = 100_000_000, 1_000_000
 
+    # compile-budget enforcement (VERDICT r4 next #7): bench_configs
+    # compiles every config anyway — a breach fails the run loudly
+    # instead of silently eating the benchmark budget
+    ceilings = {"config2 groupby 10M->50 (4 aggs)": 120.0,
+                "config2 groupby 10M->~3.9M SUM": 120.0,
+                "config3 sort 100M": 300.0,
+                "config4 join 100M x 1M": 60.0}
+    breaches = []
+
     def bench(name, plan, leaves_col, rows, iters=4):
         run, bound, leaves = compile_plan(plan)
 
@@ -51,9 +60,17 @@ def main():
                     for n, col in t.columns.items()}
             return [T(t.schema, cols, t.num_rows, t.dicts)]
 
-        secs = timed(oprun, [leaves[0]], iters=iters, perturb=perturb)
+        comp = []
+        secs = timed(oprun, [leaves[0]], iters=iters, perturb=perturb,
+                     compile_out=comp)
+        ceil = ceilings.get(name)
+        note = ""
+        if ceil is not None and comp and comp[0] > ceil:
+            breaches.append((name, comp[0], ceil))
+            note = f"  COMPILE BREACH ({comp[0]:.0f}s > {ceil:.0f}s)"
         print(f"{name:<28} {secs*1e3:9.1f} ms  "
-              f"{rows/secs/1e6:8.1f} M rows/s", flush=True)
+              f"{rows/secs/1e6:8.1f} M rows/s  "
+              f"(compile+first {comp[0]:.0f}s){note}", flush=True)
         return secs
 
     from supersonic_tpu import (AggSpec, Aggregation, GroupAggregate,
@@ -112,6 +129,11 @@ def main():
                    lhs_projector=Projector.named("v"),
                    rhs_projector=Projector.named("w")), "v", n100,
           iters=3)
+    if breaches:
+        for nm, got, cap in breaches:
+            print(f"COMPILE BUDGET BREACH: {nm} took {got:.0f}s "
+                  f"(ceiling {cap:.0f}s)", file=sys.stderr)
+        sys.exit(2)
 
 
 if __name__ == "__main__":

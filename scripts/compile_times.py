@@ -22,10 +22,17 @@ sys.path.insert(0, "/root/repo")
 # Generous ceilings (VERDICT r3 next #8): a shape regression that
 # re-awakens the superlinear remote-AOT behavior (142 s -> minutes)
 # must fail loudly, not silently eat the benchmark budget.
+# Round 5: the pipeline ceiling rises 30 -> 60 s because the aggregate
+# pushdown deliberately adds a sort-based 1M-key pregroup (47.6 ->
+# 35.9 ms steady state for ~+35 s of one-time compile); the emulated-
+# f64-cumsum compile hog that used to cost high-cardinality group-bys
+# ~100 s is fixed (ops/aggregate._hier_cumsum), so 60 s is now a real
+# tripwire, not slack.
 CEILINGS_S = {
-    "config5_pipeline_8m": 30.0,
+    "config5_pipeline_8m": 60.0,
     "config4_join_100m_x_1m": 60.0,
     "config3_sort_100m": 300.0,  # known outlier: 142 s remote AOT
+    "config2_groupby_10m_hi": 120.0,
 }
 
 
@@ -92,6 +99,22 @@ def main():
                      rhs_projector=Projector.named("w")),
             GroupAggregateOptions(estimated_result_row_count=64)))
     time_compile("config5_pipeline_8m", pipeline)
+
+    # config-2 high-cardinality group-by: the shape whose compile was
+    # silently dominated by the emulated-f64 carry cumsum before r5
+    n10 = 10_000_000
+    fact2 = Table.from_data(
+        TupleSchema.of(("k", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"k": rng.integers(0, 1 << 22, n10).astype(np.int32),
+         "v": rng.random(n10, dtype=np.float32)})
+    time_compile("config2_groupby_10m_hi",
+                 GroupAggregate(["k"],
+                                [AggSpec(Aggregation.SUM, "v", "sv")],
+                                ScanTable(fact2),
+                                GroupAggregateOptions(
+                                    estimated_result_row_count=1 << 22)))
+    del fact2
 
     n100 = 100_000_000
     big = Table.from_data(

@@ -17,7 +17,10 @@ import time
 import numpy as np
 
 
-def timed(fn, args, iters=8, perturb=None):
+def timed(fn, args, iters=8, perturb=None, compile_out=None):
+    """``compile_out``: optional list; the first warmup's wall seconds
+    (compile + first run) are appended to it — bench_configs.py uses
+    this for compile-budget enforcement."""
     import jax
     import jax.numpy as jnp
 
@@ -38,7 +41,10 @@ def timed(fn, args, iters=8, perturb=None):
         return c
 
     jrun = jax.jit(chained)
+    t0 = time.perf_counter()
     np.asarray(jrun(args))
+    if compile_out is not None:
+        compile_out.append(time.perf_counter() - t0)
     noop = jax.jit(lambda x: x + 1)
     np.asarray(noop(jnp.float32(0)))
     t0 = time.perf_counter()

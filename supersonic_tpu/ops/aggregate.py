@@ -168,13 +168,6 @@ def _normalize_spec(specification) -> AggregationSpecification:
     return AggregationSpecification(specification)
 
 
-def _acc_dtype(values_dtype):
-    """Cumsum accumulation dtype for FLOAT/DOUBLE sums: f64, so the
-    run-diff subtraction is exact at input scale.  (Integer sums take the
-    exact limb path below instead.)"""
-    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-
-
 _LIMB_BITS = 22
 _LIMB_COUNT = 3  # 3 x 22 = 66 bits cover the 64-bit two's complement
 
@@ -305,6 +298,61 @@ def _sum_limbs_combine(limb_diffs: list[jnp.ndarray], odt) -> jnp.ndarray:
         term = d.astype(idt) * idt(1 << (j * _LIMB_BITS))
         total = term if total is None else total + term
     return total.astype(odt)
+
+
+def _sum_limbs_fixedpoint(vals: jnp.ndarray, weight: jnp.ndarray):
+    """f64-accumulated SUM (DOUBLE inputs, float/64-bit outputs) without
+    any per-row emulated f64 scan — the flat f64 cumsum it replaces cost
+    ~62 ms/8M at RUN time and ~220 s of remote-AOT COMPILE time
+    (measured r5), and its f64 extraction operand forced the whole
+    group extraction into the payload-sort fallback.
+
+    Values quantize against the running maximum's exponent e into
+    fixed-point units of 2^(e-B), B = 86 - ceil(log2 cap), and split
+    into four 22-bit limbs (top limb signed, <= B-66 <= 20 bits, so
+    every limb's 512-row tile sum stays inside i32); each limb rides
+    the hierarchical i32/i64 cumsum machinery exactly.  Precision: the
+    quantum is max|v| * 2^(ceil(log2 cap) - 86) <= max|v| * 2^-53 for
+    any capacity below 2^33, so per-group error is sequential-f64
+    class (<= group_rows * max|v| * 2^-53) — the same class as the
+    reference's double accumulator loop (aggregation_operators.h:58).
+
+    inf/NaN inputs cannot ride the quantization; they are excluded
+    from the limbs and repaired per group from two i32 indicator scans:
+    nf = count of non-finite addends, sg = (+inf count) - (-inf count).
+    A group is NaN iff nf > |sg| (any NaN, or mixed-sign infinities),
+    else +/-inf by sg's sign — exactly IEEE addition semantics.
+    Returns ([(win, carry)] per limb, e, B, nf_cumsum, sgn_cumsum).
+    """
+    v = vals.astype(jnp.float64)
+    finite = jnp.isfinite(v)
+    use = weight & finite
+    av = jnp.where(use, jnp.abs(v), 0.0)
+    amax = jnp.max(av)
+    e = jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300)))
+    cap = v.shape[0]
+    B = 86 - max(math.ceil(math.log2(max(cap, 2))), 1)
+    # two-step power-of-two scaling keeps both factors in f64 range
+    sh = jnp.float64(B) - e
+    s1 = jnp.exp2(jnp.floor(sh / 2))
+    s2 = jnp.exp2(sh - jnp.floor(sh / 2))
+    w = jnp.round(jnp.where(use, v, 0.0) * s1 * s2)
+    P = float(1 << 22)
+    t1 = jnp.floor(w / P)
+    l0 = w - t1 * P
+    t2 = jnp.floor(t1 / P)
+    l1 = t1 - t2 * P
+    t3 = jnp.floor(t2 / P)
+    l2 = t2 - t3 * P
+    l3 = t3  # signed top limb, |l3| <= 2^(B-66) <= 2^20
+    limb_pairs = [_hier_cumsum(l.astype(jnp.int32), jnp.int32)
+                  for l in (l0, l1, l2, l3)]
+    nonfin = weight & ~finite
+    pinf = nonfin & (v > 0)  # NaN compares false on purpose
+    ninf = nonfin & (v < 0)
+    nf_cs = cumsum_i32(nonfin.astype(jnp.int32))
+    sgn_cs = cumsum_i32(pinf.astype(jnp.int32) - ninf.astype(jnp.int32))
+    return limb_pairs, e, B, nf_cs, sgn_cs
 
 
 def _diff(x: jnp.ndarray) -> jnp.ndarray:
@@ -949,18 +997,50 @@ def _grouped_aggregate(t: Table, names, specs, schema_in, out_dicts,
 
                         finalize.append((oname, a, fin_sum_h))
                     else:
-                        acc = _acc_dtype(vals.dtype)
-                        cs = jnp.cumsum(jnp.where(
-                            weight, vals,
-                            jnp.zeros_like(vals)).astype(acc))
-                        end_cols[f"s_{oname}"] = Column(cs, None)
+                        # f64-accumulated SUM (DOUBLE input / float
+                        # output of a 64-bit input): fixed-point limb
+                        # cumsums — see _sum_limbs_fixedpoint
+                        limb_pairs, e_exp, fp_b, nf_cs, sgn_cs = \
+                            _sum_limbs_fixedpoint(vals, weight)
+                        for j, (win, _) in enumerate(limb_pairs):
+                            end_cols[f"s{j}_{oname}"] = Column(win, None)
+                        end_cols[f"nf_{oname}"] = Column(nf_cs, None)
+                        end_cols[f"sg_{oname}"] = Column(sgn_cs, None)
+                        carries = [c for _, c in limb_pairs]
+                        used_tid = True
 
-                        def fin_sum(e, st, o=oname, odt=odt):
+                        def fin_sum_fp(e, st, o=oname, odt=odt,
+                                       carries=carries, e_exp=e_exp,
+                                       fp_b=fp_b):
                             nv = _diff(e[f"w_{o}"].values)
-                            sv = _diff(e[f"s_{o}"].values).astype(odt)
+                            tid_e = e["__tid"].values
+                            limb_d = [
+                                _diff(_carry_at(c, tid_e)
+                                      + e[f"s{j}_{o}"].values
+                                      .astype(jnp.float64))
+                                for j, c in enumerate(carries)]
+                            total = limb_d[0]
+                            for j in range(1, len(limb_d)):
+                                total = total + limb_d[j] * float(
+                                    1 << (22 * j))
+                            # de-scale by 2^(e-B), two-step for range
+                            sh = e_exp - jnp.float64(fp_b)
+                            d1 = jnp.exp2(jnp.floor(sh / 2))
+                            d2 = jnp.exp2(sh - jnp.floor(sh / 2))
+                            sv = (total * d1) * d2
+                            nf = _diff(e[f"nf_{o}"].values)
+                            sg = _diff(e[f"sg_{o}"].values)
+                            sv = jnp.where(
+                                nf > 0,
+                                jnp.where(
+                                    nf > jnp.abs(sg),
+                                    jnp.float64(jnp.nan),
+                                    jnp.where(sg > 0, jnp.float64(jnp.inf),
+                                              jnp.float64(-jnp.inf))),
+                                sv).astype(odt)
                             return Column(sv, nv > 0)
 
-                        finalize.append((oname, a, fin_sum))
+                        finalize.append((oname, a, fin_sum_fp))
                 else:
                     finalize.append((oname, a, lambda e, st, o=oname,
                                      odt=odt: Column(

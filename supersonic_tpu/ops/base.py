@@ -153,6 +153,13 @@ class BindContext:
 
     def __init__(self, cancel: Optional[CancellationToken] = None):
         self.leaves: list[Table] = []
+        # (leaf index, producer) pairs for host/disk-boundary operators
+        # (external sort, hybrid spill aggregation): bind registers a
+        # capacity-shaped placeholder and defers the heavy work to
+        # ``prepare_leaves`` at execution time — the reference's hybrid
+        # cursor likewise makes CreateCursor cheap and drains its child
+        # at the first Next() (aggregate_groups.cc:332-431)
+        self.lazy: list = []
         self.cancel = cancel
 
     def check_cancel(self) -> None:
@@ -164,6 +171,27 @@ class BindContext:
     def register_leaf(self, table: Table) -> int:
         self.leaves.append(table)
         return len(self.leaves) - 1
+
+    def register_lazy_leaf(self, placeholder: Table, producer) -> int:
+        """Register a host-produced leaf: ``placeholder`` fixes the
+        schema/capacity at bind; ``producer(leaves, cancel) -> Table``
+        runs at execution time (``prepare_leaves``) and must return a
+        table of exactly the placeholder's capacity and column layout."""
+        idx = self.register_leaf(placeholder)
+        self.lazy.append((idx, producer))
+        return idx
+
+
+def prepare_leaves(leaves, lazy, cancel=None):
+    """Resolve lazy (host/disk-boundary) leaves before the device run.
+    Producers see the already-resolved prefix, so nested boundaries
+    (a spill below a spill) resolve in bind order."""
+    if not lazy:
+        return list(leaves)
+    leaves = list(leaves)
+    for idx, producer in lazy:
+        leaves[idx] = producer(leaves, cancel)
+    return leaves
 
 
 class Operation:

@@ -486,3 +486,50 @@ def test_concat_clustered_and_formats():
         ["g"], [AggSpec(Aggregation.CONCAT, "b", "cb"),
                 AggSpec(Aggregation.CONCAT, "d", "cd")], ScanTable(t2)))
     assert out2.to_pylist() == [(1, "TRUE,FALSE", "1970/01/01,1971/01/01")]
+
+
+def test_double_sum_fixedpoint_inf_nan():
+    """DOUBLE SUM rides the fixed-point limb path (round 5): finite
+    groups match numpy at f64 precision; inf/NaN addends follow IEEE
+    addition per group (any NaN or mixed-sign infinities -> NaN,
+    else +/-inf) — repaired from the nf/sg indicator scans."""
+    import warnings
+
+    import numpy as np
+
+    from supersonic_tpu import (AggSpec, Aggregation, DataType,
+                                GroupAggregate, GroupAggregateOptions,
+                                ScanTable, Table, TupleSchema, execute)
+
+    rng = np.random.default_rng(0)
+    n = 20000
+    g = rng.integers(0, 9, n)
+    v = rng.random(n) * 2e5 - 1e5
+    v[np.where(g == 0)[0][0]] = np.nan
+    v[np.where(g == 1)[0][0]] = np.inf
+    v[np.where(g == 2)[0][0]] = -np.inf
+    i3 = np.where(g == 3)[0][:2]
+    v[i3[0]] = np.inf
+    v[i3[1]] = -np.inf
+    i4 = np.where(g == 4)[0][:2]
+    v[i4[0]] = np.inf
+    v[i4[1]] = np.nan
+    t = Table.from_data(
+        TupleSchema.of(("g", DataType.INT32, False),
+                       ("v", DataType.DOUBLE, False)),
+        {"g": g.astype(np.int32), "v": v})
+    out = execute(GroupAggregate(
+        ["g"], [AggSpec(Aggregation.SUM, "v", "sv")], ScanTable(t),
+        GroupAggregateOptions(estimated_result_row_count=16)))
+    got = dict(out.to_pylist())
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for k in range(9):
+            b = float(np.sum(v[g == k]))
+            a = got[k]
+            if np.isnan(b):
+                assert np.isnan(a), (k, a, b)
+            elif np.isinf(b):
+                assert a == b, (k, a, b)
+            else:
+                assert abs(a - b) <= 1e-9 * max(1.0, abs(b)), (k, a, b)
