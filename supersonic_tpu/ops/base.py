@@ -222,7 +222,9 @@ def compile_plan(op: Operation,
     The returned callable is the whole query as one XLA program; leaf tables
     are traced arguments so the program is reusable across same-shape data.
     """
-    bound, leaves = bind_plan(op, cancel=cancel)
+    bctx = BindContext(cancel=cancel)
+    bound = op.bind(bctx)
+    leaves = bctx.leaves
 
     def run(leaf_tables):
         ctx = RunContext(list(leaf_tables), cancel=cancel)
@@ -239,6 +241,7 @@ def compile_plan(op: Operation,
         return out, flags
 
     run.deferred = []
+    run.lazy = bctx.lazy
     return run, bound, leaves
 
 
@@ -255,6 +258,10 @@ def execute(op: Operation, check_errors: bool = True, jit: bool = True,
     run, bound, leaves = compile_plan(op, cancel=cancel)
     if cancel is not None:
         cancel.check()
+    # host/disk-boundary leaves (spill sort, hybrid aggregation) resolve
+    # here — the reference's "work at first Next()" contract; bind stays
+    # side-effect-free
+    leaves = prepare_leaves(leaves, run.lazy, cancel)
     runner = jax.jit(run) if jit else run
     res = runner(leaves)
     table, flags = res[0], res[1]
@@ -282,6 +289,57 @@ def execute(op: Operation, check_errors: bool = True, jit: bool = True,
     return table
 
 
+def materialize_bound(bound: BoundOperation, leaf_tables,
+                      cancel: Optional[CancellationToken] = None,
+                      jit: bool = True, cache: Optional[dict] = None) -> Table:
+    """Run an ALREADY-BOUND subtree on resolved leaf tables — the
+    producer-side replay used by host/disk-boundary operators
+    (``register_lazy_leaf``).  The subtree bound exactly once in the
+    real BindContext; this executes it with the concrete leaves at
+    prepare time, checks its error flags, and resolves deferred host
+    work.  ``cache``: optional dict shared across executions of the
+    same bound plan — a fresh jax.jit per execute would re-pay the
+    subtree's remote-AOT compile every run."""
+
+    if cache is not None and "materialize_bound" in cache:
+        runner, sub = cache["materialize_bound"]
+    else:
+        def sub(lt):
+            rctx = RunContext(list(lt), cancel=cancel)
+            out = bound.run(rctx)
+            if rctx.error_flags:
+                flags = jnp.stack([f for _, f in rctx.error_flags])
+            else:
+                flags = jnp.zeros(0, dtype=jnp.bool_)
+            sub.deferred = list(rctx.deferred)
+            if rctx.deferred:
+                return out, flags, [d.aux for d in rctx.deferred]
+            return out, flags
+
+        sub.deferred = []
+        runner = jax.jit(sub) if jit else sub
+        if cache is not None:
+            cache["materialize_bound"] = (runner, sub)
+    res = runner(leaf_tables)
+    table, flags = res[0], res[1]
+    if flags.shape[0]:
+        flags_host = jax.device_get(flags)
+        if flags_host.any():
+            rctx = RunContext(list(leaf_tables), cancel=cancel)
+            bound.run(rctx)
+            names = [n for (n, _) in rctx.error_flags]
+            raised = [names[i] for i, f in enumerate(flags_host) if f]
+            bad = [n for n in raised if not n.startswith("warning:")]
+            if bad:
+                raise EvaluationError(
+                    f"evaluation failed: {', '.join(bad)}")
+    if len(res) > 2:
+        from .host import resolve_deferred
+
+        resolve_deferred(sub.deferred, res[2], cancel=cancel)
+    return table
+
+
 def default_capacity(*caps: int) -> int:
     return max(caps) if caps else 1
 
@@ -299,6 +357,7 @@ def materialize_child(op: Operation, check_errors: bool = True,
     ``jit=False`` runs the plan eagerly — for many small same-schema
     host batches of varying shape a jit would compile per shape."""
     run, bound, leaves = compile_plan(op)
+    leaves = prepare_leaves(leaves, run.lazy, None)
     res = (jax.jit(run) if jit else run)(leaves)
     table, flags = res[0], res[1]
     if check_errors and flags.shape[0]:

@@ -83,3 +83,50 @@ def dryrun(n_devices: int) -> None:
             f"SUM mismatch for group {gid}"
     ring_rows = int(np.sum(np.asarray(ring.num_rows)))
     assert ring_rows == int(keep.sum()), "ring join row count mismatch"
+
+    # --- skew hot-key broadcast join (VERDICT r4 next #8: the hard
+    # distributed paths belong in the driver's multichip gate, not only
+    # in pytest).  60% of probe rows hit one key; validated against a
+    # host join recomputation. ---
+    from .dist import dist_hash_join_skew
+
+    fk_s = np.where(rng.random(n) < 0.6, 7,
+                    rng.integers(0, m, n)).astype(np.int32)
+    lv = np.arange(n, dtype=np.int32)
+    skew_lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("lv", DataType.INT32, False)),
+        {"fk": fk_s, "lv": lv})
+    dskew = distribute_table(skew_lhs, mesh)
+    skew_out = dist_hash_join_skew(
+        mesh, JoinType.INNER, ["fk"], ["pk"], dskew, ddim,
+        KeyUniqueness.UNIQUE, out_cap_per_peer=1024, hot_cap=4096,
+        min_frac=0.05)
+    sres = collect_table(skew_out)
+    want = sorted((int(a), int(b), int(a), int(g[a]))
+                  for a, b in zip(fk_s, lv))
+    got_rows = sorted(tuple(int(x) for x in r)
+                      for r in sres.to_pylist())
+    assert got_rows == want, "skew join mismatch vs host recomputation"
+
+    # --- exchange overflow must RAISE (ERROR_MEMORY_EXCEEDED semantics,
+    # memory.h:465), never silently drop: every row shares one key, so
+    # the shuffle funnels into one deliberately undersized peer ---
+    from ..exprs.base import EvaluationError
+
+    hot = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.INT32, False)),
+        {"fk": np.zeros(512, dtype=np.int32),
+         "v": np.arange(512, dtype=np.int32)})
+    dhot = distribute_table(hot, mesh)
+    try:
+        dist_group_aggregate(
+            mesh, dhot, ["fk"],
+            [AggSpec(Aggregation.SUM, "v", "sv", distinct=True)],
+            out_cap_per_peer=8)
+    except EvaluationError as e:
+        assert "exchange overflow" in str(e)
+    else:
+        raise AssertionError(
+            "skewed exchange overflow did not raise")

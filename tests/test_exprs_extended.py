@@ -444,3 +444,34 @@ def test_deferred_dateformat_matches_domain_lut():
         [DateFormat(col("t"), "%Y-%m-%d %H").as_("s")], ScanTable(t)))
     assert ([r[0] for r in deferred.to_pylist()]
             == [r[0] for r in lut.to_pylist()])
+
+
+def test_makedate_signals_makedatetime_nulls():
+    """Signaling parity (VERDICT r4 missing #3): MAKEDATE of a pre-epoch
+    date raises an evaluation failure (can_fail trait,
+    expression_traits.h:1772; MakeDateFailer, date_evaluators.cc:271-287)
+    while MAKEDATETIME sets the row NULL instead (the reference's
+    BoundMakeDatetimeExpression folds the failure into the skip vector,
+    date_bound_expressions.cc:123-131)."""
+    import pytest
+
+    from supersonic_tpu import (Compute, DataType, ScanTable, Table,
+                                TupleSchema, execute, col)
+    from supersonic_tpu.exprs import MakeDate, MakeDatetime
+    from supersonic_tpu.exprs.base import EvaluationError
+
+    t = Table.from_data(
+        TupleSchema.of(("y", DataType.INT64, False),
+                       ("m", DataType.INT64, False),
+                       ("d", DataType.INT64, False)),
+        {"y": [1960, 2001], "m": [1, 3], "d": [1, 7]})
+    with pytest.raises(EvaluationError, match="MAKEDATE"):
+        execute(Compute([MakeDate(col("y"), col("m"), col("d")).as_("x")],
+                        ScanTable(t)))
+    out = execute(Compute(
+        [MakeDatetime(col("y"), col("m"), col("d"),
+                      col("m"), col("m"), col("m")).as_("x")],
+        ScanTable(t)))
+    rows = out.to_pylist()
+    assert rows[0] == (None,)
+    assert rows[1][0] is not None

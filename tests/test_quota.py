@@ -201,3 +201,67 @@ def test_hybrid_empty_input(tmp_path):
         GroupAggregateOptions(memory_quota=64),
         temporary_directory_prefix=str(tmp_path)))
     assert got.to_pylist() == []
+
+
+def test_hybrid_bind_is_pure():
+    """Binding a spilling plan must NOT execute the spill (the
+    reference's hybrid cursor makes CreateCursor cheap and drains its
+    child at the first Next(), aggregate_groups.cc:332-431): the
+    ExternalSorter runs only at execution (prepare_leaves) time."""
+    import numpy as np
+
+    import supersonic_tpu.io.external as EXT
+    from supersonic_tpu import (AggSpec, Aggregation, DataType,
+                                GroupAggregateOptions, HybridGroupAggregate,
+                                ScanTable, Table, TupleSchema)
+    from supersonic_tpu.ops.base import compile_plan, prepare_leaves
+    from supersonic_tpu.ops.sort import SortWithTempDirPrefix
+
+    calls = []
+    orig = EXT.ExternalSorter.__init__
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    EXT.ExternalSorter.__init__ = counting
+    try:
+        rng = np.random.default_rng(0)
+        n = 5000
+        t = Table.from_data(
+            TupleSchema.of(("k", DataType.INT32, False),
+                           ("v", DataType.FLOAT, False)),
+            {"k": rng.integers(0, 2000, n).astype(np.int32),
+             "v": rng.random(n, dtype=np.float32)})
+        plan = HybridGroupAggregate(
+            ["k"], [AggSpec(Aggregation.SUM, "v", "sv")], ScanTable(t),
+            GroupAggregateOptions(memory_quota=4096))
+        run, bound, leaves = compile_plan(plan)
+        assert not calls, "bind executed the spill"
+        assert run.lazy, "spill plan registered no lazy leaf"
+        resolved = prepare_leaves(leaves, run.lazy)
+        assert calls, "prepare did not run the spill"
+        out, _flags = run(resolved)
+        got = sorted(out.to_pylist())
+        want = {}
+        ks = np.asarray(t.columns["k"].values)[:n]
+        vs = np.asarray(t.columns["v"].values)[:n]
+        for k in np.unique(ks):
+            want[int(k)] = float(np.sum(vs[ks == k], dtype=np.float64))
+        assert len(got) == len(want)
+        for k, sv in got:
+            assert abs(sv - want[k]) < 1e-2, (k, sv, want[k])
+
+        # external sort: same contract
+        calls.clear()
+        plan2 = SortWithTempDirPrefix([("k", True)], ScanTable(t),
+                                      memory_limit=4096)
+        run2, bound2, leaves2 = compile_plan(plan2)
+        assert not calls, "sort bind executed the spill"
+        resolved2 = prepare_leaves(leaves2, run2.lazy)
+        assert calls
+        out2, _f2 = run2(resolved2)
+        kk = [r[0] for r in out2.to_pylist()]
+        assert kk == sorted(kk) and len(kk) == n
+    finally:
+        EXT.ExternalSorter.__init__ = orig
