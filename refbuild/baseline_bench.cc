@@ -466,6 +466,24 @@ struct Cfg2Bench {
 }  // namespace
 
 int main(int argc, char** argv) {
+  if (argc > 1 && std::string(argv[1]) == "--hybrid") {
+    // spilling hybrid aggregate at the TPU engine's shape: 8M rows,
+    // 1M distinct keys, 16 MB quota (forces the disk path)
+    Bench bench;
+    bench.alloc = HeapBufferAllocator::Get();
+    double t0 = NowSec();
+    bench.BuildData();
+    fprintf(stderr, "data build: %.1f s\n", NowSec() - t0);
+    AggregationSpecification* agg = new AggregationSpecification();
+    agg->AddAggregation(SUM, "v", "sv");
+    agg->AddAggregation(COUNT, "v", "c");
+    bench.Run("hybrid spill 8M->1M",
+              HybridGroupAggregate(ProjectNamedAttribute("fk"), agg,
+                                   16 << 20, "/tmp/ss_hybrid",
+                                   ScanView(bench.fact->view())),
+              kFactRows, 1);
+    return 0;
+  }
   if (argc > 1 && std::string(argv[1]) == "--cfg2") {
     Cfg2Bench cfg2;
     cfg2.alloc = HeapBufferAllocator::Get();
