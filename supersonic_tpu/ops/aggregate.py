@@ -190,19 +190,22 @@ def _hier_cumsum(x: jnp.ndarray, win_dtype) -> tuple[jnp.ndarray,
     magnitude) — tighter than the sequential f32 adds of the
     reference's accumulator loop.
 
-    The carry scan must NOT be an emulated f64 ``jnp.cumsum``: the
-    reduce-window f64 emulation costs ~40-110 s of REMOTE-AOT COMPILE
+    The carry scan must NOT be an emulated 64-bit ``jnp.cumsum``: the
+    f64 reduce-window emulation costs ~40-110 s of REMOTE-AOT COMPILE
     TIME at any length (measured r5: 37.5 s at 128 elements, 107 s at
-    15625 — the silent compile hog of every high-cardinality group-by).
-    An emulated INT64 cumsum compiles in ~1 s, so the tile totals ride
-    an i64 scan instead: integer totals exactly (|total| <= cap * 2^22
-    < 2^53, so the f64 conversion is exact too); f32 totals through a
-    fixed-point quantization q = round(ts * 2^(61 - e - log2(ntiles)))
-    against the running maximum's exponent e — quantization error
-    <= max|tile total| * ntiles * 2^-61, far inside the f32 win tiles'
-    own pairwise rounding.  Non-finite tile totals clamp to the i64
-    range (groups touching them produce garbage, like the flat-scan
-    path they replace; the DOUBLE SUM path repairs inf/NaN per group
+    15625 — the silent compile hog of every high-cardinality group-by),
+    and the i64 form blows the 16 MB scoped-VMEM limit from ~19K
+    elements (the long-documented u32-pair reduce-window trap).  The
+    carries instead ride an EXPLICIT log-shift Hillis-Steele scan in
+    f64 — pure elementwise adds, no reduce-window, compile-safe (the
+    segscan precedent) and exact for integer values below 2^53:
+    integer tile totals directly (|total| <= cap * 2^22 < 2^53); f32
+    totals through a fixed-point quantization q = round(ts * 2^(52 - e
+    - log2(ntiles))) against the running maximum's exponent e —
+    quantization error <= max|tile total| * ntiles * 2^-52, far inside
+    the f32 win tiles' own pairwise rounding.  Non-finite tile totals
+    clamp (groups touching them produce garbage, like the flat-scan
+    path this replaces; the DOUBLE SUM path repairs inf/NaN per group
     separately).
     """
     n = x.shape[0]
@@ -214,7 +217,7 @@ def _hier_cumsum(x: jnp.ndarray, win_dtype) -> tuple[jnp.ndarray,
     ts = win2[:, -1]
     ntiles = ts.shape[0]
     if jnp.issubdtype(jnp.dtype(win_dtype), jnp.integer):
-        cs = jnp.cumsum(ts.astype(jnp.int64)).astype(jnp.float64)
+        cs = _shift_scan_f64(ts.astype(jnp.float64))
     else:
         ts64 = ts.astype(jnp.float64)
         finite = jnp.isfinite(ts64)
@@ -222,13 +225,25 @@ def _hier_cumsum(x: jnp.ndarray, win_dtype) -> tuple[jnp.ndarray,
         e = jnp.ceil(jnp.log2(jnp.maximum(
             amax.astype(jnp.float64), 1e-30)))
         nb = math.ceil(math.log2(max(ntiles, 2)))
-        scale = jnp.exp2(61.0 - e - nb)
-        ts_q = jnp.where(finite, ts64, 2.0**62)  # NaN/inf -> clamp
-        q = jnp.round(jnp.clip(ts_q * scale, -(2.0**61),
-                               2.0**61)).astype(jnp.int64)
-        cs = jnp.cumsum(q).astype(jnp.float64) / scale
+        scale = jnp.exp2(52.0 - e - nb)
+        ts_q = jnp.where(finite, ts64, 2.0**53)  # NaN/inf -> clamp
+        q = jnp.round(jnp.clip(ts_q * scale, -(2.0**52), 2.0**52))
+        cs = _shift_scan_f64(q) / scale
     carry = jnp.concatenate([jnp.zeros(1, jnp.float64), cs[:-1]])
     return win2.reshape(-1)[:n], carry
+
+
+def _shift_scan_f64(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive f64 prefix sum via log-shift adds (see _hier_cumsum:
+    both emulated 64-bit ``jnp.cumsum`` lowerings are hazards — compile
+    time for f64, scoped VMEM for i64).  Exact while all prefix values
+    are integers below 2^53."""
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        x = x + jnp.concatenate([jnp.zeros(d, x.dtype), x[:-d]])
+        d *= 2
+    return x
 
 
 def _carry_at(carry: jnp.ndarray, tid: jnp.ndarray) -> jnp.ndarray:
