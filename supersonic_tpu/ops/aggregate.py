@@ -1391,8 +1391,20 @@ class GroupAggregate(Operation):
         inner, preds = unwrap_filters(self.child)
         if preds or not isinstance(inner, HashJoin):
             return None
-        if (inner.join_type != JoinType.INNER
-                or inner.uniqueness != KeyUniqueness.UNIQUE):
+        # INNER only; UNIQUE and NOT_UNIQUE both decompose exactly —
+        # under NOT_UNIQUE every (probe-partial, build-row) pair of the
+        # rewritten join contributes its partial once per duplicate,
+        # exactly as the direct join's (probe-row, build-row) pairs do.
+        # The NOT_UNIQUE rewrite also removes the output-scale expansion
+        # entirely (a dup8-style aggregate never materializes its 64M
+        # join rows) — but only for consumers that re-order anyway:
+        # insertion-order ties between groups first seen at the SAME
+        # probe row are broken by build-side match-list order, which
+        # MIN-of-first-positions cannot reproduce.
+        if inner.join_type != JoinType.INNER:
+            return None
+        if (inner.uniqueness != KeyUniqueness.UNIQUE
+                and not _unordered):
             return None
         for s in specs:
             if s.distinct or s.aggregation not in (
@@ -1504,11 +1516,18 @@ class GroupAggregate(Operation):
         # drop the pregroup's insertion-order re-rank machinery
         pregroup._always_unordered = True
         part_names = [s.output for s in pre_specs]
+        # NOT_UNIQUE: every build row matches at most ONE partial (the
+        # pregroup output is key-unique), so the rewritten join's output
+        # is bounded by the build capacity — far below the direct
+        # join's duplicated output
+        join_cap = (None if inner.uniqueness == KeyUniqueness.UNIQUE
+                    else rleaf.table.capacity)
         new_join = HashJoin(
             JoinType.INNER, list(inner.lhs_keys), list(inner.rhs_keys),
-            pregroup, inner.rhs, KeyUniqueness.UNIQUE,
+            pregroup, inner.rhs, inner.uniqueness,
             lhs_projector=Projector.named(*part_names),
             rhs_projector=inner.rhs_projector,
+            out_capacity=join_cap,
             allow_dense_lookup=inner.allow_dense_lookup)
         final = GroupAggregate(
             list(self.group_by), final_specs, new_join,
@@ -1720,22 +1739,38 @@ class HybridGroupAggregate(GroupAggregate):
             src = materialize_bound(cb, leaves, cancel, cache=prog_cache)
             sub_dicts = {n: src.dicts[n] for n in need if n in src.dicts}
             n_in = int(src.num_rows)
-            host_cols = {}
-            for nm in need:
-                c = src.columns[nm]
-                vals = np.asarray(c.values)[:n_in]
-                valid = (None if c.valid is None
-                         else np.asarray(c.valid)[:n_in].astype(bool))
-                host_cols[nm] = (vals, valid)
+            # chunks slice the child's DEVICE arrays directly — the
+            # child already resides in HBM as a plan input, so feeding
+            # the pregroup costs no host round-trip (measured: reading
+            # back + re-uploading 8M x 2 columns through this
+            # container's tunneled link costs seconds per execute);
+            # only the pregroup OUTPUTS cross to the host, which is the
+            # spill boundary by definition
+            host_cols = {nm: (src.columns[nm].values,
+                              src.columns[nm].valid)
+                         for nm in need}
 
             def chunk_table(start: int, stop: int, cap: int) -> Table:
-                return Table.from_arrays(
-                    sub_schema,
-                    {nm: host_cols[nm][0][start:stop] for nm in need},
-                    {nm: (None if host_cols[nm][1] is None
-                          else host_cols[nm][1][start:stop])
-                     for nm in need},
-                    stop - start, sub_dicts, capacity=cap)
+                rows = stop - start
+                cols = {}
+                for nm in need:
+                    vals, valid = host_cols[nm]
+                    v = vals[start:min(start + cap, vals.shape[0])]
+                    if v.shape[0] < cap:
+                        v = jnp.concatenate(
+                            [v, jnp.zeros(cap - v.shape[0], v.dtype)])
+                    w = None
+                    if valid is not None:
+                        w = valid[start:min(start + cap,
+                                            valid.shape[0])]
+                        if w.shape[0] < cap:
+                            w = jnp.concatenate(
+                                [w, jnp.zeros(cap - w.shape[0],
+                                              jnp.bool_)])
+                    # rows past `rows` are dead via num_rows regardless
+                    cols[nm] = Column(v, w)
+                return Table(sub_schema, cols, rows, sub_dicts,
+                             cap_hint=cap)
 
             # one compiled pregroup program reused across same-shaped
             # chunks.  The compile leaf is a ZERO-ROW placeholder so no

@@ -217,3 +217,54 @@ def test_pushdown_declines_ineligible(counted):
                  rhs_projector=Projector.named("g")),
         GroupAggregateOptions(estimated_result_row_count=64)))
     assert not counted
+
+
+def test_pushdown_not_unique_under_sort(counted, monkeypatch):
+    """NOT_UNIQUE INNER joins decompose too (each (partial, build-row)
+    pair contributes its partial once per duplicate, exactly like the
+    direct join's row pairs) — but only for consumers that re-order
+    anyway: insertion-order ties between groups first seen at the same
+    probe row are broken by build-side match-list order, which
+    MIN-of-first-positions cannot reproduce, so the ordered case keeps
+    the direct path."""
+    rng = np.random.default_rng(5)
+    n, m = 40000, 2000
+    pk = np.repeat(np.arange(m // 4, dtype=np.int32), 4)
+    rng.shuffle(pk)
+    dim = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("g", DataType.INT32, False)),
+        {"pk": pk, "g": rng.integers(0, 13, m).astype(np.int32)})
+    fact = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False),
+                       ("iv", DataType.INT64, True)),
+        {"fk": rng.integers(0, m // 4 + 30, n).astype(np.int32),
+         "v": rng.random(n, dtype=np.float32),
+         "iv": [int(x) if c else None for x, c in
+                zip(rng.integers(-50, 50, n), rng.random(n) < 0.9)]})
+
+    def agg():
+        return GroupAggregate(
+            ["g"],
+            [AggSpec(Aggregation.SUM, "iv", "si"),
+             AggSpec(Aggregation.COUNT, None, "c"),
+             AggSpec(Aggregation.MIN, "v", "mn")],
+            HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact),
+                     ScanTable(dim), KeyUniqueness.NOT_UNIQUE,
+                     lhs_projector=Projector.named("v", "iv"),
+                     rhs_projector=Projector.named("g"),
+                     out_capacity=5 * n),
+            GroupAggregateOptions(estimated_result_row_count=32))
+
+    def p():
+        return Sort([SortKey("si", ascending=False)], agg())
+
+    got = execute(p())
+    assert counted, "NOT_UNIQUE pushdown did not fire under Sort"
+    want = _direct(monkeypatch, p)
+    _rows_close(got.to_pylist(), want.to_pylist())
+    # ordered bare aggregate must keep the direct path
+    counted.clear()
+    execute(agg())
+    assert not counted, "ordered NOT_UNIQUE must not rewrite"
