@@ -398,3 +398,43 @@ def test_dup_packed_stale_dup_guard(forced):
                 rt.num_rows, rt.dicts)
     out2, flags2 = jax.jit(run)([leaves[0], bad])
     assert np.asarray(flags2).any()
+
+
+def test_dup_packed_multi_key_glue(forced, monkeypatch):
+    """Dup-packed route over a COMPOSITE dense key: the bound d =
+    min over keys of per-key multiplicity (a sound upper bound on the
+    composite multiplicity), candidates packed per composite slot."""
+    import supersonic_tpu.ops.hash_join as HJ
+
+    calls = _counted(monkeypatch, HJ, "_dup_packed_probe")
+    rng = np.random.default_rng(13)
+    m = 300
+    a = np.repeat(np.arange(m // 6, dtype=np.int32), 6)
+    b = np.tile(np.arange(3, dtype=np.int32), m // 3)  # (a, b) dup <= 2
+    rng2 = np.random.default_rng(14)
+    order = rng2.permutation(m)
+    rhs = Table.from_data(
+        TupleSchema.of(("ka", DataType.INT32, False),
+                       ("kb", DataType.INT32, False),
+                       ("w", DataType.FLOAT, False)),
+        {"ka": a[order], "kb": b[order],
+         "w": rng.random(m).astype(np.float32)})
+    n = 2500
+    lhs = Table.from_data(
+        TupleSchema.of(("fa", DataType.INT32, False),
+                       ("fb", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"fa": rng.integers(0, m // 6 + 5, n).astype(np.int32),
+         "fb": rng.integers(0, 4, n).astype(np.int32),
+         "v": rng.random(n).astype(np.float32)})
+
+    for jt in (JoinType.INNER, JoinType.LEFT_OUTER):
+        def plan(jt=jt):
+            return HashJoin(jt, ["fa", "fb"], ["ka", "kb"],
+                            ScanTable(lhs), ScanTable(rhs),
+                            KeyUniqueness.NOT_UNIQUE,
+                            out_capacity=16000)
+
+        got, want = _run_both(plan)
+        assert got.to_pylist() == want.to_pylist()
+    assert calls, "dup-packed route did not execute (multi-key)"
