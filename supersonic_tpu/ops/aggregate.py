@@ -1397,14 +1397,14 @@ class GroupAggregate(Operation):
         # exactly as the direct join's (probe-row, build-row) pairs do.
         # The NOT_UNIQUE rewrite also removes the output-scale expansion
         # entirely (a dup8-style aggregate never materializes its 64M
-        # join rows) — but only for consumers that re-order anyway:
-        # insertion-order ties between groups first seen at the SAME
-        # probe row are broken by build-side match-list order, which
-        # MIN-of-first-positions cannot reproduce.
+        # join rows).  Insertion order under duplicates: a group's rank
+        # is the lexicographic minimum over its (probe-row, build-row)
+        # pairs of (probe position, build original position) — the
+        # probe-major order is the join's emission order and ties at the
+        # same probe row resolve by match-list order == build original
+        # order — which packs into one i64 MIN of
+        # first_probe_pos * 2^32 + build_pos.
         if inner.join_type != JoinType.INNER:
-            return None
-        if (inner.uniqueness != KeyUniqueness.UNIQUE
-                and not _unordered):
             return None
         for s in specs:
             if s.distinct or s.aggregation not in (
@@ -1429,8 +1429,9 @@ class GroupAggregate(Operation):
         for s in specs:
             if s.input is not None and s.input not in ldst:
                 return None
-        if any(n.startswith("__pre")
-               for n in list(ldst) + list(rdst) + list(lschema.names())):
+        if any(n.startswith("__pre") or n == "__rank"
+               for n in (list(ldst) + list(rdst) + list(lschema.names())
+                         + list(rschema.names()))):
             return None
         # probe-side key-range statistics bound the pregroup output
         lstats = table_stats(lleaf.table)
@@ -1492,6 +1493,10 @@ class GroupAggregate(Operation):
                 final_specs.append(AggSpec(s.aggregation, pname, s.output,
                                            output_type=s.output_type))
         pre_child = inner.lhs
+        rhs_child = inner.rhs
+        rhs_proj = inner.rhs_projector
+        rank_over_pairs = (not _unordered
+                           and inner.uniqueness != KeyUniqueness.UNIQUE)
         if not _unordered:
             # first-occurrence positions: Sequence() over the LEAF rows
             # (pre-filter positions are monotone w.r.t. the filtered
@@ -1506,8 +1511,22 @@ class GroupAggregate(Operation):
                 pre_child = Filter(p, pre_child)
             pre_specs.append(AggSpec(Aggregation.MIN, "__prepos",
                                      "__prefp"))
-            final_specs.append(AggSpec(Aggregation.MIN, "__prefp",
-                                       "__fp"))
+            if rank_over_pairs:
+                # NOT_UNIQUE: rank = lexicographic pair minimum of
+                # (first probe position, build original position),
+                # packed into one i64 (both < 2^32 by capacity)
+                rhs_child = Compute(
+                    [_col(n) for n in rschema.names()]
+                    + [Sequence().as_("__prebpos")], rleaf)
+                for p in _rp:
+                    rhs_child = Filter(p, rhs_child)
+                rhs_proj = Projector(list(rpairs)
+                                     + [("__prebpos", None)])
+                final_specs.append(AggSpec(Aggregation.MIN, "__rank",
+                                           "__fp"))
+            else:
+                final_specs.append(AggSpec(Aggregation.MIN, "__prefp",
+                                           "__fp"))
         pregroup = GroupAggregate(
             list(inner.lhs_keys), pre_specs, pre_child,
             GroupAggregateOptions(estimated_result_row_count=rng))
@@ -1524,13 +1543,22 @@ class GroupAggregate(Operation):
                     else rleaf.table.capacity)
         new_join = HashJoin(
             JoinType.INNER, list(inner.lhs_keys), list(inner.rhs_keys),
-            pregroup, inner.rhs, inner.uniqueness,
+            pregroup, rhs_child, inner.uniqueness,
             lhs_projector=Projector.named(*part_names),
-            rhs_projector=inner.rhs_projector,
+            rhs_projector=rhs_proj,
             out_capacity=join_cap,
             allow_dense_lookup=inner.allow_dense_lookup)
+        final_child: Operation = new_join
+        if rank_over_pairs:
+            from ..exprs import Const as _Const, col as _col2
+            keep = ([_col2(dst) for _, dst in rpairs]
+                    + [_col2(p) for p in part_names if p != "__prefp"])
+            final_child = Compute(
+                keep + [(_col2("__prefp")
+                         * _Const(1 << 32, DataType.INT64)
+                         + _col2("__prebpos")).as_("__rank")], new_join)
         final = GroupAggregate(
-            list(self.group_by), final_specs, new_join,
+            list(self.group_by), final_specs, final_child,
             GroupAggregateOptions(
                 estimated_result_row_count=opts.estimated_result_row_count))
         final._pushdown_disabled = True

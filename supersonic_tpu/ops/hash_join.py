@@ -304,6 +304,54 @@ def _dup_packed_probe(rt, srcs, build_perm, bslot_s, counts, pslot, pin,
     return count, {"tags": tags, "arr": arr}
 
 
+def _dup_packed_candidates(rt, srcs, build_perm, lower, d: int,
+                           count, rctx):
+    """Dup-packed candidates for the MERGE-probe multi-match path (no
+    dense key domain needed): the candidates of probe p are the
+    consecutive build-sorted rows [lower_p, lower_p + count_p), so d
+    SHIFTED copies of each build-sorted lane form a [rcap, d*L] matrix
+    whose row ``lower_p`` holds ALL of p's candidates — one probe-scale
+    packed gather replaces the output-scale random rhs-row gather.
+    Gap lanes (count < d) hold later rows' values; unselectable because
+    expansion only reads candidate j < count.  Runtime guard flags
+    count > d (stale dup statistics).  Returns cands for
+    _spread_expansion_packed."""
+    rsorted = gather_table(_subset(rt, srcs), build_perm, rt.num_rows)
+    lanes: list = []
+    tags: list = []
+    for src in dict.fromkeys(srcs):
+        c = rsorted.columns[src]
+        v = c.values
+        if v.dtype == jnp.bool_:
+            lanes.append(v.astype(jnp.int32))
+            tags.append(("bool", src))
+        else:
+            lanes.append(v)  # 4-byte, guaranteed by bind eligibility
+            tags.append(("val", src))
+        if c.valid is not None:
+            lanes.append(c.valid.astype(jnp.int32))
+            tags.append(("valid", src))
+    rctx.error_flags.append((
+        "join build-side duplication exceeds planned bound",
+        jnp.any(count > d)))
+    rcap = lanes[0].shape[0]
+    cols = []
+    for ln in lanes:
+        u = jax.lax.bitcast_convert_type(ln, jnp.uint32)
+        for j in range(d):
+            cols.append(jnp.concatenate([u[j:], jnp.zeros(j, jnp.uint32)])
+                        if j else u)
+    mat = jnp.stack(cols, axis=1)
+    safe = jnp.clip(lower.astype(jnp.int32), 0, rcap - 1)
+    g = jnp.take(mat, safe, axis=0)
+    arr = []
+    for ti, ln in enumerate(lanes):
+        arr.append([jax.lax.bitcast_convert_type(g[:, ti * d + j],
+                                                 ln.dtype)
+                    for j in range(d)])
+    return {"tags": tags, "arr": arr}
+
+
 def _spread_expansion_packed(lt, lpairs, rpairs, eff, offsets, count,
                              cands, d: int, out_cap, left_outer,
                              out_schema, out_dicts):
@@ -820,12 +868,11 @@ class HashJoin(Operation):
         # expansion lane budgets hold.  The probe then pays ONE gather
         # at probe scale (see _dup_packed_probe).
         dup_bound = None
-        if dense_info is not None and not unique:
+        if not unique:
             from ..types import jnp_dtype as _jnp_dtype
             ds = [rb.dup.get(rk) for rk in rhs_keys]
             if all(x is not None for x in ds):
                 d_ = max(1, min(ds))
-                _dims_, rng_, _g_ = dense_info
                 cand_lanes = 0
                 lanes_ok = True
                 for s_ in dict.fromkeys(s for s, _ in rpairs):
@@ -842,11 +889,13 @@ class HashJoin(Operation):
                                   else 1) + (1 if a_.nullable else 0)
                 total_lanes = (lhs_lanes + 1 + (1 if left_outer else 0)
                                + d_ * cand_lanes)
-                if (lanes_ok and d_ <= 64
-                        and rng_ * d_ <= _DENSE_RANGE_MAX
-                        and rng_ * d_ * max(cand_lanes, 1)
-                        <= 4 * _DENSE_RANGE_MAX
-                        and total_lanes <= 40):
+                lut_ok = True
+                if dense_info is not None:
+                    _dims_, rng_, _g_ = dense_info
+                    lut_ok = (rng_ * d_ <= _DENSE_RANGE_MAX
+                              and rng_ * d_ * max(cand_lanes, 1)
+                              <= 4 * _DENSE_RANGE_MAX)
+                if lanes_ok and d_ <= 64 and lut_ok and total_lanes <= 40:
                     dup_bound = d_
 
         # Rowid-direct probe: UNIQUE single-key join whose rhs key IS the
@@ -1100,6 +1149,17 @@ class HashJoin(Operation):
                         lower = back[2][rcap:]
                         upper = back[3][rcap:]
                     count = jnp.where(pinert, 0, upper - lower)
+                    if not unique and dup_bound is not None:
+                        from .. import kernels as _K
+                        if (_K.force_kernel_paths()
+                                or jax.default_backend() != "cpu"):
+                            # merge-probe multi-match: pack all <=d
+                            # candidates as shifted build-sorted lanes
+                            # and fetch them with the ONE probe-scale
+                            # gather (see _dup_packed_candidates)
+                            dup_cands = _dup_packed_candidates(
+                                rt, [s for s, _ in rpairs], build_perm,
+                                lower, dup_bound, count, rctx)
             if unique:
                 # fast path: <=1 match per probe row, so no expansion.
                 # LEFT_OUTER keeps lhs columns zero-copy; INNER moves the

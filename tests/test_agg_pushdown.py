@@ -172,24 +172,15 @@ def test_pushdown_string_group_key(counted, monkeypatch):
 
 
 def test_pushdown_declines_ineligible(counted):
-    """No rewrite for: NOT_UNIQUE rhs, LEFT_OUTER, lhs-side group keys,
-    rhs-side aggregate inputs, FIRST aggregation, DISTINCT, small probe
-    sides (no shrink), quota/clamp options."""
+    """No rewrite for: lhs-side group keys, rhs-side aggregate inputs,
+    FIRST aggregation, DISTINCT, small probe sides (no shrink),
+    quota/clamp options.  (NOT_UNIQUE is eligible since the pair-rank
+    generalization — see test_pushdown_not_unique_under_sort.)"""
     fact, dim = _data(n=4000, m=3000)  # rng*4 > lcap -> not profitable
     execute(_plan(fact, dim))
     assert not counted
 
     fact, dim = _data()
-    # NOT_UNIQUE
-    execute(GroupAggregate(
-        ["g"], [AggSpec(Aggregation.SUM, "v", "sv")],
-        HashJoin(JoinType.INNER, ["fk"], ["pk"], ScanTable(fact),
-                 ScanTable(dim), KeyUniqueness.NOT_UNIQUE,
-                 lhs_projector=Projector.named("v"),
-                 rhs_projector=Projector.named("g"),
-                 out_capacity=fact.capacity + dim.capacity),
-        GroupAggregateOptions(estimated_result_row_count=64)))
-    assert not counted
     # group key from the probe side
     execute(GroupAggregate(
         ["fk2"], [AggSpec(Aggregation.SUM, "v", "sv")],
@@ -222,11 +213,11 @@ def test_pushdown_declines_ineligible(counted):
 def test_pushdown_not_unique_under_sort(counted, monkeypatch):
     """NOT_UNIQUE INNER joins decompose too (each (partial, build-row)
     pair contributes its partial once per duplicate, exactly like the
-    direct join's row pairs) — but only for consumers that re-order
-    anyway: insertion-order ties between groups first seen at the same
-    probe row are broken by build-side match-list order, which
-    MIN-of-first-positions cannot reproduce, so the ordered case keeps
-    the direct path."""
+    direct join's row pairs).  The ordered case reproduces insertion
+    order exactly via the packed pair-rank
+    MIN(first_probe_pos * 2^32 + build_pos) — ties between groups first
+    seen at the same probe row resolve by build-side match-list order,
+    which is build original order."""
     rng = np.random.default_rng(5)
     n, m = 40000, 2000
     pk = np.repeat(np.arange(m // 4, dtype=np.int32), 4)
@@ -264,7 +255,9 @@ def test_pushdown_not_unique_under_sort(counted, monkeypatch):
     assert counted, "NOT_UNIQUE pushdown did not fire under Sort"
     want = _direct(monkeypatch, p)
     _rows_close(got.to_pylist(), want.to_pylist())
-    # ordered bare aggregate must keep the direct path
+    # ordered bare aggregate: pair-rank insertion order, row-exact
     counted.clear()
-    execute(agg())
-    assert not counted, "ordered NOT_UNIQUE must not rewrite"
+    got2 = execute(agg())
+    assert counted, "ordered NOT_UNIQUE pushdown did not fire"
+    want2 = _direct(monkeypatch, agg)
+    _rows_close(got2.to_pylist(), want2.to_pylist())

@@ -438,3 +438,45 @@ def test_dup_packed_multi_key_glue(forced, monkeypatch):
         got, want = _run_both(plan)
         assert got.to_pylist() == want.to_pylist()
     assert calls, "dup-packed route did not execute (multi-key)"
+
+
+def test_dup_packed_merge_path_sparse_keys(forced, monkeypatch):
+    """Dup-packed candidates on the MERGE-probe path (round 5, late):
+    sparse build keys (no dense domain) — the candidates are consecutive
+    build-sorted rows, packed as d shifted lane copies and fetched with
+    one probe-scale gather instead of the output-scale rhs gather."""
+    import supersonic_tpu.ops.hash_join as HJ
+
+    calls = _counted(monkeypatch, HJ, "_dup_packed_candidates")
+    rng = np.random.default_rng(3)
+    m = 400
+    base_keys = rng.choice(np.arange(0, 1 << 28, 977), m // 4,
+                           replace=False).astype(np.int32)
+    pk = np.repeat(base_keys, 4)[:m]
+    rng.shuffle(pk)
+    wn = rng.integers(0, 50, m).astype(object)
+    wn[rng.random(m) < 0.2] = None
+    rhs = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("w", DataType.FLOAT, False),
+                       ("wn", DataType.INT32, True)),
+        {"pk": pk, "w": rng.random(m).astype(np.float32),
+         "wn": list(wn)})
+    n = 3000
+    fk = np.where(rng.random(n) < 0.7,
+                  base_keys[rng.integers(0, len(base_keys), n)],
+                  rng.integers(0, 1 << 28, n)).astype(np.int32)
+    lhs = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"fk": fk, "v": rng.random(n).astype(np.float32)})
+
+    for jt in (JoinType.INNER, JoinType.LEFT_OUTER):
+        def plan(jt=jt):
+            return HashJoin(jt, ["fk"], ["pk"], ScanTable(lhs),
+                            ScanTable(rhs), KeyUniqueness.NOT_UNIQUE,
+                            out_capacity=20000)
+
+        got, want = _run_both(plan)
+        assert got.to_pylist() == want.to_pylist()
+    assert calls, "merge-path dup-packed route did not execute"
