@@ -1404,8 +1404,14 @@ class GroupAggregate(Operation):
         # same probe row resolve by match-list order == build original
         # order — which packs into one i64 MIN of
         # first_probe_pos * 2^32 + build_pos.
-        if inner.join_type != JoinType.INNER:
+        # LEFT_OUTER decomposes too: an unmatched probe row emits one
+        # NULL-rhs row in the direct join, and its partial emits one
+        # NULL-rhs row in the rewritten join — the NULL-key group gets
+        # the same partials (rank ties use build position 0: the NULL
+        # row is its probe row's whole match list).
+        if inner.join_type not in (JoinType.INNER, JoinType.LEFT_OUTER):
             return None
+        left_outer = inner.join_type == JoinType.LEFT_OUTER
         for s in specs:
             if s.distinct or s.aggregation not in (
                     Aggregation.SUM, Aggregation.MIN, Aggregation.MAX,
@@ -1537,26 +1543,31 @@ class GroupAggregate(Operation):
         part_names = [s.output for s in pre_specs]
         # NOT_UNIQUE: every build row matches at most ONE partial (the
         # pregroup output is key-unique), so the rewritten join's output
-        # is bounded by the build capacity — far below the direct
-        # join's duplicated output
+        # is bounded by the build capacity (+ one row per unmatched
+        # partial under LEFT_OUTER) — far below the direct join's
+        # duplicated output
         join_cap = (None if inner.uniqueness == KeyUniqueness.UNIQUE
-                    else rleaf.table.capacity)
+                    else rleaf.table.capacity
+                    + (rng if left_outer else 0))
         new_join = HashJoin(
-            JoinType.INNER, list(inner.lhs_keys), list(inner.rhs_keys),
-            pregroup, rhs_child, inner.uniqueness,
+            inner.join_type, list(inner.lhs_keys),
+            list(inner.rhs_keys), pregroup, rhs_child, inner.uniqueness,
             lhs_projector=Projector.named(*part_names),
             rhs_projector=rhs_proj,
             out_capacity=join_cap,
             allow_dense_lookup=inner.allow_dense_lookup)
         final_child: Operation = new_join
         if rank_over_pairs:
-            from ..exprs import Const as _Const, col as _col2
+            from ..exprs import Const as _Const, IfNull, col as _col2
             keep = ([_col2(dst) for _, dst in rpairs]
                     + [_col2(p) for p in part_names if p != "__prefp"])
+            # LEFT_OUTER NULL-rhs rows: build position 0 (the NULL row
+            # is its probe row's whole match list)
+            bpos = IfNull(_col2("__prebpos"), _Const(0, DataType.INT64))
             final_child = Compute(
                 keep + [(_col2("__prefp")
                          * _Const(1 << 32, DataType.INT64)
-                         + _col2("__prebpos")).as_("__rank")], new_join)
+                         + bpos).as_("__rank")], new_join)
         final = GroupAggregate(
             list(self.group_by), final_specs, final_child,
             GroupAggregateOptions(
@@ -1575,7 +1586,9 @@ class GroupAggregate(Operation):
             join_attrs.append(Attribute(dst, a.type, a.nullable, a.enum))
         for src, dst in rpairs:
             a = rschema.lookup(src)
-            join_attrs.append(Attribute(dst, a.type, a.nullable, a.enum))
+            # LEFT_OUTER forces rhs outputs nullable (hash_join.cc:78-87)
+            join_attrs.append(Attribute(dst, a.type,
+                                        a.nullable or left_outer, a.enum))
         join_schema = TupleSchema(join_attrs)
         key_attrs = [join_schema.lookup(n) for n in self.group_by]
         agg_attrs = [_resolve_output_attr(s, join_schema) for s in specs]

@@ -261,3 +261,52 @@ def test_pushdown_not_unique_under_sort(counted, monkeypatch):
     assert counted, "ordered NOT_UNIQUE pushdown did not fire"
     want2 = _direct(monkeypatch, agg)
     _rows_close(got2.to_pylist(), want2.to_pylist())
+
+
+@pytest.mark.parametrize("uniq", [KeyUniqueness.UNIQUE,
+                                  KeyUniqueness.NOT_UNIQUE])
+@pytest.mark.parametrize("ordered", [True, False])
+def test_pushdown_left_outer(counted, monkeypatch, uniq, ordered):
+    """LEFT_OUTER decomposes too: an unmatched probe row's partial emits
+    one NULL-rhs row in the rewritten join exactly as its rows do in the
+    direct join, so the NULL-key group receives the same partials; rank
+    ties for the NULL row use build position 0 (it is its probe row's
+    whole match list)."""
+    rng = np.random.default_rng(5)
+    n, m = 40000, 2000
+    dup = 1 if uniq == KeyUniqueness.UNIQUE else 4
+    if dup == 1:
+        pk = np.arange(m, dtype=np.int32)
+    else:
+        pk = np.repeat(np.arange(m // dup, dtype=np.int32), dup)
+        rng.shuffle(pk)
+    dim = Table.from_data(
+        TupleSchema.of(("pk", DataType.INT32, False),
+                       ("g", DataType.INT32, False)),
+        {"pk": pk, "g": rng.integers(0, 13, m).astype(np.int32)})
+    fact = Table.from_data(
+        TupleSchema.of(("fk", DataType.INT32, False),
+                       ("v", DataType.FLOAT, False)),
+        {"fk": rng.integers(0, int((m // dup) * 1.4), n).astype(np.int32),
+         "v": rng.random(n, dtype=np.float32)})
+
+    def agg():
+        return GroupAggregate(
+            ["g"], [AggSpec(Aggregation.SUM, "v", "sv"),
+                    AggSpec(Aggregation.COUNT, None, "c")],
+            HashJoin(JoinType.LEFT_OUTER, ["fk"], ["pk"], ScanTable(fact),
+                     ScanTable(dim), uniq,
+                     lhs_projector=Projector.named("v"),
+                     rhs_projector=Projector.named("g"),
+                     out_capacity=(dup + 1) * n),
+            GroupAggregateOptions(estimated_result_row_count=32))
+
+    p = agg if ordered else (lambda: Sort([SortKey("sv", False)], agg()))
+    got = execute(p())
+    assert counted, "LEFT_OUTER pushdown did not fire"
+    want = _direct(monkeypatch, p)
+    got_rows, want_rows = got.to_pylist(), want.to_pylist()
+    assert len(got_rows) == len(want_rows)
+    for a, b in zip(got_rows, want_rows):
+        assert a[0] == b[0] and a[2] == b[2], (a, b)
+        assert abs(a[1] - b[1]) <= 1e-2, (a, b)
